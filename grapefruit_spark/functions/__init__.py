@@ -1,0 +1,136 @@
+"""Shared column builders — all JVM-side (no Python row UDFs).
+
+These are the engine's scalar "functions" library: text normalization,
+tokenization, n-grams, hashing/fingerprints, and vector math. Everything
+returns a Column so Catalyst can fold it into whole-stage codegen; the
+expensive sketches (minhash/simhash) stay inside higher-order functions
+over arrays rather than exploding rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- text
+
+#: whitespace-splitting regex shared with oracle SQL (DuckDB '\s+')
+WS_RE = r"\s+"
+
+#: BPE-ish token regex: words / numbers / single punctuation marks.
+#: Kept RE2-compatible so DuckDB's regexp_extract_all agrees with Spark's.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + trim + collapse whitespace — canonical form for dedup."""
+    return F.regexp_replace(F.lower(F.trim(col)), WS_RE, " ")
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty input → empty array)."""
+    return F.filter(F.split(F.trim(col), WS_RE), lambda t: t != "")
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word-level n-gram shingles (space-joined) from a token array.
+
+    Built with sequence+transform+slice so it runs in codegen; docs
+    shorter than n yield an empty array.
+    """
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------- hashing
+
+def md5_fingerprint(col: Column) -> Column:
+    """md5 of normalized text — DuckDB md5() agrees byte-for-byte."""
+    return F.md5(normalize_text(col))
+
+
+# Mersenne prime for the (a*h + b) mod p permutation family.
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_signature(grams: Column, num_perm: int, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, len ``num_perm``) of a string-array.
+
+    Permutation params derive from xxhash64 of (seed, i) so the family is
+    deterministic across runs without shipping state. Stays JVM-side:
+    one base hash per gram, then min over a linear permutation per band.
+    Empty gram arrays yield a sentinel signature of all MINHASH_P.
+    """
+    base = F.transform(grams, lambda g: F.abs(F.xxhash64(g, F.lit(seed))) % F.lit(MINHASH_P))
+    sig = []
+    for i in range(num_perm):
+        # deterministic odd multiplier / offset per permutation
+        a = (hash_param(seed, 2 * i) | 1) % MINHASH_P
+        b = hash_param(seed, 2 * i + 1) % MINHASH_P
+        perm = F.transform(base, lambda h, a=a, b=b: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+        sig.append(F.coalesce(F.array_min(perm), F.lit(MINHASH_P)))
+    return F.array(*sig)
+
+
+def hash_param(seed: int, i: int) -> int:
+    """Deterministic 61-bit pseudo-random parameter (python-side constant)."""
+    x = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+    x ^= x >> 31
+    x = (x * 0x94D049BB133111EB) & ((1 << 64) - 1)
+    x ^= x >> 29
+    return x & ((1 << 61) - 1)
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH band keys: array of ``bands`` strings "band_i:hash(rows-slice)".
+
+    Prefixing the band index salts the shuffle key space so one hot band
+    value can't concentrate a partition at scale.
+    """
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.xxhash64(F.array_join(F.slice(sig, i * rows + 1, rows), ",")).cast("string"),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+# ---------------------------------------------------------------- vectors
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in double.
+
+    zip_with + aggregate keeps the O(d) loop inside codegen — no UDF, no
+    explode — so a 1e9-row ANN verify stage stays JVM-bound.
+    """
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def rolling_hash(col: Column, window: int = 16, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash of the first ``window`` chars (codegen-side).
+
+    Used as a cheap secondary fingerprint next to md5 (D10).
+    """
+    chars = F.slice(F.split(col, ""), 1, window)
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(base) + F.coalesce(F.ascii(c).cast("bigint"), F.lit(0)))
+        % F.lit(mod),
+    )

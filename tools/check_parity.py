@@ -1,0 +1,89 @@
+"""Local replica of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB, compare row-count, schema
+(column names), and an order-insensitive value hash.
+
+Usage: python tools/check_parity.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        tuple(_canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for r in canon:
+        h.update(("|".join(r) + "\n").encode())
+    return h.hexdigest()[:16]
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from grapefruit_spark.session import get_spark
+
+    spark = get_spark("parity-check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name:28s} rows-only: {len(srows)} rows")
+            continue
+        rel = con.sql(oracles[name])
+        drows = [tuple(r) for r in rel.fetchall()]
+        dcols = list(rel.columns)
+        ok_n = len(srows) == len(drows)
+        ok_c = sorted(scols) == sorted(dcols)
+        ok_h = ok_c and value_hash(srows, scols) == value_hash(drows, dcols)
+        status = "OK" if (ok_n and ok_c and ok_h) else "FAIL"
+        print(f"{name:28s} {status}  rows={len(srows)}/{len(drows)} cols={'OK' if ok_c else (scols, dcols)} hash={'OK' if ok_h else 'MISMATCH'}")
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_h and ok_c and ok_n:
+                s = sorted(tuple(_canon(x) for x in r) for r in srows)
+                d = sorted(tuple(_canon(x) for x in r) for r in drows)
+                for a, b in zip(s, d):
+                    if a != b:
+                        print(f"   spark={a}\n   duck ={b}")
+                        break
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
