@@ -1,0 +1,122 @@
+"""MapleJuice-parity generic MapReduce on DataFrames.
+
+Reference semantics (/root/reference/src/main/java/edu/cs425/mp3):
+- ``maple <exe> <num_maples> ...`` (MapleJuice.java:~400): split input
+  across N tasks, run a user program per chunk emitting (key, value) lines.
+- ``juice <exe> <num_juices> ... shuffle_option={1,2}`` (MapleJuice.java:451,
+  667-681): group intermediate data by key, place key-groups on reducers by
+  hash (``Math.abs(hashCode) % taskNum``) or range partitioning
+  (JuiceJob.java:3), run a reduce program per key-group.
+
+Spark-first re-expression: a "maple" is a partition-parallel flatMap and a
+"juice" is a shuffle-on-key + per-key reduce. User logic arrives as a
+pandas function (Arrow-batched — never row-at-a-time), but both phases
+also accept declarative Column expressions, which keep the whole job in
+JVM codegen; that is the 100 TB path, the pandas path is the escape hatch
+for logic Spark can't express.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MapleFn = Callable[[pd.DataFrame], pd.DataFrame]
+JuiceFn = Callable[[Any, pd.DataFrame], pd.DataFrame]
+
+
+def maple(
+    df: DataFrame,
+    fn: MapleFn,
+    output_schema: str,
+    num_maples: int | None = None,
+) -> DataFrame:
+    """Maple phase: apply ``fn`` to Arrow batches of input rows.
+
+    ``fn`` maps a pandas DataFrame of input records to a pandas DataFrame
+    matching ``output_schema`` (typically key/value columns) — the analog
+    of the reference's per-chunk executable emitting (K,V) lines.
+    ``num_maples`` mirrors the CLI knob; by default Spark's own input
+    partitioning decides (the right call on a real cluster).
+    """
+    if num_maples is not None:
+        df = df.repartition(num_maples)
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = fn(pdf)
+            if out is not None and len(out):
+                yield out
+
+    return df.mapInPandas(run, schema=output_schema)
+
+
+def juice(
+    kv: DataFrame,
+    fn: JuiceFn,
+    output_schema: str,
+    key: str = "key",
+    num_juices: int | None = None,
+    shuffle: str = "hash",
+) -> DataFrame:
+    """Juice phase: shuffle on ``key`` then reduce each key-group.
+
+    ``shuffle='hash'`` → ``repartition(n, key)`` (reference shuffle_option=1,
+    MapleJuice.java:677); ``'range'`` → ``repartitionByRange`` (option 2).
+    The reduce runs per-partition with a pandas groupby, so there is exactly
+    ONE shuffle — the explicit one — and every group is complete because
+    both placements are key-deterministic.
+    """
+    n = num_juices or kv.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n = int(n)
+    if shuffle == "hash":
+        placed = kv.repartition(n, key)
+    elif shuffle == "range":
+        placed = kv.repartitionByRange(n, key)
+    else:
+        raise ValueError(f"shuffle must be 'hash' or 'range', got {shuffle!r}")
+
+    def run(batches: Iterable[pd.DataFrame]):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        whole = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        for k, grp in whole.groupby(key, sort=False):
+            out = fn(k, grp)
+            if out is not None and len(out):
+                yield out
+
+    return placed.mapInPandas(run, schema=output_schema)
+
+
+def maple_expr(df: DataFrame, key: F.Column, value: F.Column) -> DataFrame:
+    """Declarative maple: key/value column expressions, pure codegen."""
+    return df.select(key.alias("key"), value.alias("value"))
+
+
+def juice_agg(kv: DataFrame, agg: F.Column, key: str = "key") -> DataFrame:
+    """Declarative juice: Catalyst groupBy-agg (partial agg + one shuffle)."""
+    return kv.groupBy(key).agg(agg)
+
+
+class MapleJuicePipeline:
+    """Multi-stage chaining (the reference runs maple→juice jobs back to
+    back through SDFS files; here stages compose lazily into ONE Catalyst
+    plan, so no intermediate materialization)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def maple(self, fn: MapleFn, output_schema: str, num_maples: int | None = None):
+        return MapleJuicePipeline(maple(self.df, fn, output_schema, num_maples))
+
+    def juice(self, fn: JuiceFn, output_schema: str, key: str = "key",
+              num_juices: int | None = None, shuffle: str = "hash"):
+        return MapleJuicePipeline(juice(self.df, fn, output_schema, key, num_juices, shuffle))
+
+    def done(self) -> DataFrame:
+        return self.df

@@ -1,0 +1,252 @@
+"""Reference demo applications re-expressed Spark-first (SURVEY §2 block A).
+
+The reference ships four workloads (app/, wg_*.py): WordCount, WebGraph
+in-link counting, and the two-stage Condorcet winner election. Each gets a
+queries() entry + DuckDB oracle. ``mj_wordcount`` deliberately runs through
+the generic maple/juice API (pandas path) to exercise A1/A2; everything
+else is declarative.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..maplejuice import juice, maple
+
+ORACLE: dict[str, str] = {}
+
+
+# ------------------------------------------------------------------ A1/A2/A6
+def mj_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount via the generic maple/juice API (hash shuffle).
+
+    Maple: text → (word, 1) pairs (lowered, whitespace-split) — the analog
+    of a wc maple exe emitting K,V lines. Juice: per-key sum. Runs on the
+    pandas escape-hatch path on purpose: it proves the generic MR surface.
+    """
+    docs = table(spark, sf_dir, "documents").select("text")
+
+    def wc_maple(pdf: pd.DataFrame) -> pd.DataFrame:
+        words = pdf["text"].str.lower().str.split()
+        flat = words.explode().dropna()
+        flat = flat[flat.str.len() > 0]
+        return pd.DataFrame({"key": flat, "value": 1})
+
+    def wc_juice(key, grp: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"word": [key], "cnt": [int(grp["value"].sum())]})
+
+    kv = maple(docs, wc_maple, "key string, value int")
+    return juice(kv, wc_juice, "word string, cnt bigint", shuffle="hash")
+
+
+ORACLE["mj_wordcount"] = """
+SELECT word, count(*)::BIGINT AS cnt
+FROM (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+    FROM documents
+)
+WHERE length(word) > 0
+GROUP BY word
+"""
+
+
+# ------------------------------------------------------------------ A3
+def mj_range_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts via juice with RANGE shuffle (shuffle_option=2,
+    JuiceJob.java:3) — reducers own contiguous key ranges."""
+    ev = table(spark, sf_dir, "events").select(F.col("event_type").alias("key"))
+
+    def count_juice(key, grp: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": [key], "n": [len(grp)]})
+
+    return juice(ev, count_juice, "event_type string, n bigint", shuffle="range", num_juices=4)
+
+
+ORACLE["mj_range_topkeys"] = """
+SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------------------ A7
+def webgraph_inlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebGraph in-link count (app/WebGraph.java, wg_maple.py/wg_juice.py):
+    filter edges whose target ∈ [1,3], count in-links per target.
+
+    Edge list here: lineitem (l_orderkey → l_suppkey). Declarative
+    filter+groupBy = map-side combine then a 3-key shuffle; the filter is
+    pushed to the parquet scan.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_suppkey") >= 1) & (F.col("l_suppkey") <= 3))
+        .groupBy(F.col("l_suppkey").alias("node"))
+        .agg(F.count(F.lit(1)).alias("inlinks"))
+    )
+
+
+ORACLE["webgraph_inlinks"] = """
+SELECT l_suppkey AS node, count(*) AS inlinks
+FROM lineitem
+WHERE l_suppkey BETWEEN 1 AND 3
+GROUP BY l_suppkey
+"""
+
+
+# ------------------------------------------------------------------ A8
+def _ballots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ballots for the Condorcet election: each order ranks the suppliers
+    it touches by first line number (a deterministic stand-in for the
+    reference's A,B,C ballot files)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.min("l_linenumber").alias("rk"))
+    )
+
+
+_BALLOTS_SQL = """
+    SELECT l_orderkey, l_suppkey, min(l_linenumber) AS rk
+    FROM lineitem GROUP BY l_orderkey, l_suppkey
+"""
+
+
+def condorcet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condorcet stage 1 (app/Win1.java, win_maple1.py/win_juice1.py):
+    explode each ballot into pairwise matchups keyed lo#hi with a 0/1 vote
+    (1 = lo preferred), majority-reduce per pair.
+
+    Self-join of the ballot relation on orderkey gives every ordered pair
+    exactly once (rk_a < rk_b); a single groupBy replaces the reference's
+    intermediate-file shuffle.
+    """
+    b = _ballots(spark, sf_dir)
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+               & (F.col("a.rk") < F.col("c.rk")))
+        .select(
+            F.least("a.l_suppkey", "c.l_suppkey").alias("cand_lo"),
+            F.greatest("a.l_suppkey", "c.l_suppkey").alias("cand_hi"),
+            # win_maple1.py: emit 1 when the winner sorts first in the key
+            F.when(F.col("a.l_suppkey") < F.col("c.l_suppkey"), 1).otherwise(0).alias("vote"),
+        )
+    )
+    return (
+        pairs.groupBy("cand_lo", "cand_hi")
+        .agg(
+            F.sum("vote").alias("lo_wins"),
+            F.sum(1 - F.col("vote")).alias("hi_wins"),
+        )
+        # win_juice1.py: count1 > count0 → first candidate dominates
+        .withColumn(
+            "pair_winner",
+            F.when(F.col("lo_wins") > F.col("hi_wins"), F.col("cand_lo")).otherwise(F.col("cand_hi")),
+        )
+    )
+
+
+ORACLE["condorcet_pairs"] = f"""
+WITH ballots AS ({_BALLOTS_SQL}),
+votes AS (
+    SELECT least(a.l_suppkey, c.l_suppkey)    AS cand_lo,
+           greatest(a.l_suppkey, c.l_suppkey) AS cand_hi,
+           CASE WHEN a.l_suppkey < c.l_suppkey THEN 1 ELSE 0 END AS vote
+    FROM ballots a JOIN ballots c
+      ON a.l_orderkey = c.l_orderkey AND a.rk < c.rk
+)
+SELECT cand_lo, cand_hi,
+       sum(vote)::BIGINT     AS lo_wins,
+       sum(1 - vote)::BIGINT AS hi_wins,
+       CASE WHEN sum(vote) > sum(1 - vote) THEN cand_lo ELSE cand_hi END AS pair_winner
+FROM votes GROUP BY cand_lo, cand_hi
+"""
+
+
+# ------------------------------------------------------------------ A9
+def condorcet_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condorcet stage 2 (app/Win2.java, win_juice2.py): count pairwise
+    wins per candidate; a candidate beating all n-1 others is the
+    Condorcet winner.
+
+    Reference hardcodes wins==2 for 3 candidates (win_juice2.py); this
+    generalizes to wins == n_candidates - 1. Emits per-candidate win
+    counts + the is_condorcet flag (SQL-expressible, unlike the
+    reference's free-text verdict line).
+    """
+    pairs = condorcet_pairs(spark, sf_dir)
+    cands = pairs.select(F.col("cand_lo").alias("cand")).union(
+        pairs.select(F.col("cand_hi").alias("cand"))
+    ).distinct()
+    n = cands.count()  # tiny (supplier dim cardinality); driver-side scalar
+    wins = pairs.groupBy(F.col("pair_winner").alias("cand")).agg(
+        F.count(F.lit(1)).alias("wins")
+    )
+    return (
+        cands.join(wins, "cand", "left")
+        .select(
+            "cand",
+            F.coalesce("wins", F.lit(0)).alias("wins"),
+            (F.coalesce("wins", F.lit(0)) == F.lit(n - 1)).alias("is_condorcet"),
+        )
+    )
+
+
+ORACLE["condorcet_winner"] = f"""
+WITH ballots AS ({_BALLOTS_SQL}),
+votes AS (
+    SELECT least(a.l_suppkey, c.l_suppkey)    AS cand_lo,
+           greatest(a.l_suppkey, c.l_suppkey) AS cand_hi,
+           CASE WHEN a.l_suppkey < c.l_suppkey THEN 1 ELSE 0 END AS vote
+    FROM ballots a JOIN ballots c
+      ON a.l_orderkey = c.l_orderkey AND a.rk < c.rk
+),
+pairs AS (
+    SELECT cand_lo, cand_hi,
+           CASE WHEN sum(vote) > sum(1 - vote) THEN cand_lo ELSE cand_hi END AS pair_winner
+    FROM votes GROUP BY cand_lo, cand_hi
+),
+cands AS (
+    SELECT DISTINCT cand FROM (
+        SELECT cand_lo AS cand FROM pairs UNION ALL SELECT cand_hi FROM pairs
+    )
+),
+wins AS (
+    SELECT pair_winner AS cand, count(*)::BIGINT AS wins FROM pairs GROUP BY pair_winner
+)
+SELECT c.cand,
+       coalesce(w.wins, 0)::BIGINT AS wins,
+       coalesce(w.wins, 0) = (SELECT count(*) FROM cands) - 1 AS is_condorcet
+FROM cands c LEFT JOIN wins w ON c.cand = w.cand
+"""
+
+
+# ------------------------------------------------------------------ A10
+def grep_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep (the canonical maple-only job): documents whose
+    text contains 'join' in English — filter pushed to the scan."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.where((F.col("lang") == "en") & F.col("text").contains("join"))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+ORACLE["grep_filter"] = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE lang = 'en' AND text LIKE '%join%'
+"""
+
+
+QUERIES = {
+    "mj_wordcount": mj_wordcount,
+    "mj_range_topkeys": mj_range_topkeys,
+    "webgraph_inlinks": webgraph_inlinks,
+    "condorcet_pairs": condorcet_pairs,
+    "condorcet_winner": condorcet_winner,
+    "grep_filter": grep_filter,
+}

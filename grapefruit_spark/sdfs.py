@@ -1,0 +1,80 @@
+"""SDFS-parity catalog: the reference's file namespace as a Spark warehouse.
+
+Reference (/root/reference/src/main/java/edu/cs425/mp3/SdfsServer.java):
+``put/get/delete`` move whole files between local FS and a replicated
+namespace; ``ls <file>`` lists replica locations; ``store`` lists files on
+one node; ``global`` lists the whole namespace. Replication/failure
+re-replication is the DFS's job — on Spark that responsibility belongs to
+the storage layer (HDFS/S3), so here each logical file is a parquet
+dataset directory and "replica locations" become the dataset's part-files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Sdfs:
+    """Flat name → parquet-dataset namespace rooted at ``warehouse``."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid sdfs name: {name!r}")
+        return os.path.join(self.warehouse, name)
+
+    # -- file ops (SdfsServer.java put/get/delete) ----------------------
+    def put(self, df: DataFrame, name: str, mode: str = "overwrite",
+            partition_by: list[str] | None = None) -> None:
+        """Insert/update a dataset (reference: ``put local sdfsname``)."""
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(name))
+
+    def get(self, name: str) -> DataFrame:
+        """Fetch a dataset (reference: ``get sdfsname local``)."""
+        if not self.exists(name):
+            raise FileNotFoundError(f"sdfs file not found: {name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def delete(self, name: str) -> bool:
+        """Delete a dataset (reference: ``delete sdfsname``)."""
+        p = self._path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            return True
+        return False
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    # -- namespace ops (ls / store / global) ----------------------------
+    def ls(self, name: str) -> list[str]:
+        """Part-file locations of one dataset (reference ``ls`` shows
+        replica VMs; here: the distributed part files)."""
+        p = self._path(name)
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            os.path.join(p, f) for f in os.listdir(p)
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+
+    def store(self) -> list[str]:
+        """All dataset names in this warehouse (reference ``store``)."""
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def global_(self) -> dict[str, int]:
+        """Namespace-wide view: name → part-file count (reference ``global``)."""
+        return {name: len(self.ls(name)) for name in self.store()}

@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from grapefruit_spark.maplejuice import (
+    MapleJuicePipeline,
+    juice,
+    juice_agg,
+    maple,
+    maple_expr,
+)
+from grapefruit_spark.operators import mapreduce_apps
+from grapefruit_spark.sdfs import Sdfs
+
+from .conftest import SF_DIR
+from .util import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(mapreduce_apps.ORACLE))
+def test_app_matches_oracle(spark, duck, name):
+    sdf = mapreduce_apps.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(sdf, duck, mapreduce_apps.ORACLE[name])
+
+
+@pytest.mark.parametrize("shuffle", ["hash", "range"])
+def test_maple_juice_generic(spark, shuffle):
+    df = spark.createDataFrame(
+        [("a b a",), ("b c",), ("a",)], ["text"]
+    )
+
+    def m(pdf: pd.DataFrame) -> pd.DataFrame:
+        words = pdf["text"].str.split().explode()
+        return pd.DataFrame({"key": words, "value": 1})
+
+    def j(key, grp):
+        return pd.DataFrame({"word": [key], "cnt": [int(grp["value"].sum())]})
+
+    kv = maple(df, m, "key string, value int", num_maples=3)
+    out = juice(kv, j, "word string, cnt bigint", shuffle=shuffle, num_juices=2)
+    got = {r["word"]: r["cnt"] for r in out.collect()}
+    assert got == {"a": 3, "b": 2, "c": 1}
+
+
+def test_declarative_fast_path(spark):
+    df = spark.range(100)
+    kv = maple_expr(df, key=(F.col("id") % 3), value=F.col("id"))
+    out = juice_agg(kv, F.sum("value").alias("total"))
+    got = {r["key"]: r["total"] for r in out.collect()}
+    assert got[0] == sum(i for i in range(100) if i % 3 == 0)
+    # declarative path stays in codegen — no Python evaluation in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pipeline_chaining(spark):
+    df = spark.createDataFrame([("x y",), ("y",)], ["text"])
+
+    def m(pdf):
+        w = pdf["text"].str.split().explode()
+        return pd.DataFrame({"key": w, "value": 1})
+
+    def j(key, grp):
+        return pd.DataFrame({"key": [key], "value": [int(grp["value"].sum())]})
+
+    out = (
+        MapleJuicePipeline(df)
+        .maple(m, "key string, value int")
+        .juice(j, "key string, value int")
+        # second stage: filter keys seen ≥ 1 time, re-reduce (chaining)
+        .juice(j, "key string, value int", shuffle="range")
+        .done()
+    )
+    got = {r["key"]: r["value"] for r in out.collect()}
+    assert got == {"x": 1, "y": 2}
+
+
+def test_juice_rejects_bad_shuffle(spark):
+    df = spark.createDataFrame([("a", 1)], ["key", "value"])
+    with pytest.raises(ValueError, match="shuffle"):
+        juice(df, lambda k, g: None, "key string", shuffle="zigzag")
+
+
+def test_sdfs_roundtrip(spark, tmp_path):
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    fs.put(df, "numbers")
+    assert fs.exists("numbers")
+    assert fs.store() == ["numbers"]
+    assert len(fs.ls("numbers")) >= 1
+    got = fs.get("numbers")
+    assert got.count() == 10
+    assert fs.global_()["numbers"] == len(fs.ls("numbers"))
+    assert fs.delete("numbers") is True
+    assert fs.store() == []
+    with pytest.raises(FileNotFoundError):
+        fs.get("numbers")
+    with pytest.raises(ValueError):
+        fs.put(df, "../escape")
+
+
+def test_sdfs_partitioned_put(spark, tmp_path):
+    fs = Sdfs(spark, str(tmp_path / "wh2"))
+    df = spark.range(20).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    fs.put(df, "bucketed", partition_by=["bucket"])
+    got = fs.get("bucketed").where(F.col("bucket") == 1)
+    assert got.count() == 10
