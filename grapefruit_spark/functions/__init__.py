@@ -54,8 +54,9 @@ def md5_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-# Mersenne prime for the (a*h + b) mod p permutation family.
-MINHASH_P = (1 << 61) - 1
+# Mersenne prime for the (a*h + b) mod p permutation family. 31-bit so
+# a*h stays under 2^62 — no int64 overflow (Spark ANSI mode throws on it).
+MINHASH_P = (1 << 31) - 1
 
 
 def minhash_signature(grams: Column, num_perm: int, seed: int = 42) -> Column:
@@ -67,13 +68,16 @@ def minhash_signature(grams: Column, num_perm: int, seed: int = 42) -> Column:
     Empty gram arrays yield a sentinel signature of all MINHASH_P.
     """
     base = F.transform(grams, lambda g: F.abs(F.xxhash64(g, F.lit(seed))) % F.lit(MINHASH_P))
+
+    def _perm_fn(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
     sig = []
     for i in range(num_perm):
         # deterministic odd multiplier / offset per permutation
         a = (hash_param(seed, 2 * i) | 1) % MINHASH_P
         b = hash_param(seed, 2 * i + 1) % MINHASH_P
-        perm = F.transform(base, lambda h, a=a, b=b: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
-        sig.append(F.coalesce(F.array_min(perm), F.lit(MINHASH_P)))
+        sig.append(F.coalesce(F.array_min(F.transform(base, _perm_fn(a, b))), F.lit(MINHASH_P)))
     return F.array(*sig)
 
 
@@ -83,7 +87,7 @@ def hash_param(seed: int, i: int) -> int:
     x ^= x >> 31
     x = (x * 0x94D049BB133111EB) & ((1 << 64) - 1)
     x ^= x >> 29
-    return x & ((1 << 61) - 1)
+    return x & ((1 << 31) - 1)
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:

@@ -30,7 +30,7 @@ def _modules():
     from . import relational
 
     mods = [relational]
-    for name in ("mapreduce_apps", "windows", "dedup", "similarity", "text"):
+    for name in ("mapreduce_apps", "windows", "dedup", "similarity", "text", "multimodal"):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:

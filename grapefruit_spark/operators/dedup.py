@@ -1,0 +1,268 @@
+"""Deduplication operators over documents (SURVEY §2 D1-D4).
+
+Exact dedup and n-gram Jaccard carry DuckDB oracles; MinHash-LSH and
+SimHash are sketch-based (our deterministic hash family) → rows-only gate
+plus planted-duplicate pytest coverage.
+
+Scale shape: every variant is candidate-generation (cheap, bucketed,
+uniform shuffle keys) → exact verify (only on candidates). No cross join,
+no driver collect; LSH band keys are prefixed with the band index so one
+hot bucket value can't skew a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import (
+    band_keys,
+    md5_fingerprint,
+    minhash_signature,
+    normalize_text,
+    word_ngrams,
+    ws_tokens,
+)
+
+ORACLE: dict[str, str] = {}
+
+SHINGLE_N = 3
+NUM_PERM = 64
+LSH_BANDS = 16
+LSH_ROWS = 4  # bands * rows == num_perm
+MINHASH_TAU = 0.5
+JACCARD_TAU = 0.08
+
+_DUCK_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+# ------------------------------------------------------------------ D1
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5(normalized text) → group size + keeper id.
+
+    The canonical 100 TB shape: one hash-shuffle on a 16-byte key; the
+    keeper (min doc_id) replaces the reference pattern of rewriting one
+    retained file per SDFS key-group.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", md5_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+ORACLE["dedup_exact"] = f"""
+SELECT md5({_DUCK_NORM}) AS fp,
+       count(*)          AS n_docs,
+       min(doc_id)       AS keep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ D4
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            word_ngrams(ws_tokens(normalize_text(F.col("text"))), SHINGLE_N)
+        ).alias("grams"),
+    )
+
+
+_DUCK_SHINGLES = f"""
+    SELECT doc_id,
+           list_distinct([
+               array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')
+               FOR i IN range(1, len(toks) - {SHINGLE_N - 2})
+           ]) AS grams
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex({_DUCK_NORM}, '\\s+'), t -> length(t) > 0) AS toks
+        FROM documents
+    )
+    WHERE len(toks) >= {SHINGLE_N}
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the verify-stage primitive).
+
+    Inverted-index self-join on shingle (never a cross join): pairs only
+    materialize for docs sharing ≥1 shingle, then J = |∩| / |∪| ≥ τ.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("grams").alias("n_grams")).where(F.col("n_grams") > 0)
+    posting = sh.select("doc_id", F.explode("grams").alias("gram"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+ORACLE["ngram_jaccard_pairs"] = f"""
+WITH shingles AS ({_DUCK_SHINGLES}),
+posting AS (
+    SELECT doc_id, unnest(grams) AS gram FROM shingles
+),
+sizes AS (
+    SELECT doc_id, len(grams) AS n_grams FROM shingles WHERE len(grams) > 0
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM posting a JOIN posting b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= {JACCARD_TAU}
+"""
+
+
+# ------------------------------------------------------------------ D2
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + MinHash signature over word shingles (JVM-side, no UDF)."""
+    return docs.select(
+        "doc_id",
+        minhash_signature(
+            F.array_distinct(word_ngrams(ws_tokens(normalize_text(F.col("text"))), SHINGLE_N)),
+            NUM_PERM,
+        ).alias("sig"),
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs (the 100 TB dedup path).
+
+    shingle → 64-perm signature → 16×4 band buckets → bucket self-join →
+    signature-similarity verify ≥ τ. Candidate generation touches only
+    (doc, band) rows — O(n·bands) shuffle, versus O(pairs) for the exact
+    variant. rows-only gate (hash family is ours); recall covered by
+    planted-duplicate tests against ngram_jaccard_pairs.
+    """
+    sigs = minhash_signatures(table(spark, sf_dir, "documents"))
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(NUM_PERM)),
+        6,
+    )
+    return (
+        cands.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= MINHASH_TAU)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ------------------------------------------------------------------ D3
+SIMHASH_BITS = 56
+SIMHASH_BANDS = 4
+SIMHASH_HAMMING = 3
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """56-bit SimHash per doc from token-frequency-weighted bit votes.
+
+    explode → one groupBy(doc) with 56 conditional sums — all codegen;
+    56 bits keeps every shiftleft inside a signed 64-bit long.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(normalize_text(F.col("text")))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×14-bit band blocking, then exact hamming
+    ≤ 3 verify via bit_count(xor). rows-only gate + planted-dup tests."""
+    sigs = simhash_signatures(table(spark, sf_dir, "documents"))
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_width) - 1
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftright("simhash", i * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= SIMHASH_HAMMING)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+}

@@ -1,0 +1,220 @@
+"""Similarity search over embeddings (SURVEY §2 D5-D6).
+
+Brute-force cosine top-k is the oracle-able baseline (DuckDB
+list_cosine_similarity over DOUBLE[]); the LSH-bucketed variant is the
+100 TB path (candidates per bucket, no all-pairs shuffle) and a
+two-stage partition-local top-k keeps the merge tiny.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions import cosine_similarity
+
+ORACLE: dict[str, str] = {}
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 10
+
+
+# ------------------------------------------------------------------ D5
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Query set broadcast against the corpus → the join is shuffle-free;
+    ranking shuffles only (query × corpus) scored pairs. cos rounded to
+    6 dp BEFORE ranking so Spark and the oracle rank identically.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    scored = (
+        c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+ORACLE["knn_bruteforce"] = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM q JOIN embeddings e ON e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def knn_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path exact top-k: numpy per-partition top-k, then a global
+    merge over only partitions×Q×k finalists — replaces the full-corpus
+    ranking shuffle of knn_bruteforce with an O(P·Q·k) one.
+
+    Same result contract as knn_bruteforce (pytest asserts equality);
+    rows-only at the driver gate (the oracle already covers D5 semantics).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq = spark.sparkContext.broadcast(q_norm)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = bq.value @ mat.T  # (Q, n)
+            for qi, qid in enumerate(bq_ids.value):
+                row = sims[qi]
+                keep = ids != qid
+                cand_ids, cand_sims = ids[keep], row[keep]
+                if not len(cand_ids):
+                    continue
+                # keep 2k finalists so post-rounding ties can't drop a
+                # neighbor the global (rounded, id) sort would have kept
+                top = np.argsort(-cand_sims, kind="stable")[: 2 * TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[top],
+                        "cos_sim": np.round(cand_sims[top], 6),
+                    }
+                )
+
+    local = emb.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ------------------------------------------------------------------ D6
+LSH_PLANES = 12
+LSH_SEED = 42
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(LSH_SEED)
+    return rng.standard_normal((LSH_PLANES, dim))
+
+
+def _bucket_col(vec: F.Column, planes: np.ndarray) -> F.Column:
+    """Sign-bit bucket id from fixed random hyperplanes — all codegen:
+    one zip_with dot product per plane over literal coefficient arrays."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        coeffs = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH with hamming-1 multiprobe.
+
+    Corpus rows hash to ONE bucket (linear scan cost, uniform shuffle
+    key); query rows probe their bucket plus all 1-bit flips. Exact
+    cosine only on in-bucket candidates. rows-only gate; recall vs
+    brute force asserted in pytest.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = _hyperplanes(dim)
+
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        _bucket_col(F.col("embedding"), planes).alias("bucket"),
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        _bucket_col(F.col("embedding"), planes).alias("qbucket"),
+    )
+    probes = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(F.col("qbucket"), *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_PLANES)])
+        ).alias("bucket"),
+    )
+    scored = (
+        corpus.join(broadcast(probes), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup flavor of D5):
+    all pairs with cos ≥ τ, via the same double-precision path as the
+    oracle. Threshold keeps the pair set tiny at any scale."""
+    tau = 0.45
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= tau)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+ORACLE["embedding_neardup"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "knn_topk_partitioned": knn_topk_partitioned,
+    "knn_lsh": knn_lsh,
+    "embedding_neardup": embedding_neardup,
+}

@@ -1,0 +1,191 @@
+"""Text-analysis operators over documents (SURVEY §2 D7-D10).
+
+Everything is built from deterministic, engine-portable primitives
+(regex, arithmetic, md5) so each query carries a DuckDB oracle — no
+transcendental functions whose libm rounding could differ between JVM
+and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import BPE_RE, md5_fingerprint, normalize_text, rolling_hash, ws_tokens
+
+ORACLE: dict[str, str] = {}
+
+# Tiny per-language stopword lists (alphabetical lang order = tie-break order).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "and", "is", "of"),
+    "es": ("el", "la", "los", "es", "y"),
+    "fr": ("le", "la", "les", "est", "et"),
+    "zh": ("de", "shi", "he", "zai", "le"),
+}
+
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0)"
+
+
+def _stop_hits(tokens, words: tuple[str, ...]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def _duck_hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+
+# ------------------------------------------------------------------ D7
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language ID: argmax of per-language token hits,
+    alphabetical tie-break, 'und' (undetermined) when no hits."""
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_stop_hits(toks, ws).alias(f"s_{lang}") for lang, ws in sorted(STOPWORDS.items())],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(STOPWORDS)])
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"s_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), best.cast("int").alias("n_hits")
+    )
+
+
+_hit_cols = ",\n           ".join(
+    f"{_duck_hits(ws)} AS s_{lang}" for lang, ws in sorted(STOPWORDS.items())
+)
+_best = f"greatest({', '.join('s_' + g for g in sorted(STOPWORDS))})"
+_pred_chain = " ".join(
+    f"WHEN s_{lang} = {_best} THEN '{lang}'" for lang in sorted(STOPWORDS)
+)
+ORACLE["lang_id"] = f"""
+WITH toks_t AS (
+    SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents
+),
+scored AS (
+    SELECT doc_id, lang,
+           {_hit_cols}
+    FROM toks_t
+)
+SELECT doc_id, lang,
+       CASE WHEN {_best} = 0 THEN 'und' {_pred_chain} END AS pred_lang,
+       {_best}::INT AS n_hits
+FROM scored
+"""
+
+
+# ------------------------------------------------------------------ D8
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, mean token length,
+    punctuation density, stopword ratio → linear [0,1] score.
+
+    Pure rational arithmetic → bit-identical across engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n_tok = F.size(toks)
+    char_len = F.length("text")
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    en_hits = _stop_hits(ws_tokens(F.lower(F.col("text"))), STOPWORDS["en"])
+    punct_ratio = punct / F.greatest(char_len, F.lit(1))
+    stop_ratio = en_hits / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(4.0) * stop_ratio, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(char_len / F.greatest(n_tok, F.lit(1)), 4).alias("avg_token_span"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+ORACLE["doc_quality"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)) AS n_tok,
+           length(text) AS char_len,
+           length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+           (SELECT {_duck_hits(STOPWORDS['en'])} FROM (SELECT {_DUCK_TOKENS} AS toks)) AS en_hits
+    FROM documents
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       round(char_len / greatest(n_tok, 1), 4) AS avg_token_span,
+       round(punct / greatest(char_len, 1), 6) AS punct_ratio,
+       round(en_hits / greatest(n_tok, 1), 6)  AS stop_ratio,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+           + 0.3 * (1.0 - punct / greatest(char_len, 1))
+           + 0.3 * least(4.0 * en_hits / greatest(n_tok, 1), 1.0), 6) AS quality_score
+FROM base
+"""
+
+
+# ------------------------------------------------------------------ D9
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0))).alias("bpe_tokens"),
+    )
+
+
+ORACLE["token_count"] = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0))::INT AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_RE}'))::INT AS bpe_tokens
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ D10
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint over normalized text + normalized length.
+
+    The rolling-hash prefix variant lives in functions.rolling_hash
+    (engine-specific → unit-tested, not oracled).
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("fp"),
+        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+    )
+
+
+ORACLE["doc_fingerprint"] = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))::INT AS norm_len
+FROM documents
+"""
+
+
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash prefix fingerprint (rows-only: hash family is ours)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_hash(normalize_text(F.col("text"))).alias("rh16")
+    )
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "doc_quality": doc_quality,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_rolling_fingerprint": doc_rolling_fingerprint,
+}

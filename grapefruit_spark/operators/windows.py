@@ -1,0 +1,243 @@
+"""Events / time-series operators (SURVEY §2 block C, batch side).
+
+Tumbling windows, gap sessionization, as-of join, JSON prop extraction.
+The streaming twins (readStream + watermark) in grapefruit_spark.streaming
+reuse the same transform fns so batch/stream parity is testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+
+ORACLE: dict[str, str] = {}
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ------------------------------------------------------------------ C1
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """1-hour tumbling window per event_type (shared by batch + stream).
+
+    F.window keeps the agg streaming-compatible; batch Catalyst compiles
+    it to the same partial-agg + single shuffle as date_trunc.
+    """
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(table(spark, sf_dir, "events"))
+
+
+ORACLE["events_tumbling"] = f"""
+SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*)                 AS n_events,
+       round(sum(value), 2)     AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ C2
+GAP_MINUTES = 30
+
+
+def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """Gap-based sessionization: a >gap pause starts a new session.
+
+    Classic lag + cumulative-sum-of-breaks — one shuffle on user_id, all
+    window work stays in that partitioning (both windows share the key).
+    """
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    # exact integer microsecond math — no float boundary flips vs the oracle
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    with_break = events.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    )
+    sessioned = with_break.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(table(spark, sf_dir, "events"))
+
+
+ORACLE["events_sessionize"] = f"""
+WITH marked AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_MINUTES * 60 * 1000000}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id,
+       count(*)                                   AS n_events,
+       strftime(min(ts), '{_TS_FMT_DUCK}')        AS session_start,
+       strftime(max(ts), '{_TS_FMT_DUCK}')        AS session_end,
+       round(sum(value), 2)                       AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------------------------ C3
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+) -> DataFrame:
+    """Distributed as-of join (most recent right row with time ≤ left time).
+
+    Union + last-non-null window — ONE shuffle on the key, no join
+    explosion: the scalable shape of pandas.merge_asof. Right rows sort
+    before left rows at equal times (inclusive match); ties inside the
+    right side resolve to the greatest (time, payload) row via the sort.
+    Payload travels as a struct so all matched columns come from the SAME
+    right row.
+    """
+    lt = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*[right[c] for c in payload]).alias("s")).schema["s"].dataType
+        ).alias("_rpay"),
+    )
+    rt = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        F.struct(*[right[c] for c in payload]).alias("_rpay"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_left").asc(), F.col("_rpay").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        lt.unionByName(rt)
+        .withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+        .where(F.col("_is_left") == 1)
+        .select("_lrow.*", "_match.*")
+    )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event matched to the user's most recent order at event time."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev, orders,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload=["o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+ORACLE["events_asof_join"] = f"""
+WITH dedup AS (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC, o_totalprice DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '{_TS_FMT_DUCK}')          AS ts,
+       o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d')       AS orderdate,
+       round(o.o_totalprice, 2)                  AS o_totalprice
+FROM events e
+ASOF LEFT JOIN dedup o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+# ------------------------------------------------------------------ C-extra
+def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction + agg (semi-structured path: props is a JSON
+    string column, '$.k' extracted JVM-side — no Python)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE["events_props_agg"] = """
+SELECT event_type,
+       round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+       sum(CASE WHEN CAST(props->>'$.k' AS INT) IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "events_tumbling": events_tumbling,
+    "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
+    "events_props_agg": events_props_agg,
+}

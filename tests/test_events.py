@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grapefruit_spark.operators import windows
+
+from .conftest import SF_DIR
+from .util import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(windows.ORACLE))
+def test_matches_duckdb_oracle(spark, duck, name):
+    assert_matches_oracle(windows.QUERIES[name](spark, SF_DIR), duck, windows.ORACLE[name])
+
+
+def test_sessionize_gap_semantics(spark):
+    """Hand-built stream: 3 events 10 min apart, then a 2 h gap."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 7, "view", 1.0, "{}"),
+        (3, "2024-01-01 00:20:00", 7, "click", 1.0, "{}"),
+        (4, "2024-01-01 02:20:00", 7, "view", 1.0, "{}"),
+        (5, "2024-01-01 00:05:00", 8, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["user_id"], r["session_id"]): r["n_events"] for r in windows.sessionize(df).collect()}
+    assert out == {(7, 1): 3, (7, 2): 1, (8, 1): 1}
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    ev = spark.createDataFrame(
+        [(1, 10, "2024-06-01 12:00:00"), (2, 10, "2024-06-03 00:00:00"), (3, 11, "2024-06-01 00:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    orders = spark.createDataFrame(
+        [
+            (10, "2024-06-01 00:00:00", 100, 10.0),
+            (10, "2024-06-02 00:00:00", 200, 20.0),
+            (10, "2024-06-09 00:00:00", 300, 30.0),
+        ],
+        "o_custkey long, o_orderdate string, o_orderkey long, o_totalprice double",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    out = windows.asof_join(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        payload=["o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    got = {r["event_id"]: r["o_orderkey"] for r in out.collect()}
+    assert got == {1: 100, 2: 200, 3: None}  # user 11 has no order → null

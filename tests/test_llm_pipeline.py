@@ -1,0 +1,137 @@
+"""Tests for the LLM-data-pipeline blocks: text analysis, dedup,
+similarity, multimodal. Sketch operators (minhash/simhash/LSH) are
+validated with planted near-duplicates; oracle-backed ones against DuckDB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grapefruit_spark.operators import dedup, multimodal, similarity, text
+
+from .conftest import SF_DIR
+from .util import assert_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "mod,name",
+    [(text, n) for n in sorted(text.ORACLE)]
+    + [(dedup, n) for n in sorted(dedup.ORACLE)]
+    + [(similarity, n) for n in sorted(similarity.ORACLE)],
+)
+def test_matches_duckdb_oracle(spark, duck, mod, name):
+    assert_matches_oracle(mod.QUERIES[name](spark, SF_DIR), duck, mod.ORACLE[name])
+
+
+# ---------------------------------------------------------------- planted dups
+def _docs_with_dups(spark):
+    """documents plus planted near-duplicates of docs 0-2 (one word edited)
+    and an exact duplicate of doc 3."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.where(F.col("doc_id") < 4).collect()
+    edited = []
+    for i, r in enumerate(base[:3]):
+        words = r["text"].split()
+        words[len(words) // 2] = "zzedited"
+        edited.append((10_000 + r["doc_id"], " ".join(words), r["lang"], r["source"], r["n_chars"]))
+    exact = base[3]
+    edited.append((10_003, exact["text"], exact["lang"], exact["source"], exact["n_chars"]))
+    extra = spark.createDataFrame(edited, docs.schema)
+    return docs.unionByName(extra)
+
+
+@pytest.fixture(scope="module")
+def dup_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("dupdata")
+    _docs_with_dups(spark).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_dedup_exact_finds_planted(spark, dup_dir):
+    groups = dedup.dedup_exact(spark, dup_dir).where(F.col("n_docs") > 1).collect()
+    assert any(r["keep_doc_id"] == 3 and r["n_docs"] == 2 for r in groups)
+
+
+def test_minhash_finds_planted_neardups(spark, dup_dir):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_minhash(spark, dup_dir).collect()}
+    for orig in (0, 1, 2):
+        assert (orig, 10_000 + orig) in pairs, f"missed near-dup of doc {orig}"
+    assert (3, 10_003) in pairs  # exact dup → identical signatures
+
+
+def test_simhash_finds_planted_neardups(spark, dup_dir):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_simhash(spark, dup_dir).collect()}
+    assert (3, 10_003) in pairs  # hamming 0
+    hits = sum((o, 10_000 + o) in pairs for o in (0, 1, 2))
+    assert hits >= 2  # one-word edit should rarely flip >3 of 56 bits
+
+
+def test_minhash_est_tracks_true_jaccard(spark, dup_dir):
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.dedup_minhash(spark, dup_dir).collect()
+    }
+    true = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(spark, dup_dir).collect()
+    }
+    both = set(est) & set(true)
+    assert both
+    for k in both:
+        assert abs(est[k] - true[k]) < 0.35  # 64 perms → sd ≈ 0.06, generous bound
+
+
+# ---------------------------------------------------------------- similarity
+def test_partitioned_topk_equals_bruteforce(spark):
+    bf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.knn_bruteforce(spark, SF_DIR).collect()
+    }
+    part = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.knn_topk_partitioned(spark, SF_DIR).collect()
+    }
+    assert bf == part
+
+
+def test_lsh_retrieves_planted_neighbor(spark, tmp_path):
+    """A planted almost-identical vector must land in the same bucket and
+    rank first for its query."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    first = emb.orderBy("vec_id").first()
+    near = [float(x) + 0.001 for x in first["embedding"]]
+    extra = spark.createDataFrame([(90_000, near, first["label"])], emb.schema)
+    d = tmp_path / "emb"
+    emb.unionByName(extra).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    out = similarity.knn_lsh(spark, str(d)).where(F.col("query_id") == first["vec_id"]).collect()
+    top = min(out, key=lambda r: r["rank"])
+    assert top["neighbor_id"] == 90_000 and top["cos_sim"] > 0.999
+
+
+# ---------------------------------------------------------------- multimodal
+def test_multimodal_pipeline_shape(spark):
+    feats = multimodal.extract_features(multimodal.synthesize_media(spark, SF_DIR))
+    rows = feats.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r["kind"] in ("image", "audio", "video")
+        assert len(r["feat"]) == 8 and all(0.0 <= x <= 1.0 for x in r["feat"])
+        assert r["checksum"] >= 0 and r["width"] >= 16 and r["height"] >= 16
+
+
+def test_multimodal_decode_is_deterministic():
+    a = multimodal.decode_stub(b"payload", "image")
+    b = multimodal.decode_stub(b"payload", "image")
+    assert a == b
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"x", "image")
+
+
+def test_multimodal_summary(spark):
+    rows = multimodal.multimodal_features(spark, SF_DIR).collect()
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    assert all(r["total_bytes"] > 0 for r in rows)
