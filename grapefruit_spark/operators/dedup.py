@@ -19,7 +19,6 @@ from ..catalog import table
 from ..functions import (
     band_keys,
     md5_fingerprint,
-    minhash_signature,
     normalize_text,
     word_ngrams,
     ws_tokens,
@@ -143,13 +142,36 @@ WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= {JACCARD_TAU}
 
 
 # ------------------------------------------------------------------ D2
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + MinHash signature over word shingles (JVM-side, no UDF)."""
-    return docs.select(
+def minhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
+    """doc_id + MinHash signature over word shingles (JVM-side, no UDF).
+
+    Shape matters: explode shingles once, hash each ONCE, then take the
+    64 permutation minima as groupBy aggregates. (A pure column-expression
+    formulation inlines the shingle pipeline into all 64 permutations —
+    Catalyst's projection collapse recomputes regex+ngrams 64× per row,
+    ~300× slower at sf0.1.) The shuffle carries only partial minima per
+    doc thanks to map-side combine.
+    """
+    from ..functions import MINHASH_P, hash_param
+
+    grams = F.array_distinct(word_ngrams(ws_tokens(normalize_text(F.col("text"))), SHINGLE_N))
+    exploded = docs.select("doc_id", F.explode_outer(grams).alias("g")).select(
         "doc_id",
-        minhash_signature(
-            F.array_distinct(word_ngrams(ws_tokens(normalize_text(F.col("text"))), SHINGLE_N)),
-            NUM_PERM,
+        F.when(
+            F.col("g").isNotNull(), F.abs(F.xxhash64("g", F.lit(seed))) % F.lit(MINHASH_P)
+        ).alias("h"),
+    )
+    h = F.col("h")
+    mins = []
+    for i in range(NUM_PERM):
+        a = (hash_param(seed, 2 * i) | 1) % MINHASH_P
+        b = hash_param(seed, 2 * i + 1) % MINHASH_P
+        mins.append(F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}"))
+    sig = exploded.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id",
+        F.array(
+            *[F.coalesce(F.col(f"s{i}"), F.lit(MINHASH_P)) for i in range(NUM_PERM)]
         ).alias("sig"),
     )
 

@@ -1,0 +1,64 @@
+"""Unified batch sources/sinks (SURVEY §2 block E).
+
+The reference moves whole files through SDFS (put/get); the Spark-native
+equivalent is format-aware datasets with schema, partitioning, and
+pushdown. parquet is the primary format; csv/json/text cover the
+reference's line-oriented inputs (maple exes consumed text lines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMATS = ("parquet", "csv", "json", "text")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    if fmt not in FORMATS:
+        raise ValueError(f"format must be one of {FORMATS}, got {fmt!r}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return reader.options(**options).load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    dynamic_overwrite: bool = False,
+    **options: str,
+) -> None:
+    """Write a dataset; ``partition_by`` lays out hive-style directories so
+    downstream scans get partition pruning; ``dynamic_overwrite`` replaces
+    only the partitions present in ``df`` (the idempotent-backfill mode a
+    100 TB pipeline needs)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"format must be one of {FORMATS}, got {fmt!r}")
+    spark = df.sparkSession
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if dynamic_overwrite:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            writer.save(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        writer.save(path)

@@ -1,0 +1,95 @@
+"""Streaming twins of the batch events operators.
+
+The batch transforms (windows.tumbling_agg) are reused verbatim on a
+readStream DataFrame — same Catalyst plan shape, plus watermark-bounded
+state. At cluster scale the file source becomes Kafka; everything
+downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: on-disk schema of events.parquet (ts is TIMESTAMP(NANOS) → long under
+#: spark.sql.legacy.parquet.nanosAsLong)
+EVENTS_DISK_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (one file per microbatch
+    discovery; glob keeps it to the events file)."""
+    raw = (
+        spark.readStream.schema(EVENTS_DISK_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked streaming version of windows.tumbling_agg.
+
+    The watermark bounds window state: at 100 TB/day ingest, state holds
+    only windows younger than the watermark horizon instead of growing
+    unboundedly.
+    """
+    from ..operators.windows import tumbling_agg
+
+    return tumbling_agg(read_event_stream(spark, sf_dir).withWatermark("ts", watermark))
+
+
+_SESSION_STATE_SCHEMA = "n bigint, total double"
+_SESSION_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def _session_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Running per-user aggregate via explicit GroupState (the
+    applyInPandasWithState custom-stateful-operator surface, C5)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op: per-user running counts with
+    applyInPandasWithState. State is per-key and partition-local — scales
+    linearly with distinct users, not events."""
+    ev = read_event_stream(spark, sf_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _session_update,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drain a bounded stream into an in-memory table (availableNow) and
+    return the result as a batch DataFrame — the batch/stream parity
+    harness used by tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grapefruit_spark.operators.windows import tumbling_agg
+from grapefruit_spark.sources import read_any, write_any
+from grapefruit_spark.streaming import (
+    read_event_stream,
+    stream_sessionize_stateful,
+    stream_tumbling,
+)
+from grapefruit_spark.streaming.events import run_to_memory
+
+from .conftest import SF_DIR
+
+
+# ---------------------------------------------------------------- streaming
+def test_stream_tumbling_matches_batch(spark):
+    """Bounded stream through the SAME transform == batch result
+    (complete mode emits every window)."""
+    from grapefruit_spark.catalog import table
+
+    stream_out = run_to_memory(
+        stream_tumbling(spark, SF_DIR), "t_tumbling", output_mode="complete"
+    )
+    batch_out = tumbling_agg(table(spark, SF_DIR, "events"))
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch_out.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_stateful_running_counts(spark):
+    """applyInPandasWithState final per-user counts == batch groupBy."""
+    from grapefruit_spark.catalog import table
+
+    out = run_to_memory(
+        stream_sessionize_stateful(spark, SF_DIR), "t_stateful", output_mode="update"
+    )
+    # update mode may emit a row per microbatch per user; keep the last (max n)
+    final = (
+        out.groupBy("user_id").agg(F.max("n_events").alias("n_events")).collect()
+    )
+    got = {r["user_id"]: r["n_events"] for r in final}
+    want = {
+        r["user_id"]: r["n"]
+        for r in table(spark, SF_DIR, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_stream_source_schema(spark):
+    s = read_event_stream(spark, SF_DIR)
+    assert s.isStreaming
+    assert dict(s.dtypes)["ts"] == "timestamp"
+
+
+# ---------------------------------------------------------------- sources
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_roundtrip_formats(spark, tmp_path, fmt):
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    path = str(tmp_path / f"ds_{fmt}")
+    write_any(df, path, fmt=fmt)
+    back = read_any(spark, path, fmt=fmt, schema="id bigint, k bigint, v double")
+    assert back.count() == 50
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_text_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("hello",), ("world",)], ["value"])
+    path = str(tmp_path / "txt")
+    write_any(df, path, fmt="text")
+    assert {r["value"] for r in read_any(spark, path, fmt="text").collect()} == {"hello", "world"}
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("part"))
+    path = str(tmp_path / "parts")
+    write_any(df, path, partition_by=["part"])
+    scan = read_any(spark, path).where(F.col("part") == 2)
+    assert scan.count() == 25
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # partition filter handled at scan, not as a post-filter
+    assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "dyn")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "part"])
+    write_any(base, path, partition_by=["part"])
+    patch = spark.createDataFrame([(99, "b")], ["id", "part"])
+    write_any(patch, path, partition_by=["part"], mode="overwrite", dynamic_overwrite=True)
+    got = {(r["id"], r["part"]) for r in read_any(spark, path).collect()}
+    assert got == {(1, "a"), (99, "b")}  # partition 'a' untouched
+
+
+def test_bad_format_rejected(spark, tmp_path):
+    with pytest.raises(ValueError):
+        read_any(spark, str(tmp_path), fmt="avro")
