@@ -1,0 +1,74 @@
+"""Plan-quality gates: pushdown, pruning, broadcast, no row-UDFs.
+
+These encode the 100 TB design contract — if a refactor turns a broadcast
+join into a shuffle join or drops a scan filter, these fail."""
+
+from __future__ import annotations
+
+import pytest
+
+from grapefruit_spark.operators import all_queries, relational, similarity, windows
+from grapefruit_spark.plans import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_filter_pushed,
+    assert_no_python_row_udf,
+)
+
+from .conftest import SF_DIR
+
+
+def test_q6_filters_reach_scan(spark):
+    df = relational.q6_forecast_revenue(spark, SF_DIR)
+    assert_filter_pushed(df, "l_shipdate")
+    assert_filter_pushed(df, "l_discount")
+    assert_filter_pushed(df, "l_quantity")
+    assert_column_pruned(df, "l_returnflag")
+    assert_column_pruned(df, "l_orderkey")
+
+
+def test_q1_prunes_unused_columns(spark):
+    df = relational.q1_pricing_summary(spark, SF_DIR)
+    assert_column_pruned(df, "l_orderkey")
+    assert_column_pruned(df, "l_partkey")
+
+
+@pytest.mark.parametrize(
+    "fn", [relational.q3_shipping_priority, relational.q5_local_supplier,
+           relational.q10_returned_items, relational.q14_promo_effect]
+)
+def test_dim_joins_broadcast(spark, fn):
+    assert_broadcast_join(fn(spark, SF_DIR))
+
+
+def test_grep_pushes_lang_filter(spark):
+    from grapefruit_spark.operators.mapreduce_apps import grep_filter
+
+    df = grep_filter(spark, SF_DIR)
+    assert_filter_pushed(df, "lang")
+
+
+def test_no_row_udfs_anywhere(spark):
+    """Every registered query plans without row-at-a-time Python UDFs."""
+    for name, fn in all_queries().items():
+        assert_no_python_row_udf(fn(spark, SF_DIR))
+
+
+def test_knn_bruteforce_broadcasts_queries(spark):
+    """Non-equi join against the tiny query set must broadcast (NLJ over a
+    broadcast side — the corpus never shuffles for scoring)."""
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(similarity.knn_bruteforce(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must not multiply rows: exactly one Exchange on the
+    key feeds the window, and no join operator appears at all."""
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(windows.events_asof_join(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(_k") == 1
