@@ -154,13 +154,34 @@ def minhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
     """
     from ..functions import MINHASH_P, hash_param
 
-    grams = F.array_distinct(word_ngrams(ws_tokens(normalize_text(F.col("text"))), SHINGLE_N))
-    exploded = docs.select("doc_id", F.explode_outer(grams).alias("g")).select(
+    # spread the CPU-bound shingle/hash stage across all cores — a single
+    # small parquet file otherwise scans (and shingles) in one task
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # shingle hashes without building gram strings: hash each token once,
+    # then fold SHINGLE_N consecutive 31-bit-reduced hashes arithmetically
+    # (string-concat shingling spent ~half the operator's time allocating)
+    toks = docs.select(
         "doc_id",
-        F.when(
-            F.col("g").isNotNull(), F.abs(F.xxhash64("g", F.lit(seed))) % F.lit(MINHASH_P)
-        ).alias("h"),
+        F.transform(
+            ws_tokens(normalize_text(F.col("text"))),
+            lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(MINHASH_P)),
+        ).alias("th"),
     )
+    mult = 1_000_003  # < 2^31, so acc*mult + h stays under 2^62 (ANSI-safe)
+
+    def _gram_at(i):
+        g = F.element_at(F.col("th"), i + 1)
+        for k in range(1, SHINGLE_N):
+            g = (g * F.lit(mult) + F.element_at(F.col("th"), i + 1 + k)) % F.lit(MINHASH_P)
+        return g
+
+    gram_hashes = F.when(
+        F.size("th") >= SHINGLE_N,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(0), F.size("th") - SHINGLE_N), _gram_at)
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = toks.select("doc_id", F.explode_outer(gram_hashes).alias("h"))
     h = F.col("h")
     mins = []
     for i in range(NUM_PERM):
@@ -187,26 +208,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sigs = minhash_signatures(table(spark, sf_dir, "documents"))
     banded = sigs.select(
-        "doc_id", "sig", F.explode(band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk")
+        "doc_id", F.explode(band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk")
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # candidate pairs carry only ids through the band join + distinct;
+    # the 64-long signatures rejoin afterwards (a doc colliding in k bands
+    # would otherwise drag k copies of both signatures through the shuffle)
     cands = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
         / F.lit(float(NUM_PERM)),
         6,
     )
     return (
-        cands.withColumn("est_jaccard", est)
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= MINHASH_TAU)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -224,6 +246,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     explode → one groupBy(doc) with 56 conditional sums — all codegen;
     56 bits keeps every shiftleft inside a signed 64-bit long.
     """
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = docs.select(
         "doc_id", F.explode(ws_tokens(normalize_text(F.col("text")))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
