@@ -30,7 +30,15 @@ def _modules():
     from . import relational
 
     mods = [relational]
-    for name in ("mapreduce_apps", "windows", "dedup", "similarity", "text", "multimodal"):
+    for name in (
+        "mapreduce_apps",
+        "windows",
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+        "analytics",
+    ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))
         except ImportError:

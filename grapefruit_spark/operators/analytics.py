@@ -1,0 +1,243 @@
+"""Second-wave analytics operators (SURVEY §2 block B extension): running
+windows, lead/lag deltas, percentiles, pivot, anti join, set ops, and the
+raw spark.sql surface. All oracle-backed."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register_views, table
+
+ORACLE: dict[str, str] = {}
+
+
+# ------------------------------------------------------------------ B13
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total + order sequence number.
+
+    One shuffle on the partition key; both window functions share it.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+    )
+
+
+ORACLE["running_total"] = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS order_seq,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ------------------------------------------------------------------ B14
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag analytics: days since a customer's previous order."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", prev).alias("gap_days"),
+    )
+
+
+ORACLE["order_gap_days"] = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate)::INT AS gap_days
+FROM orders
+"""
+
+
+# ------------------------------------------------------------------ B15
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order totals per priority.
+
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition; median/p90/p99 rounded to 4 dp.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+ORACLE["price_percentiles"] = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------------ B16
+_STATUSES = ("F", "O", "P")
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority (explicit column set →
+    single-pass conditional aggregation, no second job to discover keys)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _STATUSES],
+        )
+    )
+
+
+ORACLE["pivot_status"] = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS n_F,
+       count(*) FILTER (o_orderstatus = 'O') AS n_O,
+       count(*) FILTER (o_orderstatus = 'P') AS n_P
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------------ B17
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no URGENT order (left_anti — only the key
+    column of the filtered orders side crosses the shuffle)."""
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ORACLE["customers_without_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+# ------------------------------------------------------------------ B18
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations having high-balance BUILDING customers but
+    no high-balance MACHINERY ones (EXCEPT over distinct key sets)."""
+    cust = table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 8000)
+    b = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    m = cust.where(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey").distinct()
+    return b.exceptAll(m).select(F.col("c_nationkey").alias("nationkey"))
+
+
+ORACLE["segment_set_ops"] = """
+SELECT c_nationkey AS nationkey FROM customer
+WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000
+EXCEPT
+SELECT c_nationkey FROM customer
+WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 8000
+"""
+
+
+# ------------------------------------------------------------------ B19
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw SQL surface: register the catalog as views and run ANSI SQL
+    through spark.sql — proves a reference user can bring plain SQL."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(DISTINCT o_orderkey)                        AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'N'
+        GROUP BY n_name
+        """
+    )
+
+
+ORACLE["sql_revenue_by_nation"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey)                        AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'N'
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------------------ C7
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide) event counts.
+
+    Spark's window() emits each event into window_len/slide buckets; the
+    oracle reproduces that with the two half-hour-aligned window starts.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+ORACLE["events_sliding"] = """
+WITH starts AS (
+    SELECT ts, event_type,
+           unnest([
+               date_trunc('hour', ts - INTERVAL 30 MINUTE)
+                   + CASE WHEN extract(minute FROM ts - INTERVAL 30 MINUTE) >= 30
+                          THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+               date_trunc('hour', ts)
+                   + CASE WHEN extract(minute FROM ts) >= 30
+                          THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+           ]) AS window_start
+    FROM events
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "running_total": running_total,
+    "order_gap_days": order_gap_days,
+    "price_percentiles": price_percentiles,
+    "pivot_status": pivot_status,
+    "customers_without_orders": customers_without_orders,
+    "segment_set_ops": segment_set_ops,
+    "sql_revenue_by_nation": sql_revenue_by_nation,
+    "events_sliding": events_sliding,
+}
