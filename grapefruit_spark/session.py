@@ -30,6 +30,9 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # managed-table home for bucketed datasets (static conf; session-scoped
+    # in-memory catalog, parquet files live here)
+    "spark.sql.warehouse.dir": "/tmp/grapefruit_spark_warehouse",
     "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "true",
 }
 

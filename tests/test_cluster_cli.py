@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import json
+
+from grapefruit_spark import cli
+from grapefruit_spark.cluster import conf_dump, info, members
+
+
+def test_info_fields(spark):
+    n = info(spark)
+    assert n.app_id and n.master.startswith("local")
+    assert n.default_parallelism >= 1 and n.status == "ALIVE"
+    assert n.uptime_s >= 0
+
+
+def test_members_nonempty(spark):
+    m = members(spark)
+    assert len(m) >= 1
+    assert all(e["status"] == "ALIVE" for e in m)
+
+
+def test_conf_dump_reflects_engine(spark):
+    d = conf_dump(spark)
+    assert d["spark.sql.adaptive.enabled"] == "true"
+    assert d["spark.sql.session.timeZone"] == "UTC"
+
+
+def test_cli_namespace_roundtrip(spark, tmp_path, capsys):
+    src = tmp_path / "in.csv"
+    src.write_text("k,v\na,1\nb,2\n")
+    wh = str(tmp_path / "wh")
+    assert cli.main(["--warehouse", wh, "put", str(src), "t1", "--fmt", "csv"]) == 0
+    assert cli.main(["--warehouse", wh, "store"]) == 0
+    assert "t1" in capsys.readouterr().out
+    assert cli.main(["--warehouse", wh, "global"]) == 0
+    assert json.loads(capsys.readouterr().out)["t1"] >= 1
+    assert cli.main(["--warehouse", wh, "delete", "t1"]) == 0
+
+
+def test_cli_info_json(spark, capsys):
+    assert cli.main(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "ALIVE"
+
+
+def test_cli_demo_runs(spark, capsys):
+    assert cli.main(["demo", "q6_forecast_revenue"]) == 0
+    assert "revenue" in capsys.readouterr().out
