@@ -40,6 +40,11 @@ HEADLINE = [
     "token_count",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
+    "running_total",
+    "price_percentiles",
+    "events_sliding",
+    "dedup_clusters",
 ]
 
 

@@ -38,6 +38,7 @@ def _modules():
         "text",
         "multimodal",
         "analytics",
+        "graph",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

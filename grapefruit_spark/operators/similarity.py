@@ -188,6 +188,74 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+IVF_PROBES = 3
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization.
+
+    Deterministic centroid seeding (every ceil(n/IVF_CELLS)-th vector by
+    id — a data-driven stand-in for trained k-means centroids), one
+    broadcast assignment pass for the corpus, queries probe their
+    IVF_PROBES nearest cells. Versus LSH: cells adapt to the data
+    distribution, and probe count tunes the recall/cost curve directly.
+    rows-only gate; recall vs brute force in pytest.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    step = max(1, n // IVF_CELLS)
+    cent = emb.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < IVF_CELLS)).select(
+        (F.col("vec_id") / step).cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    bcent = broadcast(cent)
+    # corpus: assign to single nearest cell (min over (neg_cos, cell)
+    # structs — struct ordering gives argmax cosine with cell tie-break)
+    corpus_scored = emb.join(bcent).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.struct(
+            (-cosine_similarity(F.col("embedding"), F.col("centroid"))).alias("neg_cos"),
+            F.col("cell"),
+        ).alias("sc"),
+    )
+    corpus = (
+        corpus_scored.groupBy("neighbor_id")
+        .agg(F.min("sc").alias("best"), F.first("cvec").alias("cvec"))
+        .select("neighbor_id", "cvec", F.col("best.cell").alias("cell"))
+    )
+    # queries: probe IVF_PROBES nearest cells
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    q_scored = q.join(bcent).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.struct(
+            (-cosine_similarity(F.col("embedding"), F.col("centroid"))).alias("neg_cos"),
+            F.col("cell"),
+        ).alias("sc"),
+    )
+    probes = (
+        q_scored.groupBy("query_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("sc")), 1, IVF_PROBES).alias("cells"),
+            F.first("qvec").alias("qvec"),
+        )
+        .select("query_id", "qvec", F.explode(F.col("cells.cell")).alias("cell"))
+    )
+    scored = (
+        corpus.join(broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup flavor of D5):
     all pairs with cos ≥ τ, via the same double-precision path as the
@@ -216,5 +284,6 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_topk_partitioned": knn_topk_partitioned,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
     "embedding_neardup": embedding_neardup,
 }
