@@ -80,6 +80,49 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to the customer
+    dim. The static side broadcasts per microbatch — no stream state, the
+    canonical dimension-enrichment shape at any scale."""
+    from pyspark.sql.functions import broadcast
+
+    ev = read_event_stream(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    return ev.join(broadcast(cust), ev.user_id == cust.c_custkey, "left").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment"
+    )
+
+
+def run_file_sink(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Append-mode parquet sink with a checkpoint — exactly-once file
+    output; restarting with the same checkpoint resumes at the last
+    committed offset (no reprocessing, no duplicates)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch(stream_df: DataFrame, sink) -> None:
+    """foreachBatch escape hatch: hand each microbatch (a normal batch
+    DataFrame + epoch id) to arbitrary sink logic, e.g. an Sdfs upsert."""
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drain a bounded stream into an in-memory table (availableNow) and
     return the result as a batch DataFrame — the batch/stream parity

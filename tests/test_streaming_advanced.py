@@ -1,0 +1,90 @@
+"""Streaming depth: stream-static joins, checkpointed exactly-once
+recovery across restarts, foreachBatch custom sinks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from grapefruit_spark.streaming import (
+    run_file_sink,
+    run_foreach_batch,
+    stream_static_join,
+)
+from grapefruit_spark.streaming.events import EVENTS_DISK_SCHEMA
+
+from .conftest import SF_DIR
+
+
+def test_stream_static_join_matches_batch(spark):
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.streaming.events import run_to_memory
+
+    got = run_to_memory(stream_static_join(spark, SF_DIR), "t_enrich", "append")
+    ev = table(spark, SF_DIR, "events")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    want = ev.join(cust, ev.user_id == cust.c_custkey, "left").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment"
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def _write_chunk(spark, src_dir: str, id_offset: int, n: int) -> None:
+    df = spark.range(n).select(
+        (F.col("id") + id_offset).alias("event_id"),
+        (F.lit(1704067200000000000) + F.col("id") * 60_000_000_000).alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Two availableNow runs over an APPEND-growing source with one
+    checkpoint: run 2 must pick up only the new files — no dupes, no loss."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_chunk(spark, src, 0, 100)
+    stream = (
+        spark.readStream.schema(EVENTS_DISK_SCHEMA).parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    run_file_sink(stream, out, ckpt)
+    first = spark.read.parquet(out).count()
+    assert first == 100
+
+    _write_chunk(spark, src, 1000, 50)
+    stream2 = (
+        spark.readStream.schema(EVENTS_DISK_SCHEMA).parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    run_file_sink(stream2, out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == 150
+    assert final.select("event_id").distinct().count() == 150  # exactly once
+
+
+def test_foreach_batch_custom_sink(spark, tmp_path):
+    """foreachBatch feeding the Sdfs namespace (merge-style custom sink)."""
+    from grapefruit_spark.sdfs import Sdfs
+    from grapefruit_spark.streaming.events import read_event_stream
+
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+    seen_epochs: list[int] = []
+
+    def sink(batch_df, epoch_id: int) -> None:
+        seen_epochs.append(epoch_id)
+        agg = batch_df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        fs.put(agg, f"events_agg_{epoch_id}", mode="overwrite")
+
+    run_foreach_batch(read_event_stream(spark, SF_DIR), sink)
+    assert seen_epochs
+    total = sum(
+        r["n"]
+        for e in seen_epochs
+        for r in fs.get(f"events_agg_{e}").collect()
+    )
+    assert total == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
