@@ -39,6 +39,7 @@ def _modules():
         "multimodal",
         "analytics",
         "graph",
+        "pipeline",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

@@ -1,0 +1,128 @@
+"""Composed LLM-data-pipeline flows (SURVEY §2 D13/D14): the operators
+from text.py/dedup.py chained the way a real corpus-prep job runs them.
+Both oracle-backed — the whole composition is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .dedup import ORACLE as DEDUP_ORACLE  # noqa: F401  (kept adjacent for reference)
+from .text import doc_quality, lang_id
+
+ORACLE: dict[str, str] = {}
+
+QUALITY_TAU = 0.5
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning end-to-end: exact-dedup keepers ∩ quality ≥ τ ∩
+    confident lang-ID, emitting the surviving doc ids + metadata.
+
+    Composition stays one lazy plan: Catalyst pushes the doc_id joins
+    into each branch; nothing materializes between 'stages'. At 100 TB
+    the three branches share the documents scan (same pruned columns).
+    """
+    docs = table(spark, sf_dir, "documents")
+    from ..functions import md5_fingerprint
+
+    keepers = (
+        docs.select("doc_id", md5_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    quality = doc_quality(spark, sf_dir).where(F.col("quality_score") >= QUALITY_TAU).select(
+        "doc_id", "quality_score"
+    )
+    lang = lang_id(spark, sf_dir).where(F.col("pred_lang") != "und").select(
+        "doc_id", "pred_lang"
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(keepers, "doc_id")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+    )
+
+
+def _oracle_quality_cte() -> str:
+    from .text import ORACLE as TEXT_ORACLE
+
+    return TEXT_ORACLE["doc_quality"].strip()
+
+
+ORACLE["clean_corpus"] = f"""
+WITH q AS ({_oracle_quality_cte()}),
+keepers AS (
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+),
+lang_pred AS (
+    SELECT * FROM ({{LANG_SQL}})
+)
+SELECT d.doc_id, d.source, d.n_chars, q.quality_score, l.pred_lang
+FROM documents d
+JOIN keepers k ON d.doc_id = k.doc_id
+JOIN q ON d.doc_id = q.doc_id AND q.quality_score >= {QUALITY_TAU}
+JOIN lang_pred l ON d.doc_id = l.doc_id AND l.pred_lang != 'und'
+"""
+
+
+def _finalize_oracles() -> None:
+    from .text import ORACLE as TEXT_ORACLE
+
+    ORACLE["clean_corpus"] = ORACLE["clean_corpus"].replace(
+        "{LANG_SQL}", TEXT_ORACLE["lang_id"].strip()
+    )
+
+
+_finalize_oracles()
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus profile: doc count, token volume, vocab size, mean
+    doc length — the numbers a data curator checks before training."""
+    from ..functions import ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    return (
+        docs.select(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .crossJoin(
+            toks.agg(
+                F.count(F.lit(1)).alias("total_tokens"),
+                F.countDistinct("tok").alias("vocab_size"),
+            )
+        )
+        .crossJoin(per_doc.agg(F.round(F.avg("n_tok"), 4).alias("avg_tokens")))
+    )
+
+
+ORACLE["corpus_stats"] = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                      t -> length(t) > 0)) AS tok
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+)
+SELECT (SELECT count(*) FROM documents)                    AS n_docs,
+       (SELECT round(avg(n_chars), 4) FROM documents)      AS avg_chars,
+       (SELECT count(*) FROM toks)                         AS total_tokens,
+       (SELECT count(DISTINCT tok) FROM toks)              AS vocab_size,
+       (SELECT round(avg(n_tok), 4) FROM per_doc)          AS avg_tokens
+"""
+
+
+QUERIES = {"clean_corpus": clean_corpus, "corpus_stats": corpus_stats}

@@ -1,0 +1,36 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from grapefruit_spark.operators import pipeline
+
+from .conftest import SF_DIR
+from .util import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(pipeline.ORACLE))
+def test_matches_duckdb_oracle(spark, duck, name):
+    assert_matches_oracle(pipeline.QUERIES[name](spark, SF_DIR), duck, pipeline.ORACLE[name])
+
+
+def test_clean_corpus_filters_compose(spark):
+    out = pipeline.clean_corpus(spark, SF_DIR)
+    rows = out.collect()
+    assert rows
+    assert all(r["quality_score"] >= pipeline.QUALITY_TAU for r in rows)
+    assert all(r["pred_lang"] != "und" for r in rows)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) < n_docs  # it actually filtered something
+
+
+def test_corpus_stats_consistency(spark):
+    r = pipeline.corpus_stats(spark, SF_DIR).first()
+    assert r["vocab_size"] <= r["total_tokens"]
+    assert abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) < 0.01
+
+
+def test_clean_corpus_single_plan_no_python(spark):
+    from grapefruit_spark.plans import assert_no_python_row_udf
+
+    assert_no_python_row_udf(pipeline.clean_corpus(spark, SF_DIR))
