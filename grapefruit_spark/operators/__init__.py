@@ -31,6 +31,7 @@ def _modules():
 
     mods = [relational]
     for name in (
+        "relational_ext",
         "mapreduce_apps",
         "windows",
         "dedup",
