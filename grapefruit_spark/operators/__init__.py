@@ -41,6 +41,7 @@ def _modules():
         "analytics",
         "graph",
         "pipeline",
+        "datapipe",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

@@ -1,0 +1,243 @@
+"""Training-data pipeline plumbing (SURVEY §2 block D15-D19).
+
+The corpus-management layer of an LLM data pipeline: deterministic
+train/val/test splitting, stratified sampling, hash resharding, PII
+redaction, and repetition-based quality signals. These mirror the
+reference's file-level dataset management (SDFS put/partition,
+`/root/reference/src/main/java/edu/cs425/mp3/MapleJuice.java:677` hash
+partitioning of intermediate keys) re-expressed as content-hash
+row-level ops — on Spark the "files" are rows and the partitioner is a
+deterministic cross-engine hash.
+
+Determinism contract: every split/sample/shard decision derives from
+``md5(doc_id)`` — stable across engines, runs, partitionings, and
+cluster sizes (never ``rand()``, which breaks retry/recompute
+idempotence at scale: a re-executed task must re-derive identical
+output). The first 8 hex chars give a uniform uint32; thresholds are
+fractions of 2^32.
+
+Scale: all ops are single-scan, shuffle-free (split/sample/redact are
+narrow maps; shard counts shuffle only the 8-row shard aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+ORACLE: dict[str, str] = {}
+
+_U32 = 4294967296  # 2^32
+
+
+def _bucket(col):
+    """Deterministic uniform uint32 from a column (cross-engine: equals
+    DuckDB's ('0x' || substring(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def _duck_bucket(expr: str) -> str:
+    return f"('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+# ------------------------------------------------------------------ D15
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split of documents.
+
+    A narrow map — no shuffle, no rand(); membership is a pure function
+    of doc_id so any subset of the corpus re-derives the same split.
+    """
+    docs = table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    split = (
+        F.when(b < int(0.90 * _U32), "train")
+        .when(b < int(0.95 * _U32), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("split")
+    )
+
+
+ORACLE["split_train_val"] = f"""
+SELECT CASE WHEN {_duck_bucket('doc_id')} < {int(0.90 * _U32)} THEN 'train'
+            WHEN {_duck_bucket('doc_id')} < {int(0.95 * _U32)} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""
+
+
+# ------------------------------------------------------------------ D16
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% per-source stratified sample (doc list).
+
+    Hash-threshold sampling keeps the per-stratum rate exact in
+    expectation and reproducible exactly — unlike df.sample(), whose
+    output depends on partitioning. Returns the sampled doc ids so the
+    oracle verifies membership, not just counts.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.where(_bucket(F.col("doc_id")) < int(0.10 * _U32))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["sample_stratified"] = f"""
+SELECT doc_id, source, lang
+FROM documents
+WHERE {_duck_bucket('doc_id')} < {int(0.10 * _U32)}
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ D17
+def reshard_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-reshard the corpus into 8 balanced shards; returns per-shard
+    stats. This is the MapleJuice intermediate-file partitioner
+    (hash(key) % N) as a row-level op; ``write_shards`` below does the
+    actual partitioned write.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shard = (_bucket(F.col("doc_id")) % 8).alias("shard")
+    return (
+        docs.select(shard, "n_chars")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("shard")
+    )
+
+
+ORACLE["reshard_by_hash"] = f"""
+SELECT {_duck_bucket('doc_id')} % 8 AS shard,
+       count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+def write_shards(spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int = 8) -> None:
+    """Materialize the reshard: one directory per shard via partitioned
+    parquet write (repartition on the shard id so each output file is a
+    single shard's data — the writer does the final placement)."""
+    docs = table(spark, sf_dir, "documents")
+    shard = (_bucket(F.col("doc_id")) % n_shards).alias("shard")
+    (
+        docs.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+# ------------------------------------------------------------------ D18
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: mask emails/phone-shaped strings, report match counts.
+
+    Narrow map, JVM regex (no Python UDF). The synthetic corpus carries
+    no PII, so the oracle run verifies exact pass-through + zero counts;
+    tests/test_datapipe.py plants PII in an in-memory frame to verify
+    the masking itself.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return redact_text(docs).select(
+        "doc_id", "n_email", "n_phone", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+def redact_text(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Reusable redaction transform over any frame with a text column."""
+    c = F.col(col)
+    return (
+        docs.withColumn("n_email", F.regexp_count(c, F.lit(_EMAIL_RE)))
+        .withColumn("n_phone", F.regexp_count(c, F.lit(_PHONE_RE)))
+        .withColumn(
+            "clean_text",
+            F.regexp_replace(
+                F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+            ),
+        )
+    )
+
+
+ORACLE["pii_redact"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}'))::INT AS n_email,
+       len(regexp_extract_all(text, '{_PHONE_RE}'))::INT AS n_phone,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+FROM documents
+"""
+
+
+# ------------------------------------------------------------------ D19
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction and
+    top-bigram fraction per document.
+
+    Pure array expressions (split / array_distinct / transform /
+    aggregate) — whole-stage-codegen'd JVM work, no shuffle, no UDF.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    dup_frac = F.round(1.0 - F.size(F.array_distinct(words)) / nw, 6)
+    # bigram list = zip(words, words[1:]) joined with '\x01'
+    bigrams = F.expr(
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (w, i) -> concat(w, '\x01', element_at(split(text, ' '), i + 2)))"
+    )
+    # max count of any single bigram / total bigrams
+    top_bigram = F.expr(
+        "array_max(transform(array_distinct({bg}), b -> size(filter({bg}, x -> x = b))))".format(
+            bg="transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+            " (w, i) -> concat(w, '\x01', element_at(split(text, ' '), i + 2)))"
+        )
+    )
+    n_bigrams = F.size(bigrams)
+    top_frac = F.round(top_bigram / F.nullif(n_bigrams.cast("double"), F.lit(0.0)), 6)
+    return docs.select(
+        "doc_id",
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_bigram_frac"),
+    )
+
+
+ORACLE["quality_repetition"] = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), b AS (
+  SELECT doc_id, words,
+         [words[i] || chr(1) || words[i+1] FOR i IN range(1, len(words))] AS bigrams
+  FROM w
+)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(words)) / len(words), 6) AS dup_word_frac,
+       round(list_max([len(list_filter(bigrams, x -> x = bg)) FOR bg IN list_distinct(bigrams)])
+             / nullif(len(bigrams), 0)::DOUBLE, 6) AS top_bigram_frac
+FROM b
+"""
+
+
+QUERIES = {
+    "split_train_val": split_train_val,
+    "sample_stratified": sample_stratified,
+    "reshard_by_hash": reshard_by_hash,
+    "pii_redact": pii_redact,
+    "quality_repetition": quality_repetition,
+}

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import pytest
+
+from grapefruit_spark.operators import datapipe
+
+from .conftest import SF_DIR
+from .util import assert_matches_oracle
+
+ORACLE_QUERIES = sorted(datapipe.ORACLE)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_matches_duckdb_oracle(spark, duck, name):
+    sdf = datapipe.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(sdf, duck, datapipe.ORACLE[name])
+
+
+def test_redaction_masks_planted_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.org and 111.222.3333"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in datapipe.redact_text(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert rows[1]["clean_text"] == "contact <EMAIL> or <PHONE> today"
+    assert rows[2]["clean_text"] == "no pii here"
+    assert rows[3]["n_email"] == 2 and rows[3]["n_phone"] == 1
+    assert "<EMAIL> <EMAIL>" in rows[3]["clean_text"]
+
+
+def test_split_deterministic_and_disjoint(spark):
+    a = {r["split"]: r["n_docs"] for r in datapipe.split_train_val(spark, SF_DIR).collect()}
+    b = {r["split"]: r["n_docs"] for r in datapipe.split_train_val(spark, SF_DIR).collect()}
+    assert a == b
+    assert sum(a.values()) == 500  # sf0.001 documents
+    assert a["train"] > a["val"] and a["train"] > a["test"]
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    datapipe.write_shards(spark, SF_DIR, out, n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    shards = sorted(r["shard"] for r in back.select("shard").distinct().collect())
+    assert shards == [0, 1, 2, 3]
+    # partition pruning: reading one shard touches one directory
+    one = spark.read.parquet(out).where("shard = 2")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_split_no_shuffle_before_agg(spark):
+    """The split assignment itself is a narrow map: the only exchange in
+    the plan is the final 3-row aggregate's."""
+    plan = (
+        datapipe.split_train_val(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2  # partial agg -> single exchange (+AQE read)
