@@ -23,16 +23,29 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     min node id reachable. Non-SQL-expressible (iterative) → rows-only.
     """
     spark = edges.sparkSession
+    # one job materializes the symmetrized edge set; the expensive edge
+    # pipeline under both union branches is identical, so ReuseExchange
+    # computes it once inside that job
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size iteration parallelism to the edge set, not the corpus: after
+    # LSH pruning the graph is orders of magnitude smaller than the input,
+    # and per-iteration shuffle/task overhead at corpus-width partitioning
+    # dominates. ~100k edges per partition keeps tasks ms-scale; the
+    # explicit hash partitioning on the join key is reused by every
+    # iteration's join (no per-round exchange of sym).
+    n_edges = sym.count()
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000))
+    sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .repartition(parts, "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(MAX_ITERS):
@@ -41,24 +54,22 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        nxt = F.least(
+            F.col("component"), F.coalesce("nbr_component", F.col("component"))
+        )
+        # carry the convergence flag in-row: the changed check is then a
+        # cheap agg over the checkpointed result, not another join job
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+                nxt.alias("component"),
+                (nxt < F.col("component")).cast("int").alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("changed")).first()[0] or 0
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     return labels
