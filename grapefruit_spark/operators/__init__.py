@@ -42,6 +42,7 @@ def _modules():
         "graph",
         "pipeline",
         "datapipe",
+        "event_analytics",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

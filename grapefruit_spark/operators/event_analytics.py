@@ -1,0 +1,216 @@
+"""Event-log analytics (SURVEY §2 C8-C11): funnel, cohort retention,
+heavy hitters, value histogram.
+
+The product-analytics queries an events pipeline serves once data is in a
+warehouse — the reference's demo apps (WebGraph in-link counting,
+`/root/reference/app/WebGraph.java`) are the degenerate single-stage form
+of these: filter → count-by-key. Each one here is a single scan with one
+aggregation shuffle; the funnel's step ordering is per-user min-timestamp
+chaining (conditional aggs), not a self-join — at 100 TB a 3-way
+event-table self-join is the classic anti-pattern this module avoids.
+
+Timestamps: `catalog.table` normalizes events.ts to microseconds;
+comparisons use epoch-microsecond integers so Spark and DuckDB agree
+exactly (no double rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+ORACLE: dict[str, str] = {}
+
+_US = F.unix_micros
+
+
+# ------------------------------------------------------------------ C8
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase: per user, step k counts only
+    if it happens strictly after the user's qualifying step k-1.
+
+    One groupBy(user) with conditional min-timestamp aggregates, then a
+    global roll-up — two tiny shuffles, no self-join. The strict-order
+    semantics follow the reference's Condorcet staging (stage k consumes
+    stage k-1 output, app/Win1.java → Win2.java).
+    """
+    ev = table(spark, sf_dir, "events")
+    ev2 = ev.select("user_id", "event_type", _US("ts").alias("us"))
+    steps = ev2.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t1")
+    )
+    j = ev2.join(steps, "user_id")
+    steps2 = j.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("us") > F.col("t1")), F.col("us"))
+        ).alias("t2"),
+    )
+    j2 = ev2.join(steps2, "user_id")
+    steps3 = j2.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("us") > F.col("t2")), F.col("us")
+            )
+        ).alias("t3"),
+    )
+    return steps3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t1").isNotNull().cast("int")).alias("step_view"),
+        F.sum(F.col("t2").isNotNull().cast("int")).alias("step_click"),
+        F.sum(F.col("t3").isNotNull().cast("int")).alias("step_purchase"),
+    )
+
+
+ORACLE["events_funnel"] = """
+WITH s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, any_value(s1.t1) AS t1,
+         min(CASE WHEN e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+                  THEN epoch_us(e.ts) END) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, any_value(s2.t1) AS t1, any_value(s2.t2) AS t2,
+         min(CASE WHEN e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+                  THEN epoch_us(e.ts) END) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY 1
+)
+SELECT count(*) AS n_users,
+       sum((t1 IS NOT NULL)::INT)::BIGINT AS step_view,
+       sum((t2 IS NOT NULL)::INT)::BIGINT AS step_click,
+       sum((t3 IS NOT NULL)::INT)::BIGINT AS step_purchase
+FROM s3
+"""
+
+
+# ------------------------------------------------------------------ C9
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted as retained in each later week they reappear.
+
+    Two aggregation shuffles on user_id-ish keys (first-seen, then
+    cohort×week distinct users). At scale the distinct is the cost — it
+    shuffles (cohort, week, user) once; no windowing over raw events.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            ((F.unix_micros("wk") - F.unix_micros("cohort_wk")) / F.lit(604800000000))
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+ORACLE["events_retention"] = """
+WITH wk AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), first AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       ((epoch_us(wk.wk) - epoch_us(cohort_wk)) / 604800000000)::INT AS weeks_since,
+       count(DISTINCT wk.user_id) AS n_users
+FROM wk JOIN first ON wk.user_id = first.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ C10
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: top-10 users by event count with traffic share —
+    groupBy + scalar-total broadcast + TakeOrdered (no global sort)."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = per_user.agg(F.sum("n_events").alias("total"))
+    return (
+        per_user.join(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+    )
+
+
+ORACLE["events_heavy_hitters"] = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+)
+SELECT user_id, n_events,
+       round(n_events / (SELECT sum(n_events) FROM per_user), 6) AS share
+FROM per_user
+ORDER BY n_events DESC, user_id
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ C11
+N_BUCKETS = 20
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type: bucket index from the
+    global min/max (broadcast single-row bounds), one agg shuffle."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    b = (
+        F.least(
+            F.lit(N_BUCKETS - 1),
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / N_BUCKETS)),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .select("event_type", b, "value")
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+ORACLE["events_histogram"] = f"""
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+       least({N_BUCKETS - 1},
+             floor((value - lo) / ((hi - lo) / {N_BUCKETS})))::INT AS bucket,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events, bounds
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "events_heavy_hitters": events_heavy_hitters,
+    "events_histogram": events_histogram,
+}

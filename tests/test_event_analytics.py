@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import pytest
+
+from grapefruit_spark.operators import event_analytics
+
+from .conftest import SF_DIR
+from .util import assert_matches_oracle
+
+ORACLE_QUERIES = sorted(event_analytics.ORACLE)
+
+
+def test_every_query_has_oracle():
+    assert sorted(event_analytics.QUERIES) == ORACLE_QUERIES
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_matches_duckdb_oracle(spark, duck, name):
+    sdf = event_analytics.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(sdf, duck, event_analytics.ORACLE[name])
+
+
+def test_funnel_is_monotone(spark):
+    row = event_analytics.events_funnel(spark, SF_DIR).first()
+    assert row["n_users"] >= row["step_view"] >= row["step_click"] >= row["step_purchase"]
+    assert row["step_view"] > 0
+
+
+def test_funnel_strict_ordering(spark):
+    """A click before the first view must not count as funnel step 2."""
+    df = spark.createDataFrame(
+        [
+            (1, "click", 100), (1, "view", 200), (1, "click", 300), (1, "purchase", 400),
+            (2, "click", 100), (2, "view", 200),  # click only before view
+            (3, "view", 100), (3, "purchase", 200),  # skipped step
+        ],
+        "user_id long, event_type string, us long",
+    ).select("user_id", "event_type",
+             __import__("pyspark.sql.functions", fromlist=["timestamp_micros"]).timestamp_micros("us").alias("ts"))
+    orig = event_analytics.table
+    try:
+        event_analytics.table = (
+            lambda spark, sf_dir, name: df if name == "events" else orig(spark, sf_dir, name)
+        )
+        row = event_analytics.events_funnel(spark, SF_DIR).first()
+    finally:
+        event_analytics.table = orig
+    assert row["n_users"] == 3
+    assert row["step_view"] == 3
+    assert row["step_click"] == 1  # only user 1 clicked after viewing
+    assert row["step_purchase"] == 1  # user 3's purchase skips the click step
+
+
+def test_retention_week_zero_covers_all_cohorts(spark):
+    rows = event_analytics.events_retention(spark, SF_DIR).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], set()).add(r["weeks_since"])
+    assert all(0 in wks for wks in by_cohort.values())
