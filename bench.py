@@ -45,6 +45,18 @@ HEADLINE = [
     "price_percentiles",
     "events_sliding",
     "dedup_clusters",
+    # extended TPC-H block
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q21_late_suppliers",
+    # event analytics
+    "events_funnel",
+    "events_retention",
+    # training-data pipeline
+    "split_train_val",
+    "quality_repetition",
+    "pii_redact",
 ]
 
 

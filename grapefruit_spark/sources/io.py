@@ -10,7 +10,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-FORMATS = ("parquet", "csv", "json", "text")
+FORMATS = ("parquet", "orc", "csv", "json", "text", "avro")
+# avro needs the spark-avro package; read_any/write_any raise a clear error
+# if the runtime lacks it (import-gated, per the environment contract)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _clear_module_error(fmt: str):
+    """avro ships as an external Spark module; translate the data-source
+    lookup failure into a clear deployment message."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        yield
+    except AnalysisException as e:
+        if fmt == "avro" and "Failed to find data source" in str(e):
+            raise RuntimeError(
+                "avro support requires the spark-avro module "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+                "it is not deployed in this runtime"
+            ) from None
+        raise
 
 
 def read_any(
@@ -29,7 +52,8 @@ def read_any(
         options.setdefault("header", "true")
         if schema is None:
             options.setdefault("inferSchema", "true")
-    return reader.options(**options).load(path)
+    with _clear_module_error(fmt):
+        return reader.options(**options).load(path)
 
 
 def write_any(
@@ -53,12 +77,13 @@ def write_any(
     writer = df.write.format(fmt).mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if dynamic_overwrite:
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+    with _clear_module_error(fmt):
+        if dynamic_overwrite:
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                writer.save(path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
             writer.save(path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    else:
-        writer.save(path)

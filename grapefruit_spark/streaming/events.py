@@ -95,6 +95,71 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    views in the preceding 30 minutes (click attribution).
+
+    Both sides carry watermarks so Spark can expire join state — the
+    interval condition (view_ts ∈ [click_ts − 30 min, click_ts]) bounds
+    how long a buffered view can still match, which is what makes the
+    state finite at an unbounded ingest rate. The canonical shape for
+    joining two event firehoses without a static side.
+    """
+    views = (
+        read_event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+    ).select("c_user", "click_id", "view_id", "view_ts", "click_ts")
+
+
+def batch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_stream_attribution (same join semantics on the
+    static events table) — the streaming test asserts set-equality."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")),
+    ).select("c_user", "click_id", "view_id", "view_ts", "click_ts")
+
+
 def run_file_sink(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

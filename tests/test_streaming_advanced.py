@@ -88,3 +88,23 @@ def test_foreach_batch_custom_sink(spark, tmp_path):
         for r in fs.get(f"events_agg_{e}").collect()
     )
     assert total == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """Stream-stream interval join over the bounded file stream produces
+    exactly the batch join's pairs (watermarks long enough that nothing
+    is dropped on this bounded input)."""
+    from grapefruit_spark.streaming.events import (
+        batch_attribution,
+        stream_stream_attribution,
+    )
+    from grapefruit_spark.streaming.events import run_to_memory
+
+    got = run_to_memory(
+        stream_stream_attribution(spark, SF_DIR), "t_ss_attr", output_mode="append"
+    )
+    want = batch_attribution(spark, SF_DIR)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert len(w) > 0
+    assert g == w
