@@ -123,7 +123,9 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    # try_divide: a zero/degenerate vector yields NULL instead of an ANSI
+    # DIVIDE_BY_ZERO that would abort a full-corpus job for one bad row
+    return F.try_divide(dot, na * nb)
 
 
 def rolling_hash(col: Column, window: int = 16, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
