@@ -57,6 +57,14 @@ HEADLINE = [
     "split_train_val",
     "quality_repetition",
     "pii_redact",
+    "seq_packing",
+    "decontaminate_ngrams",
+    # search / term weighting
+    "tfidf_top_terms",
+    "bm25_search",
+    # native session windows + iterative ML
+    "events_session_window",
+    "kmeans_embeddings",
 ]
 
 

@@ -43,6 +43,8 @@ def _modules():
         "pipeline",
         "datapipe",
         "event_analytics",
+        "search",
+        "ml",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

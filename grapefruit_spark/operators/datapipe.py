@@ -234,8 +234,138 @@ FROM b
 """
 
 
+# ------------------------------------------------------------------ D20
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: fill fixed token budgets
+    with documents, per shard, in deterministic doc_id order.
+
+    Streaming-friendly quantized packing — pack_id = floor(preceding
+    cumulative tokens / budget) — so assignment is a window cumsum, not a
+    stateful first-fit scan; a pack overflows its budget by at most one
+    document (standard concat-and-chunk behavior in LLM data loaders).
+    One shuffle on shard; the cumsum and the pack rollup share it.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    from ..functions import ws_tokens
+
+    n_tok = F.size(ws_tokens(F.col("text")))
+    shard = (_bucket(F.col("doc_id")) % PACK_SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        docs.select(shard, "doc_id", n_tok.alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("pack_id", F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET))
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.round(F.sum("n_tok") / F.lit(float(PACK_BUDGET)), 4).alias("fill_ratio"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+ORACLE["seq_packing"] = f"""
+WITH toks AS (
+    SELECT {_duck_bucket('doc_id')} % {PACK_SHARDS} AS shard, doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)) AS n_tok
+    FROM documents
+),
+packed AS (
+    SELECT shard, doc_id, n_tok,
+           sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM toks
+)
+SELECT shard, ((cum - n_tok) // {PACK_BUDGET})::BIGINT AS pack_id,
+       count(*) AS n_docs,
+       sum(n_tok)::BIGINT AS pack_tokens,
+       round(sum(n_tok) / {float(PACK_BUDGET)}, 4) AS fill_ratio
+FROM packed
+GROUP BY 1, 2
+ORDER BY shard, pack_id
+"""
+
+
+# ------------------------------------------------------------------ D21
+DECON_N = 5  # n-gram size; eval membership: doc_id % DECON_MOD == 0
+DECON_MOD = 97
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    normalized 5-gram with the held-out eval slice (doc_id % 97 == 0 is
+    the stand-in benchmark set).
+
+    The eval n-gram set is tiny relative to the corpus at any scale
+    (benchmarks are fixed-size), so it broadcasts and the training scan
+    never shuffles its exploded grams — the standard decontamination
+    shape (e.g. GPT-3 appendix C) as one broadcast semi-join + count.
+    """
+    from ..functions import normalize_text, word_ngrams, ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        word_ngrams(ws_tokens(normalize_text(F.col("text"))), DECON_N)
+    )
+    is_eval = F.col("doc_id") % DECON_MOD == 0
+    eval_grams = (
+        docs.where(is_eval).select(F.explode(grams).alias("gram")).distinct()
+    )
+    train = docs.where(~is_eval).select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+_DUCK_NORM_TXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+ORACLE["decontaminate_ngrams"] = f"""
+WITH g AS (
+    SELECT doc_id,
+           list_distinct([
+               array_to_string(toks[i:i+{DECON_N - 1}], ' ')
+               FOR i IN range(1, len(toks) - {DECON_N - 2})
+           ]) AS grams
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex({_DUCK_NORM_TXT}, '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    )
+    WHERE len(toks) >= {DECON_N}
+),
+ev AS (
+    SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} = 0
+),
+tr AS (
+    SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} != 0
+)
+SELECT doc_id, count(*) AS n_shared_grams
+FROM tr JOIN ev USING (gram)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "split_train_val": split_train_val,
+    "seq_packing": seq_packing,
+    "decontaminate_ngrams": decontaminate_ngrams,
     "sample_stratified": sample_stratified,
     "reshard_by_hash": reshard_by_hash,
     "pii_redact": pii_redact,

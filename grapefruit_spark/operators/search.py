@@ -1,0 +1,187 @@
+"""Corpus search / term-weighting operators (SURVEY §2 block D, search).
+
+TF-IDF per-doc top terms and BM25 ranked retrieval over ``documents`` —
+the indexing/scoring half of a training-data pipeline (used for quality
+filtering, topic balancing, and query-based corpus slicing). These are
+what the reference's grep/WordCount demo apps
+(`/root/reference/src/main/java/edu/cs425/mp3/app/`, wg/wc executables)
+grow into once term statistics matter, re-expressed as declarative
+aggregations instead of per-file map/reduce executables.
+
+Scale notes: document frequency is computed with a window over the term
+key (one shuffle, no self-join recompute of the exploded tokens); the
+corpus-level scalars (N, avgdl) are 1-row aggregates broadcast into the
+scoring map. BM25 never explodes tokens at all — per-query-term counts
+are higher-order array ops inside codegen, so the scan stays narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions import ws_tokens
+
+ORACLE: dict[str, str] = {}
+
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> length(t) > 0)"
+
+TOP_TERMS = 5
+
+
+# ------------------------------------------------------------- tf-idf
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (idf = ln((N+1)/(df+1))).
+
+    explode → (doc,term) count → df via count-over-term-window (reuses
+    the aggregated frame; no second explode) → broadcast scalar N →
+    rank window per doc. Scores rounded to 6 dp BEFORE ranking so both
+    engines rank identically.
+    """
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tfreq = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tfreq.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = dfreq.join(F.broadcast(total)).withColumn(
+        "score",
+        F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+ORACLE["tfidf_top_terms"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+),
+tfreq AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+    SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tfreq
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank FROM (
+    SELECT doc_id, term, tf, df,
+           round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) DESC, term ASC
+           ) AS rank
+    FROM dfreq, n
+)
+WHERE rank <= {TOP_TERMS}
+"""
+
+
+# --------------------------------------------------------------- bm25
+BM25_QUERY = ("spark", "vector", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed term query.
+
+    No token explode: per-term tf is an array filter inside codegen;
+    N/df/avgdl are one 1-row aggregate broadcast into the scoring map.
+    Okapi BM25 (Robertson-Sparck Jones idf, ln(1 + (N-df+.5)/(df+.5))).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+
+    def _tf(term: str):
+        # closure factory: a default-arg lambda would change the arity
+        # pyspark introspects for higher-order functions
+        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(BM25_QUERY)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    norm = BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    score = sum(
+        (
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            )
+            * F.col(f"tf_{i}")
+            * (BM25_K1 + 1)
+            / (F.col(f"tf_{i}") + norm)
+        )
+        for i in range(len(BM25_QUERY))
+    )
+    top = (
+        base.join(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+    # rank the 20 finalists only — TakeOrdered did the global selection, so
+    # the single-partition window never sees more than BM25_TOP rows
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def _duck_tf(term: str) -> str:
+    return f"len(list_filter(toks, t -> t = '{term}'))"
+
+
+_tf_cols = ",\n           ".join(f"{_duck_tf(t)} AS tf_{i}" for i, t in enumerate(BM25_QUERY))
+_df_cols = ", ".join(
+    f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(len(BM25_QUERY))
+)
+_score_sum = "\n         + ".join(
+    f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+    f" * tf_{i} * ({BM25_K1} + 1)"
+    f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    for i in range(len(BM25_QUERY))
+)
+ORACLE["bm25_search"] = f"""
+WITH base AS (
+    SELECT doc_id, len(toks) AS dl,
+           {_tf_cols}
+    FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+),
+stats AS (
+    SELECT count(*) AS n_docs, avg(dl) AS avgdl, {_df_cols} FROM base
+)
+SELECT doc_id, bm25, rank FROM (
+    SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM (
+        SELECT doc_id,
+               round({_score_sum}, 6) AS bm25
+        FROM base, stats
+    )
+    WHERE bm25 > 0
+)
+WHERE rank <= {BM25_TOP}
+"""
+
+
+QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "bm25_search": bm25_search,
+}

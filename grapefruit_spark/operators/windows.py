@@ -118,6 +118,57 @@ GROUP BY user_id, session_id
 """
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the NATIVE session_window operator — the
+    streaming-capable twin of events_sessionize (same gap, same sessions;
+    a delta of exactly the gap starts a new session: windows are
+    half-open, touching windows don't merge).
+
+    One shuffle on (user_id, merged session); Catalyst's
+    UpdatingSessionsIterator merges in-partition — no lag/cumsum pass.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", f"{GAP_MINUTES} minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# session_window end = last event + gap; new session when delta >= gap
+ORACLE["events_session_window"] = f"""
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {GAP_MINUTES * 60 * 1000000}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL {GAP_MINUTES} MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 # ------------------------------------------------------------------ C3
 def asof_join(
     left: DataFrame,
@@ -238,6 +289,7 @@ GROUP BY event_type
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
+    "events_session_window": events_session_window,
     "events_asof_join": events_asof_join,
     "events_props_agg": events_props_agg,
 }
