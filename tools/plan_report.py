@@ -29,7 +29,14 @@ def main() -> None:
     for name, fn in sorted(entrymod.queries().items()):
         try:
             df = fn(spark, sf_dir)
+            # collect() executes THIS DataFrame's QueryExecution so AQE
+            # finalizes it in place (a noop write would run a separate
+            # command execution and leave this plan isFinalPlan=false)
+            df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # finalized AQE output appends the pre-run plan again under
+            # "== Initial Plan ==" — keep only the final plan section
+            plan = plan.split("== Initial Plan ==")[0]
         except Exception as e:  # noqa: BLE001 - report, don't abort the survey
             print(f"| {name} | ERROR: {str(e)[:60]} | | | | | |")
             continue
@@ -38,7 +45,11 @@ def main() -> None:
         n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
         pushed = "yes" if "PushedFilters: [" in plan and "PushedFilters: []" not in plan else "-"
         udf = "YES" if "BatchEvalPython" in plan else ("arrow" if "ArrowEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan else "-")
-        codegen = plan.count("WholeStageCodegen")
+        # codegen'd operators print with a "*(id)" prefix in the tree;
+        # "empty" = AQE collapsed the run to EmptyRelation at this SF
+        codegen = len(set(__import__("re").findall(r"\*\((\d+)\)", plan)))
+        if codegen == 0 and "EmptyRelation" in plan:
+            codegen = "empty"
         print(f"| {name} | {n_ex} | {n_bhj} | {n_smj} | {pushed} | {udf} | {codegen} |")
 
 
