@@ -105,7 +105,10 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
     Dangling mass (nodes without out-links) is folded back uniformly, so
     ranks sum to 1 every iteration (a one-row agg, broadcast back).
     """
-    e = edges.select(F.col("src"), F.col("dst")).distinct()
+    # pin the deduped edge set FIRST — nodes/degrees/links all derive
+    # from it, and without this each eager checkpoint below would
+    # recompute the (possibly expensive) upstream edge pipeline
+    e = edges.select(F.col("src"), F.col("dst")).distinct().localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -132,10 +135,11 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        dangling = (
-            ranks.join(dangling_nodes.select("node"), "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
-            .first()["dm"]
+        # dangling mass stays a lazy 1-row aggregate crossJoin'd in, so
+        # each iteration is ONE job (the eager checkpoint) — a .first()
+        # here would double the per-iteration job count
+        dm = ranks.join(dangling_nodes.select("node"), "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         rside = F.broadcast(ranks) if bcast_ok else ranks.repartition("node")
         contribs = (
@@ -143,13 +147,15 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        new_rank = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping / n) * F.col("dm")
+            + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+        )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
-            )
+            .join(F.broadcast(dm))
+            .select("node", new_rank.alias("rank"))
             .localCheckpoint(eager=True)
         )
     return ranks
