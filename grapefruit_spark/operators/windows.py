@@ -118,18 +118,20 @@ GROUP BY user_id, session_id
 """
 
 
-def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def session_window_agg(events: DataFrame) -> DataFrame:
     """Gap sessionization via the NATIVE session_window operator — the
-    streaming-capable twin of events_sessionize (same gap, same sessions;
+    streaming-capable twin of sessionize (same gap, same sessions;
     a delta of exactly the gap starts a new session: windows are
     half-open, touching windows don't merge).
 
     One shuffle on (user_id, merged session); Catalyst's
     UpdatingSessionsIterator merges in-partition — no lag/cumsum pass.
+    Shared by the batch query and streaming.stream_session_window.
     """
-    ev = table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.session_window("ts", f"{GAP_MINUTES} minutes").alias("w"), "user_id")
+        events.groupBy(
+            F.session_window("ts", f"{GAP_MINUTES} minutes").alias("w"), "user_id"
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("session_value"),
@@ -142,6 +144,10 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(table(spark, sf_dir, "events"))
 
 
 # session_window end = last event + gap; new session when delta >= gap

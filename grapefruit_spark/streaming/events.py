@@ -49,6 +49,52 @@ def stream_tumbling(
     return tumbling_agg(read_event_stream(spark, sf_dir).withWatermark("ts", watermark))
 
 
+def stream_session_window(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked NATIVE session windows on the stream — the same
+    session_window_agg transform as the batch query (C13). State holds
+    only open sessions younger than the watermark horizon; merges happen
+    incrementally as events arrive."""
+    from ..operators.windows import session_window_agg
+
+    return session_window_agg(
+        read_event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    )
+
+
+#: on-disk schema of documents.parquet
+DOCS_DISK_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (ingest-pipeline shape:
+    each newly landed file becomes a microbatch)."""
+    return (
+        spark.readStream.schema(DOCS_DISK_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup at ingest: dropDuplicates on the normalized
+    content fingerprint — first arrival wins, duplicates never reach the
+    sink. State is one row per distinct fingerprint; with an event-time
+    column, dropDuplicatesWithinWatermark bounds it to the late-data
+    horizon (the 100 TB/day configuration)."""
+    from ..functions import md5_fingerprint
+
+    docs = read_document_stream(spark, sf_dir)
+    return (
+        docs.withColumn("fp", md5_fingerprint(F.col("text")))
+        .dropDuplicates(["fp"])
+        .select("doc_id", "fp")
+    )
+
+
 _SESSION_STATE_SCHEMA = "n bigint, total double"
 _SESSION_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 

@@ -108,3 +108,41 @@ def test_stream_stream_attribution_matches_batch(spark):
     w = {tuple(r) for r in want.collect()}
     assert len(w) > 0
     assert g == w
+
+
+def test_stream_session_window_matches_batch(spark):
+    """Native session windows on the bounded stream (complete mode) ==
+    the batch session_window query on the same events."""
+    from grapefruit_spark.operators.windows import events_session_window
+    from grapefruit_spark.streaming.events import (
+        run_to_memory,
+        stream_session_window,
+    )
+
+    got = run_to_memory(
+        stream_session_window(spark, SF_DIR), "t_sessionw", output_mode="complete"
+    )
+    want = events_session_window(spark, SF_DIR)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert want.count() > 0
+
+
+def test_stream_dedup_exact_matches_batch_fingerprints(spark):
+    """Streaming dropDuplicates keeps exactly one doc per distinct
+    fingerprint (first arrival wins — doc choice may differ from the
+    batch keep-min rule, the fingerprint SET must not)."""
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.functions import md5_fingerprint
+    from grapefruit_spark.streaming.events import run_to_memory, stream_dedup_exact
+
+    got = run_to_memory(stream_dedup_exact(spark, SF_DIR), "t_sdedup", "append")
+    rows = got.collect()
+    batch_fps = {
+        r["fp"]
+        for r in table(spark, SF_DIR, "documents")
+        .select(md5_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert {r["fp"] for r in rows} == batch_fps
+    assert len(rows) == len(batch_fps)  # exactly one survivor per fp
