@@ -231,7 +231,32 @@ GROUP BY 1, 2
 """
 
 
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of event value per event_type via Spark's
+    mergeable quantile sketch (percentile_approx, accuracy 10k).
+
+    The sketch path for quantiles at scale: one pass, map-side partial
+    sketches merged per group — no per-group sort, bounded memory —
+    where the exact twin (price_percentiles) must shuffle+sort full
+    groups. rows-only gate (sketch internals are engine-specific);
+    pytest bounds the rank error vs the exact percentiles.
+    """
+    ev = table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+    return (
+        ev.groupBy("event_type")
+        .agg(pcts.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 4).alias("p50"),
+            F.round(F.col("q")[1], 4).alias("p90"),
+            F.round(F.col("q")[2], 4).alias("p99"),
+        )
+    )
+
+
 QUERIES = {
+    "events_quantile_sketch": events_quantile_sketch,
     "running_total": running_total,
     "order_gap_days": order_gap_days,
     "price_percentiles": price_percentiles,

@@ -175,11 +175,27 @@ FROM documents
 
 
 def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash prefix fingerprint (rows-only: hash family is ours)."""
+    """Rolling-hash prefix fingerprint (polynomial hash over the first 16
+    normalized chars; DuckDB expresses the same fold with list_reduce)."""
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", rolling_hash(normalize_text(F.col("text"))).alias("rh16")
     )
+
+
+ORACLE["doc_rolling_fingerprint"] = """
+WITH norm AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+    FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               [ascii(c)::BIGINT FOR c IN string_split(substring(n, 1, 16), '')]),
+           (acc, c) -> (acc * 257 + c) % 2147483647
+       ) AS rh16
+FROM norm
+"""
 
 
 QUERIES = {

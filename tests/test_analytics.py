@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from grapefruit_spark.operators import analytics
 
@@ -31,3 +32,24 @@ def test_sliding_window_double_counts(spark, duck):
     )
     n_events = duck.sql("SELECT count(*) FROM events").fetchone()[0]
     assert total == 2 * n_events
+
+
+def test_quantile_sketch_bounds_error_vs_exact(spark):
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.operators.analytics import events_quantile_sketch
+
+    approx = {r["event_type"]: r for r in events_quantile_sketch(spark, SF_DIR).collect()}
+    ev = table(spark, SF_DIR, "events")
+    # the sketch guarantees RANK error (<= 1/accuracy), not value error —
+    # check where each approx value lands in the empirical CDF
+    rows = ev.select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert set(approx) == set(by_type)
+    for et, row in approx.items():
+        vals = sorted(by_type[et])
+        n = len(vals)
+        for q, target in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = sum(v <= row[q] for v in vals) / n
+            assert abs(rank - target) <= 0.01 + 1.0 / n, (et, q, rank)
