@@ -120,3 +120,54 @@ class MapleJuicePipeline:
 
     def done(self) -> DataFrame:
         return self.df
+
+
+# ---------------------------------------------------------------- exe pipe
+def maple_pipe(df: DataFrame, exe: str) -> DataFrame:
+    """The reference's EXACT executable contract (``maple <exe>``,
+    MapleJuice.java task loop): each input row is fed to ``exe`` as one
+    TSV line on stdin; the program emits ``key\\tvalue`` lines.
+
+    RDD ``pipe`` is the deliberate exception to the DataFrame-first rule:
+    an arbitrary external program IS per-partition imperative logic — one
+    process per partition, rows streamed through, output re-ingested as a
+    (key, value) DataFrame for the juice shuffle.
+    """
+    spark = df.sparkSession
+    lines = df.rdd.map(
+        lambda r: "\t".join("" if v is None else str(v) for v in r)
+    ).pipe(exe)
+    kv = (
+        lines.map(lambda ln: ln.split("\t", 1))
+        .filter(lambda p: len(p) == 2)
+        .map(lambda p: (p[0], p[1]))
+    )
+    return spark.createDataFrame(kv, "key string, value string")
+
+
+def juice_pipe(kv: DataFrame, exe: str, num_juices: int = 4) -> DataFrame:
+    """``juice <exe>`` with hash shuffle (shuffle_option=1): key-groups are
+    hash-placed on ``num_juices`` reducers (Math.abs(hashCode) % N in the
+    reference), sorted within each reducer, and streamed through ``exe``
+    as sorted ``key\\tvalue`` lines — hadoop-streaming-identical, so any
+    streaming reducer binary runs unchanged.
+    """
+    from pyspark.rdd import portable_hash
+
+    spark = kv.sparkSession
+    parted = (
+        kv.rdd.map(lambda r: (str(r[0]), str(r[1])))
+        .repartitionAndSortWithinPartitions(
+            # portable_hash, not builtin hash: python string hashing is
+            # process-seeded, which would scatter a key across reducers
+            # on a real multi-executor cluster
+            numPartitions=num_juices, partitionFunc=lambda k: abs(portable_hash(k))
+        )
+    )
+    out = parted.map(lambda p: f"{p[0]}\t{p[1]}").pipe(exe)
+    res = (
+        out.map(lambda ln: ln.split("\t", 1))
+        .filter(lambda p: len(p) == 2)
+        .map(lambda p: (p[0], p[1]))
+    )
+    return spark.createDataFrame(res, "key string, value string")

@@ -255,8 +255,82 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) value quartiles per order priority, profiled: count and
+    value range of each quartile. The tile window partitions by priority
+    — no global ordering, each group sorts independently."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+ORACLE["order_value_quartiles"] = """
+SELECT o_orderpriority, quartile,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (
+    SELECT o_orderpriority, o_totalprice,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+    FROM orders
+)
+GROUP BY o_orderpriority, quartile
+"""
+
+
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value outliers (|z| >= 3) per event_type.
+
+    Group moments come from ONE aggregate (sum / sum-of-squares — the
+    same closed form both engines evaluate, so the rounded z-scores are
+    engine-portable) broadcast back onto the scan; no window over the
+    full event set.
+    """
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 3)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", "event_id", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) >= 3.0)
+    )
+
+
+ORACLE["events_zscore_outliers"] = """
+WITH stats AS (
+    SELECT event_type, count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+    FROM events GROUP BY event_type
+)
+SELECT event_type, event_id, zscore FROM (
+    SELECT e.event_type, e.event_id,
+           round((e.value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 3) AS zscore
+    FROM events e JOIN stats USING (event_type)
+)
+WHERE abs(zscore) >= 3.0
+"""
+
+
 QUERIES = {
     "events_quantile_sketch": events_quantile_sketch,
+    "order_value_quartiles": order_value_quartiles,
+    "events_zscore_outliers": events_zscore_outliers,
     "running_total": running_total,
     "order_gap_days": order_gap_days,
     "price_percentiles": price_percentiles,

@@ -103,4 +103,82 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"multimodal_features": multimodal_features}
+# ------------------------------------------------------------ transforms
+TRANSFORM_SCHEMA = (
+    "doc_id bigint, kind string, op string, out_w int, out_h int, "
+    "n_frames int, frame_offsets array<int>, out_bytes int"
+)
+
+TARGET_W, TARGET_H = 64, 64
+N_FRAMES = 4
+AUDIO_WIN_MS = 250
+
+
+def resize_stub(payload: bytes, w: int, h: int) -> dict:
+    """Image resize placeholder: a real pipeline calls PIL here; the stub
+    derives the 'resized' byte count deterministically."""
+    return {"op": "resize", "out_w": w, "out_h": h, "n_frames": 1,
+            "frame_offsets": [0], "out_bytes": w * h * 3}
+
+
+def frame_sample_stub(payload: bytes, n_frames: int) -> dict:
+    """Video frame sampling placeholder: evenly spaced offsets into the
+    (fake) stream — a real pipeline seeks with pyav at these offsets."""
+    dur = max(len(payload), 1)
+    offs = [i * dur // n_frames for i in range(n_frames)]
+    return {"op": "frame_sample", "out_w": TARGET_W, "out_h": TARGET_H,
+            "n_frames": n_frames, "frame_offsets": offs,
+            "out_bytes": n_frames * TARGET_W * TARGET_H * 3}
+
+
+def audio_window_stub(payload: bytes, win_ms: int) -> dict:
+    """Audio windowing placeholder: fixed-width windows over the (fake)
+    sample stream — torchaudio framing in a real pipeline."""
+    n = max(len(payload) // max(win_ms, 1), 1)
+    return {"op": "audio_window", "out_w": 0, "out_h": 0, "n_frames": n,
+            "frame_offsets": [i * win_ms for i in range(min(n, 16))],
+            "out_bytes": len(payload)}
+
+
+def transform_media(media: DataFrame) -> DataFrame:
+    """Per-kind media transform over Arrow batches: images resize, videos
+    frame-sample, audio windows — one mapInPandas, dispatch inside the
+    batch (no per-kind shuffle or split scans)."""
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for doc_id, payload, kind in zip(pdf["doc_id"], pdf["media"], pdf["kind"]):
+                if kind == "image":
+                    t = resize_stub(payload, TARGET_W, TARGET_H)
+                elif kind == "video":
+                    t = frame_sample_stub(payload, N_FRAMES)
+                else:
+                    t = audio_window_stub(payload, AUDIO_WIN_MS)
+                out.append({"doc_id": doc_id, "kind": kind, **t})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=TRANSFORM_SCHEMA)
+
+
+def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only gate: per-kind transform profile (op, items, frames,
+    output volume)."""
+    t = transform_media(synthesize_media(spark, sf_dir))
+    return (
+        t.groupBy("kind", "op")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("out_bytes").alias("total_out_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "multimodal_transform": multimodal_transform,
+}

@@ -135,3 +135,29 @@ def test_multimodal_summary(spark):
     kinds = {r["kind"] for r in rows}
     assert kinds == {"image", "audio", "video"}
     assert all(r["total_bytes"] > 0 for r in rows)
+
+
+def test_multimodal_transform_dispatch(spark):
+    """Per-kind dispatch inside one Arrow pass: images resize to the
+    target box, videos sample N evenly spaced offsets, audio windows."""
+    t = multimodal.transform_media(multimodal.synthesize_media(spark, SF_DIR))
+    rows = t.collect()
+    assert len(rows) == 500
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert set(by_kind) == {"image", "audio", "video"}
+    for r in by_kind["image"]:
+        assert r["op"] == "resize" and (r["out_w"], r["out_h"]) == (64, 64)
+        assert r["out_bytes"] == 64 * 64 * 3
+    for r in by_kind["video"]:
+        assert r["op"] == "frame_sample" and r["n_frames"] == 4
+        assert len(r["frame_offsets"]) == 4
+        assert r["frame_offsets"] == sorted(r["frame_offsets"])
+    for r in by_kind["audio"]:
+        assert r["op"] == "audio_window" and r["n_frames"] >= 1
+
+
+def test_multimodal_transform_summary(spark):
+    out = {(r["kind"], r["op"]) for r in multimodal.multimodal_transform(spark, SF_DIR).collect()}
+    assert out == {("image", "resize"), ("video", "frame_sample"), ("audio", "audio_window")}

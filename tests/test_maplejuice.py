@@ -106,3 +106,50 @@ def test_sdfs_partitioned_put(spark, tmp_path):
     fs.put(df, "bucketed", partition_by=["bucket"])
     got = fs.get("bucketed").where(F.col("bucket") == 1)
     assert got.count() == 10
+
+
+def test_pipe_wordcount_matches_declarative(spark, tmp_path):
+    """The reference's arbitrary-executable contract end-to-end: a real
+    mapper/reducer pair of external python programs, hadoop-streaming
+    line protocol, hash-shuffled sorted reduce."""
+    import sys
+
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.functions import ws_tokens
+    from grapefruit_spark.maplejuice import juice_pipe, maple_pipe
+
+    mapper = tmp_path / "wc_maple.py"
+    mapper.write_text(
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    for w in line.split():\n"
+        "        print(f'{w}\\t1')\n"
+    )
+    reducer = tmp_path / "wc_juice.py"
+    reducer.write_text(
+        "import sys\n"
+        "cur, acc = None, 0\n"
+        "def flush():\n"
+        "    if cur is not None:\n"
+        "        print(f'{cur}\\t{acc}')\n"
+        "for line in sys.stdin:\n"
+        "    k, v = line.rstrip('\\n').split('\\t', 1)\n"
+        "    if k != cur:\n"
+        "        flush(); cur, acc = k, 0\n"
+        "    acc += int(v)\n"
+        "flush()\n"
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("text")
+    kv = maple_pipe(docs, f"{sys.executable} {mapper}")
+    out = juice_pipe(kv, f"{sys.executable} {reducer}", num_juices=4)
+    got = {r["key"]: int(r["value"]) for r in out.collect()}
+
+    want = {
+        r["w"]: r["n"]
+        for r in docs.select(F.explode(ws_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
