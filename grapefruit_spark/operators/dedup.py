@@ -64,6 +64,37 @@ GROUP BY 1
 """
 
 
+CONTAIN_TAU = 0.5
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| ≥ τ —
+    catches documents swallowed by a larger one, which symmetric Jaccard
+    misses (a quote inside a long page scores low J but high C).
+
+    Same inverted-index self-join as Jaccard (shared shingle postings);
+    emits the ordered pair once with containment in both directions.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("grams").alias("n_grams")).where(F.col("n_grams") > 0)
+    posting = sh.select("doc_id", F.explode("grams").alias("gram"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    c_ab = F.round(F.col("n_inter") / F.col("na"), 6)
+    c_ba = F.round(F.col("n_inter") / F.col("nb"), 6)
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_inter", c_ab.alias("contain_ab"), c_ba.alias("contain_ba"))
+        .where((F.col("contain_ab") >= CONTAIN_TAU) | (F.col("contain_ba") >= CONTAIN_TAU))
+    )
+
+
 # ------------------------------------------------------------------ D4
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -319,9 +350,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE["ngram_containment_pairs"] = f"""
+WITH shingles AS ({_DUCK_SHINGLES}),
+posting AS (
+    SELECT doc_id, unnest(grams) AS gram FROM shingles
+),
+sizes AS (
+    SELECT doc_id, len(grams) AS n_grams FROM shingles WHERE len(grams) > 0
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM posting a JOIN posting b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       round(n_inter / sa.n_grams, 6) AS contain_ab,
+       round(n_inter / sb.n_grams, 6) AS contain_ba
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE round(n_inter / sa.n_grams, 6) >= {CONTAIN_TAU}
+   OR round(n_inter / sb.n_grams, 6) >= {CONTAIN_TAU}
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_containment_pairs": ngram_containment_pairs,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
 }

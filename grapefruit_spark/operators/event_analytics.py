@@ -208,7 +208,35 @@ ORDER BY 1, 2
 """
 
 
+def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile: first/last seen, active days, events,
+    value total — the standard user-dimension build from an event log.
+    One shuffle (groupBy user); distinct-day count rides the same agg.
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+ORACLE["events_user_lifetime"] = """
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       count(DISTINCT ts::DATE) AS active_days,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "events_user_lifetime": events_user_lifetime,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_heavy_hitters": events_heavy_hitters,

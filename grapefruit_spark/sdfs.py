@@ -78,3 +78,24 @@ class Sdfs:
     def global_(self) -> dict[str, int]:
         """Namespace-wide view: name → part-file count (reference ``global``)."""
         return {name: len(self.ls(name)) for name in self.store()}
+
+    # -- maintenance ----------------------------------------------------
+    def compact(self, name: str, target_files: int) -> int:
+        """Rewrite a dataset into ``target_files`` balanced part files.
+
+        The small-files problem is the 100 TB killer for any
+        file-namespace system (every scan pays per-file open + footer
+        read; listings crawl): streaming sinks and incremental puts
+        fragment datasets, compaction heals them. Round-robin
+        repartition gives size-balanced output without a shuffle key.
+        Returns the new part-file count. (The reference's analogue is
+        re-replication healing in SdfsServer.java — same maintenance
+        slot, storage-layer concern.)
+        """
+        df = self.get(name)
+        tmp = self._path(f"{name}__compacting")
+        df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        final = self._path(name)
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+        return len(self.ls(name))

@@ -153,3 +153,20 @@ def test_pipe_wordcount_matches_declarative(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_sdfs_compact_small_files(spark, tmp_path):
+    """Compaction heals a fragmented dataset: same rows, target file count."""
+    from grapefruit_spark.catalog import table
+
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+    docs = table(spark, SF_DIR, "documents")
+    fs.put(docs.repartition(16), "frag")
+    assert len(fs.ls("frag")) == 16
+    n_files = fs.compact("frag", 2)
+    assert n_files == 2
+    got = fs.get("frag")
+    assert got.count() == docs.count()
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
