@@ -92,6 +92,10 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # drop persisted frames (dedup signature caches etc.) so queries
+        # don't evict each other's storage memory as the session grows —
+        # each query is measured cold-cache / warm-codegen
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

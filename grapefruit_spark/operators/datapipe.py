@@ -327,8 +327,15 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import normalize_text, word_ngrams, ws_tokens
 
     docs = table(spark, sf_dir, "documents")
+    # join on xxhash64 of the gram, not the gram string: 8-byte keys
+    # through the explode and broadcast probe instead of ~40-byte strings
+    # (counts identical barring a 2^-64 collision — the standard
+    # hash-based decontamination trade)
     grams = F.array_distinct(
-        word_ngrams(ws_tokens(normalize_text(F.col("text"))), DECON_N)
+        F.transform(
+            word_ngrams(ws_tokens(normalize_text(F.col("text"))), DECON_N),
+            lambda g: F.xxhash64(g),
+        )
     )
     is_eval = F.col("doc_id") % DECON_MOD == 0
     eval_grams = (
@@ -372,10 +379,97 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------------ D22
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows (the
+    context-window prep step before packing/training).
+
+    sequence() + explode generates chunk starts JVM-side — no UDF, rows
+    fan out ~n_tok/stride per doc, a narrow map with no shuffle. The
+    final short window is kept iff it adds new tokens (start < n_tok).
+    """
+    from ..functions import ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(ws_tokens(F.col("text")))
+    starts = F.sequence(F.lit(0), F.greatest(n_tok - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", n_tok.alias("n_tok"), F.explode(starts).alias("start_tok"))
+        .where((F.col("start_tok") == 0) | (F.col("start_tok") < F.col("n_tok")))
+        .select(
+            "doc_id",
+            (F.col("start_tok") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            "start_tok",
+            F.least(F.col("n_tok") - F.col("start_tok"), F.lit(CHUNK_TOKENS)).alias("chunk_tokens"),
+        )
+    )
+
+
+ORACLE["doc_chunking"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)) AS n_tok
+    FROM documents
+)
+SELECT doc_id,
+       (start_tok // {CHUNK_STRIDE})::INT AS chunk_id,
+       start_tok,
+       least(n_tok - start_tok, {CHUNK_TOKENS}) AS chunk_tokens
+FROM (
+    SELECT doc_id, n_tok, unnest(range(0, greatest(n_tok, 1), {CHUNK_STRIDE})) AS start_tok
+    FROM base
+)
+WHERE start_tok = 0 OR start_tok < n_tok
+"""
+
+
+# ------------------------------------------------------------------ D23
+def shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: position = rank of
+    md5(seed, doc_id). Reproducible across runs/cluster sizes (unlike
+    orderBy(rand())), and any worker can re-derive its slice. Returns
+    the first 100 positions (the driver-gate-sized sample of the
+    permutation; the full ordering is the same expression unlimited).
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    # TakeOrdered picks the 100 finalists; the rank window then runs on
+    # 100 rows, not the corpus
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
+        .select(
+            F.row_number().over(Window.orderBy("shuffle_key")).alias("position"),
+            "doc_id",
+            "shuffle_key",
+        )
+    )
+
+
+ORACLE["shuffle_order"] = """
+SELECT row_number() OVER (ORDER BY shuffle_key) AS position, doc_id, shuffle_key
+FROM (
+    SELECT doc_id, md5('epoch0:' || doc_id::VARCHAR) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    LIMIT 100
+)
+"""
+
+
 QUERIES = {
     "split_train_val": split_train_val,
     "seq_packing": seq_packing,
     "decontaminate_ngrams": decontaminate_ngrams,
+    "doc_chunking": doc_chunking,
+    "shuffle_order": shuffle_order,
     "sample_stratified": sample_stratified,
     "reshard_by_hash": reshard_by_hash,
     "pii_redact": pii_redact,

@@ -247,3 +247,27 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Event dedup with BOUNDED state: dropDuplicatesWithinWatermark on
+    event_id — a duplicate delivery (at-least-once sources re-send) is
+    dropped while its original is younger than the watermark horizon,
+    and the state row expires afterward. The production-shape of
+    exactly-once event ingest: state size tracks the horizon, not the
+    stream's lifetime."""
+    # wider glob than read_event_stream: redelivered copies land as new
+    # files (events_*.parquet) and must flow through the dedup
+    raw = (
+        spark.readStream.schema(EVENTS_DISK_SCHEMA)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).withWatermark(
+        "ts", horizon
+    )
+    return ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )

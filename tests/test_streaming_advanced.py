@@ -146,3 +146,26 @@ def test_stream_dedup_exact_matches_batch_fingerprints(spark):
     }
     assert {r["fp"] for r in rows} == batch_fps
     assert len(rows) == len(batch_fps)  # exactly one survivor per fp
+
+
+def test_stream_dedup_within_watermark_drops_redelivery(spark, tmp_path):
+    """At-least-once redelivery: the same events file lands twice (two
+    microbatches); within the horizon each event_id survives once."""
+    import shutil
+
+    from grapefruit_spark.streaming.events import (
+        run_to_memory,
+        stream_dedup_within_watermark,
+    )
+
+    src = tmp_path / "redelivered"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events_redelivery.parquet")
+    got = run_to_memory(
+        stream_dedup_within_watermark(spark, str(src)), "t_wmdedup", "append"
+    )
+    n_unique = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    rows = got.collect()
+    assert len(rows) == n_unique
+    assert len({r["event_id"] for r in rows}) == n_unique
