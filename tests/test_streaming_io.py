@@ -125,3 +125,43 @@ def test_avro_gated_with_clear_error(spark, tmp_path):
     else:  # environments that DO bundle spark-avro: roundtrip must work
         back = read_any(spark, str(tmp_path / "a"), fmt="avro")
         assert back.count() == 3
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a later writer adds a column; mergeSchema reads
+    the union schema with nulls for pre-evolution files."""
+    from grapefruit_spark.sources.io import read_any, write_any
+
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    write_any(v1, p, mode="overwrite")
+    v2 = spark.createDataFrame([(2, "b", 0.5)], "id long, name string, score double")
+    write_any(v2, p, mode="append")
+
+    merged = read_any(spark, p, mergeSchema="true")
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 0.5
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE json ingest: bad lines land in _corrupt_record instead
+    of failing the job — the resilience mode a multi-TB raw-text ingest
+    runs in (FAILFAST would abort on one bad row)."""
+    from grapefruit_spark.sources.io import read_any
+
+    src = tmp_path / "raw.json"
+    src.write_text('{"id": 1, "v": "ok"}\n{BROKEN\n{"id": 3, "v": "also ok"}\n')
+    df = read_any(
+        spark,
+        str(src),
+        fmt="json",
+        schema="id long, v string, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 3}
+    assert len(bad) == 1 and "BROKEN" in bad[0]["_corrupt_record"]
