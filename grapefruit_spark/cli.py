@@ -104,13 +104,34 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "members":
         print(json.dumps(members(spark), indent=2))
     elif args.cmd == "maple":
-        out = maple(fs.get(args.src_name), _load_exe(args.exe), args.schema, args.num_maples)
+        # reference muscle memory: `maple <exe>` with a real program file
+        # streams rows through it (rdd.pipe); module:function specs take
+        # the Arrow-batched in-process path
+        import os
+
+        from .maplejuice import maple_pipe
+
+        src = fs.get(args.src_name)
+        if os.path.exists(args.exe.split()[0]):
+            out = maple_pipe(src, args.exe)
+        else:
+            out = maple(src, _load_exe(args.exe), args.schema, args.num_maples)
         fs.put(out, args.out_name)
     elif args.cmd == "juice":
-        out = juice(
-            fs.get(args.src_name), _load_exe(args.exe), args.schema,
-            num_juices=args.num_juices, shuffle=args.shuffle,
-        )
+        import os
+
+        from .maplejuice import juice_pipe
+
+        src = fs.get(args.src_name)
+        if os.path.exists(args.exe.split()[0]):
+            if args.shuffle == "range":
+                raise SystemExit("executable juice supports hash shuffle only")
+            out = juice_pipe(src, args.exe, num_juices=args.num_juices)
+        else:
+            out = juice(
+                src, _load_exe(args.exe), args.schema,
+                num_juices=args.num_juices, shuffle=args.shuffle,
+            )
         fs.put(out, args.out_name)
         if args.delete_input:
             fs.delete(args.src_name)

@@ -181,16 +181,20 @@ def condorcet_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = pairs.select(F.col("cand_lo").alias("cand")).union(
         pairs.select(F.col("cand_hi").alias("cand"))
     ).distinct()
-    n = cands.count()  # tiny (supplier dim cardinality); driver-side scalar
+    # candidate count stays IN the plan (1-row agg broadcast): no driver
+    # action, and the pairs subtree sits in one query where AQE can reuse
+    # its exchanges instead of recomputing per action
+    n1 = cands.agg(F.count(F.lit(1)).alias("n_cand"))
     wins = pairs.groupBy(F.col("pair_winner").alias("cand")).agg(
         F.count(F.lit(1)).alias("wins")
     )
     return (
         cands.join(wins, "cand", "left")
+        .join(F.broadcast(n1))
         .select(
             "cand",
             F.coalesce("wins", F.lit(0)).alias("wins"),
-            (F.coalesce("wins", F.lit(0)) == F.lit(n - 1)).alias("is_condorcet"),
+            (F.coalesce("wins", F.lit(0)) == F.col("n_cand") - 1).alias("is_condorcet"),
         )
     )
 

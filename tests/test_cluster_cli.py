@@ -46,3 +46,37 @@ def test_cli_info_json(spark, capsys):
 def test_cli_demo_runs(spark, capsys):
     assert cli.main(["demo", "q6_forecast_revenue"]) == 0
     assert "revenue" in capsys.readouterr().out
+
+
+def test_cli_maple_juice_executable_path(spark, tmp_path):
+    """`maple <exe>` / `juice <exe>` with REAL program files (the
+    reference's calling convention) route through rdd.pipe end-to-end."""
+    import sys
+
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.sdfs import Sdfs
+
+    from .conftest import SF_DIR
+
+    wh = str(tmp_path / "wh")
+    fs = Sdfs(spark, wh)
+    fs.put(table(spark, SF_DIR, "documents").select("text").limit(50), "docs")
+
+    mapper = tmp_path / "m.py"
+    mapper.write_text(
+        "import sys\nfor line in sys.stdin:\n"
+        "    for w in line.split():\n        print(f'{w}\\t1')\n"
+    )
+    reducer = tmp_path / "r.py"
+    reducer.write_text(
+        "import sys\ncur, acc = None, 0\n"
+        "def flush():\n    if cur is not None: print(f'{cur}\\t{acc}')\n"
+        "for line in sys.stdin:\n"
+        "    k, v = line.rstrip('\\n').split('\\t', 1)\n"
+        "    if k != cur:\n        flush(); cur, acc = k, 0\n"
+        "    acc += int(v)\nflush()\n"
+    )
+    assert cli.main(["--warehouse", wh, "maple", f"{sys.executable} {mapper}", "2", "kv", "docs"]) == 0
+    assert cli.main(["--warehouse", wh, "juice", f"{sys.executable} {reducer}", "2", "kv", "counts"]) == 0
+    counts = {r["key"]: int(r["value"]) for r in fs.get("counts").collect()}
+    assert len(counts) > 0 and all(v >= 1 for v in counts.values())
