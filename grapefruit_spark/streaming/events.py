@@ -271,3 +271,49 @@ def stream_dedup_within_watermark(
     return ev.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        """StatefulProcessor for transformWithStateInPandas (the Spark 4
+        arbitrary-stateful API succeeding applyInPandasWithState):
+        per-user running count/total in a typed ValueState cell."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, float(total)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+except ImportError:  # API not present on this build
+    UserStatsProcessor = None  # type: ignore[assignment]
+
+
+def stream_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via transformWithStateInPandas — same
+    semantics as stream_sessionize_stateful but on the successor API
+    (typed state cells, timers, RocksDB-backed state store)."""
+    if UserStatsProcessor is None:
+        raise NotImplementedError("transformWithStateInPandas not available")
+    ev = read_event_stream(spark, sf_dir)
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        UserStatsProcessor(),
+        outputStructType=_SESSION_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

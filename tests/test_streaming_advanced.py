@@ -169,3 +169,40 @@ def test_stream_dedup_within_watermark_drops_redelivery(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == n_unique
     assert len({r["event_id"] for r in rows}) == n_unique
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas final per-user stats == batch groupBy
+    (RocksDB state store is required by the API; conf set per-query)."""
+    import pytest
+
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.streaming.events import run_to_memory, stream_user_stats_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_to_memory(stream_user_stats_tws(spark, SF_DIR), "t_tws", "update")
+        rows = got.collect()
+    except Exception as e:  # pragma: no cover - env-dependent native dep
+        pytest.skip(f"transformWithState unavailable in this env: {e}")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    # update mode may emit intermediate rows; last emission per user wins
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    ev = table(spark, SF_DIR, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert final == want
