@@ -327,10 +327,41 @@ WHERE abs(zscore) >= 3.0
 """
 
 
+def customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window profile over each customer's order history:
+    percent_rank + cume_dist along the timeline, first/last price over
+    the full frame. One shuffle on o_custkey; every window shares it."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.first("o_totalprice").over(wf), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wf), 2).alias("last_price"),
+    )
+
+
+ORACLE["customer_order_windows"] = """
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       round(first_value(o_totalprice) OVER wf, 2) AS first_price,
+       round(last_value(o_totalprice) OVER wf, 2) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
     "events_quantile_sketch": events_quantile_sketch,
     "order_value_quartiles": order_value_quartiles,
     "events_zscore_outliers": events_zscore_outliers,
+    "customer_order_windows": customer_order_windows,
     "running_total": running_total,
     "order_gap_days": order_gap_days,
     "price_percentiles": price_percentiles,

@@ -103,6 +103,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow twin of extract_features: the batch stays a pyarrow
+    RecordBatch end-to-end, so the binary payloads are never copied into
+    pandas object arrays — the right surface when the payload bytes
+    dominate the row (tested equal to the pandas path)."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            medias = batch.column("media").to_pylist()
+            kinds = batch.column("kind").to_pylist()
+            feats = [decode_stub(m, k) for m, k in zip(medias, kinds)]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "kind": batch.column("kind"),
+                    "n_bytes": batch.column("n_bytes"),
+                    "checksum": pa.array([f["checksum"] for f in feats], pa.int64()),
+                    "width": pa.array([f["width"] for f in feats], pa.int32()),
+                    "height": pa.array([f["height"] for f in feats], pa.int32()),
+                    "feat": pa.array([f["feat"] for f in feats], pa.list_(pa.float64())),
+                }
+            )
+
+    return media.mapInArrow(run, schema=FEATURE_SCHEMA)
+
+
 # ------------------------------------------------------------ transforms
 TRANSFORM_SCHEMA = (
     "doc_id bigint, kind string, op string, out_w int, out_h int, "

@@ -161,3 +161,18 @@ def test_multimodal_transform_dispatch(spark):
 def test_multimodal_transform_summary(spark):
     out = {(r["kind"], r["op"]) for r in multimodal.multimodal_transform(spark, SF_DIR).collect()}
     assert out == {("image", "resize"), ("video", "frame_sample"), ("audio", "audio_window")}
+
+
+def test_multimodal_arrow_path_equals_pandas_path(spark):
+    """mapInArrow and mapInPandas extractors produce identical features."""
+    media = multimodal.synthesize_media(spark, SF_DIR)
+
+    def canon(df):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        }
+
+    a = canon(multimodal.extract_features_arrow(media))
+    b = canon(multimodal.extract_features(media))
+    assert a == b and len(a) == 500
