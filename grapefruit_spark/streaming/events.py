@@ -223,15 +223,68 @@ def run_file_sink(
     q.awaitTermination()
 
 
-def run_foreach_batch(stream_df: DataFrame, sink) -> None:
+def run_foreach_batch(
+    stream_df: DataFrame, sink, checkpoint_dir: str | None = None
+) -> None:
     """foreachBatch escape hatch: hand each microbatch (a normal batch
-    DataFrame + epoch id) to arbitrary sink logic, e.g. an Sdfs upsert."""
-    q = (
-        stream_df.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
+    DataFrame + epoch id) to arbitrary sink logic, e.g. an Sdfs upsert.
+    With a checkpoint dir, restarts resume at the last committed offset —
+    the incremental-maintenance contract."""
+    w = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+ROLLUP_KEYS = ("event_type", "hour")
+
+
+def maintain_event_rollup(spark: SparkSession, src_dir: str, fs, name: str, checkpoint_dir: str) -> None:
+    """Incrementally maintained rollup: the (event_type, hour) aggregate
+    is UPDATED from each newly landed file instead of recomputed from the
+    full history — at 100 TB of history, each increment touches only the
+    new data plus the (tiny) stored aggregate.
+
+    Measures are re-aggregatable (counts/sums merge by addition; an avg
+    would be carried as sum+count). The stored table swap is
+    write-new → atomic rename, so readers never see a half-merged state;
+    the stream checkpoint makes increments exactly-once across restarts.
+    """
+    import os
+    import shutil
+
+    raw = (
+        spark.readStream.schema(EVENTS_DISK_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = (
+            batch_df.groupBy(
+                "event_type", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        )
+        if fs.exists(name):
+            merged = (
+                fs.get(name).unionByName(delta)
+                .groupBy("event_type", "hour")
+                .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+            )
+        else:
+            merged = delta
+        # write beside, swap atomically — never overwrite a table mid-read
+        tmp = fs._path(f"{name}__delta")
+        merged.write.mode("overwrite").parquet(tmp)
+        final = fs._path(name)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    run_foreach_batch(ev, sink, checkpoint_dir)
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:

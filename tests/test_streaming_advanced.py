@@ -206,3 +206,41 @@ def test_transform_with_state_matches_batch(spark):
         .collect()
     }
     assert final == want
+
+
+def test_maintained_rollup_matches_batch(spark, tmp_path):
+    """Incremental aggregate maintenance: two separate availableNow runs
+    over a growing source, one checkpoint — the maintained table equals
+    the batch aggregate over everything, each run reading only new files."""
+    from grapefruit_spark.sdfs import Sdfs
+    from grapefruit_spark.streaming.events import maintain_event_rollup
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+
+    _write_chunk(spark, src, 0, 120)
+    maintain_event_rollup(spark, src, fs, "rollup", ckpt)
+    assert fs.get("rollup").agg(F.sum("n_events")).first()[0] == 120
+
+    _write_chunk(spark, src, 1000, 80)
+    maintain_event_rollup(spark, src, fs, "rollup", ckpt)
+    maintained = {
+        (r["event_type"], r["hour"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in fs.get("rollup").collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    want = {
+        (r["event_type"], r["hour"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert maintained == want
+    assert sum(v[0] for v in maintained.values()) == 200
