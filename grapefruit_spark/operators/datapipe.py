@@ -464,12 +464,138 @@ FROM (
 """
 
 
+
+
+# ------------------------------------------------------------------ D24
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profile of a table in ONE scan: null rate,
+    distinct count, min/max per column, melted to a row per column.
+
+    The single wide aggregate computes every column's stats together —
+    a naive profiler runs one job per column and rescans the table N
+    times; at 100 TB that is N scans of 100 TB.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"max_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    melted = wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"nulls_{c}").cast("bigint").alias("n_nulls"),
+                    F.col(f"dist_{c}").alias("n_distinct"),
+                    F.col(f"min_{c}").alias("min_str"),
+                    F.col(f"max_{c}").alias("max_str"),
+                )
+                for c in cols
+            ])
+        ).alias("p")
+    )
+    return melted.select("p.*").orderBy("col_name")
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+_profile_arms = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c}::VARCHAR) AS min_str, max({c}::VARCHAR) AS max_str
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+ORACLE["profile_orders"] = f"SELECT * FROM ({_profile_arms}) ORDER BY col_name"
+
+
+# ------------------------------------------------------------------ D25
+def validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite over the warehouse, one row per
+    check: key uniqueness, referential integrity (orders→customer,
+    lineitem→orders), domain bounds. Violations counted, not thrown —
+    the report IS the product (deequ/great-expectations shape).
+
+    Each check is an independent aggregate over a pruned scan; the
+    anti-joins broadcast the (deduped) key sets being probed.
+    """
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    lineitem = table(spark, sf_dir, "lineitem")
+
+    dup_orderkeys = (
+        orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("unique_o_orderkey").alias("check_name"), "violations")
+    )
+    orphan_orders = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("orders_customer_fk").alias("check_name"), "violations")
+    )
+    orphan_lines = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("lineitem_orders_fk").alias("check_name"), "violations")
+    )
+    bad_price = (
+        orders.where(F.col("o_totalprice") <= 0)
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("positive_totalprice").alias("check_name"), "violations")
+    )
+    bad_discount = (
+        lineitem.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(F.lit("discount_in_unit_range").alias("check_name"), "violations")
+    )
+    return (
+        dup_orderkeys.unionByName(orphan_orders)
+        .unionByName(orphan_lines)
+        .unionByName(bad_price)
+        .unionByName(bad_discount)
+        .withColumn("passed", F.col("violations") == 0)
+        .orderBy("check_name")
+    )
+
+
+ORACLE["validate_constraints"] = """
+SELECT check_name, violations, violations = 0 AS passed FROM (
+    SELECT 'unique_o_orderkey' AS check_name,
+           (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS violations
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_orders_fk',
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'positive_totalprice',
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'discount_in_unit_range',
+           (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+)
+ORDER BY check_name
+"""
+
+
 QUERIES = {
     "split_train_val": split_train_val,
     "seq_packing": seq_packing,
     "decontaminate_ngrams": decontaminate_ngrams,
     "doc_chunking": doc_chunking,
     "shuffle_order": shuffle_order,
+    "profile_orders": profile_orders,
+    "validate_constraints": validate_constraints,
     "sample_stratified": sample_stratified,
     "reshard_by_hash": reshard_by_hash,
     "pii_redact": pii_redact,

@@ -87,3 +87,25 @@ def write_any(
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         else:
             writer.save(path)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 4,
+) -> None:
+    """Cluster-by-key layout: range-partition on the sort key, sort within
+    each file, then write — every output file owns a disjoint key range
+    and its parquet row-group min/max stats are tight, so a selective
+    scan skips whole files/row groups instead of reading them (the
+    single-key version of Z-ordering; at 100 TB layout IS the index).
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -165,3 +165,40 @@ def test_json_corrupt_records_quarantined(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["id"] for r in good} == {1, 3}
     assert len(bad) == 1 and "BROKEN" in bad[0]["_corrupt_record"]
+
+
+def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
+    """Clustered layout: sorted-write files own disjoint key ranges
+    (footer stats prove scans can skip); a round-robin write overlaps."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from grapefruit_spark.sources.io import write_sorted
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id", "event_id")
+
+    def file_ranges(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # user_id
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    sorted_path = str(tmp_path / "clustered")
+    write_sorted(ev, sorted_path, ["user_id"], n_files=4)
+    ranges = sorted(file_ranges(sorted_path))
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges → file-level skipping
+
+    plain_path = str(tmp_path / "roundrobin")
+    ev.repartition(4).write.mode("overwrite").parquet(plain_path)
+    pranges = sorted(file_ranges(plain_path))
+    overlaps = sum(1 for (l1, h1), (l2, h2) in zip(pranges, pranges[1:]) if h1 > l2)
+    assert overlaps > 0  # the unclustered layout can't skip
