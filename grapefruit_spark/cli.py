@@ -68,6 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("query")
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     sp.add_argument("--show", type=int, default=20)
+    sp.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of rows")
     return p
 
 
@@ -139,7 +141,10 @@ def main(argv: list[str] | None = None) -> int:
         from .operators import all_queries
 
         df = all_queries()[args.query](spark, args.sf_dir)
-        df.show(args.show, truncate=False)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.show, truncate=False)
     return 0
 
 

@@ -256,6 +256,64 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_ivf with TRAINED centroids (operators.ml.kmeans_fit) instead of
+    step-sampled rows: cells follow the data distribution, so probing the
+    same 3 cells recovers more true neighbors. Same output contract;
+    rows-only gate + recall-vs-bruteforce pytest.
+    """
+    from .ml import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(spark, emb.select("vec_id", "embedding"), k=IVF_CELLS, iters=4)
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    bcent = broadcast(cent)
+    corpus_scored = emb.join(bcent).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.struct(
+            (-cosine_similarity(F.col("embedding"), F.col("centroid"))).alias("neg_cos"),
+            F.col("cell"),
+        ).alias("sc"),
+    )
+    corpus = (
+        corpus_scored.groupBy("neighbor_id")
+        .agg(F.min("sc").alias("best"), F.first("cvec").alias("cvec"))
+        .select("neighbor_id", "cvec", F.col("best.cell").alias("cell"))
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    q_scored = q.join(bcent).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.struct(
+            (-cosine_similarity(F.col("embedding"), F.col("centroid"))).alias("neg_cos"),
+            F.col("cell"),
+        ).alias("sc"),
+    )
+    probes = (
+        q_scored.groupBy("query_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("sc")), 1, IVF_PROBES).alias("cells"),
+            F.first("qvec").alias("qvec"),
+        )
+        .select("query_id", "qvec", F.explode(F.col("cells.cell")).alias("cell"))
+    )
+    scored = (
+        corpus.join(broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup flavor of D5):
     all pairs with cos ≥ τ, via the same double-precision path as the
@@ -285,5 +343,6 @@ QUERIES = {
     "knn_topk_partitioned": knn_topk_partitioned,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
+    "knn_ivf_trained": knn_ivf_trained,
     "embedding_neardup": embedding_neardup,
 }

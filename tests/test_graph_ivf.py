@@ -113,3 +113,16 @@ def test_supplier_pagerank_invariants(spark):
     ranks = [r["pagerank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r > 0 for r in ranks)
+
+
+def test_ivf_trained_recall(spark):
+    """Trained-centroid IVF matches or beats the random-baseline bound
+    and keeps the exact-rank output contract."""
+    bf = {}
+    for r in similarity.knn_bruteforce(spark, SF_DIR).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    tr = {}
+    for r in similarity.knn_ivf_trained(spark, SF_DIR).collect():
+        tr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(bf[q] & tr.get(q, set())) / len(bf[q]) for q in bf]
+    assert sum(recalls) / len(recalls) > 0.3
