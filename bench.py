@@ -65,6 +65,11 @@ HEADLINE = [
     # native session windows + iterative ML
     "events_session_window",
     "kmeans_embeddings",
+    # profiling / data quality / window depth
+    "profile_orders",
+    "validate_constraints",
+    "events_user_lifetime",
+    "customer_order_windows",
 ]
 
 

@@ -34,12 +34,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so column pruning reflects that query's projection."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk (read as long via nanosAsLong);
-        # truncate to micros exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        # ts is TIMESTAMP(NANOS) on disk. Set the read conf HERE, not just
+        # in our session factory — the driver hands queries() its own
+        # SparkSession, which must not need pre-arranged confs to work.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # immutable on this build; the dtype check below adapts
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # truncate ns→us exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
