@@ -235,8 +235,84 @@ GROUP BY user_id
 """
 
 
+ANOM_TRAIL = 24  # trailing hours
+ANOM_Z = 2.0
+
+
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomaly detection per event_type: flag hours
+    whose count deviates ≥ 2σ from the trailing-24h mean.
+
+    Two shuffles total (hourly rollup, then a window per event_type over
+    the SMALL rollup — hours × types, not raw events). Moments come from
+    trailing sum/sum-of-squares in one window pass — the same closed form
+    both engines evaluate exactly.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-ANOM_TRAIL, -1)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    s = F.sum("n").over(w)
+    ss = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s / cnt
+    var = (ss - s * s / cnt) / (cnt - 1)
+    # every window expression evaluates over the FULL hourly frame (all
+    # columns in one select, filters strictly after). Zero-variance
+    # windows are excluded on BOTH sides: under ANSI x/0 throws here,
+    # DuckDB would yield inf — and a flat baseline has no σ to score by.
+    z = F.round((F.col("n") - F.col("trail_mean")) / F.sqrt(F.col("trail_var")), 3)
+    return (
+        hourly.select(
+            "event_type",
+            "hour",
+            "n",
+            cnt.alias("trail_n"),
+            mean.alias("trail_mean"),
+            var.alias("trail_var"),
+        )
+        .where((F.col("trail_n") >= 12) & (F.col("trail_var") > 0))
+        .select("event_type", "hour", "n", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) >= ANOM_Z)
+    )
+
+
+ORACLE["events_rate_anomaly"] = f"""
+WITH hourly AS (
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+scored AS (
+    SELECT event_type, hour, n,
+           count(*) OVER w AS trail_n,
+           sum(n) OVER w / count(*) OVER w AS trail_mean,
+           (sum(n * n) OVER w - sum(n) OVER w * sum(n) OVER w / count(*) OVER w)
+               / (count(*) OVER w - 1) AS trail_var
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n,
+       round((n - trail_mean) / sqrt(trail_var), 3) AS zscore
+FROM scored
+WHERE trail_n >= 12 AND trail_var > 0
+  AND abs(round((n - trail_mean) / sqrt(trail_var), 3)) >= {ANOM_Z}
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
+    "events_rate_anomaly": events_rate_anomaly,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_heavy_hitters": events_heavy_hitters,

@@ -25,6 +25,9 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # push whole MIN/MAX/COUNT aggregates into parquet footers when the
+    # query shape allows — a metadata read instead of a 100 TB scan
+    "spark.sql.parquet.aggregatePushdown": "true",
     # events.parquet carries TIMESTAMP(NANOS); read as long, catalog converts
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
