@@ -588,8 +588,44 @@ ORDER BY check_name
 """
 
 
+# ------------------------------------------------------------------ D30
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: exactly min(k, |group|) docs per
+    language, chosen by md5(doc_id) order (a seedless, engine-portable
+    "random" order). The per-group-budget counterpart of the rate-based
+    ``sample_stratified`` — what you use to balance a corpus across
+    languages/domains before training.
+
+    One shuffle (the lang window); the rank predicate prunes everything
+    past k per group before the final project.
+    """
+    from pyspark.sql.window import Window
+
+    k = 50
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_bucket(F.col("doc_id")), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= k)
+    )
+
+
+ORACLE["sample_k_per_group"] = f"""
+SELECT doc_id, lang, rk FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_duck_bucket('doc_id')}, doc_id
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= 50
+"""
+
+
 QUERIES = {
     "split_train_val": split_train_val,
+    "sample_k_per_group": sample_k_per_group,
     "seq_packing": seq_packing,
     "decontaminate_ngrams": decontaminate_ngrams,
     "doc_chunking": doc_chunking,

@@ -310,8 +310,59 @@ WHERE trail_n >= 12 AND trail_var > 0
 """
 
 
+# ------------------------------------------------------------------ C17
+def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style interval construction from a change log: collapse each
+    user's event stream into contiguous event_type "states" with
+    [valid_from, valid_to) validity — the standard warehouse transform
+    that turns an append-only log into a slowly-changing-dimension
+    history (valid_to NULL = current state).
+
+    One shuffle total: the change-point filter and the lead() that closes
+    each interval share the user_id partitioning, so Catalyst plans a
+    single exchange + sort reused by both windows. Ties broken by
+    event_id so both engines pick identical change points.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+    )
+
+
+ORACLE["events_state_intervals"] = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM ordered
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to
+FROM changes
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
+    "events_state_intervals": events_state_intervals,
     "events_rate_anomaly": events_rate_anomaly,
     "events_funnel": events_funnel,
     "events_retention": events_retention,

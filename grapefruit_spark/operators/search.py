@@ -181,7 +181,64 @@ WHERE rank <= {BM25_TOP}
 """
 
 
+# ------------------------------------------------------------------ D29
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: per-doc mean negative log-probability of
+    its tokens under the corpus unigram distribution (a cheap perplexity
+    proxy — high avg_neg_logp ⇒ rare/garbled text, low ⇒ boilerplate).
+
+    Same shuffle shape as tfidf: explode → window over the term key for
+    global counts (one shuffle, no self-join) → broadcast 1-row total →
+    re-aggregate per doc (second shuffle). Rounded to 6 dp so JVM/libm
+    ln() agree with DuckDB's.
+    """
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    # per-(doc,term) tf first: shrinks rows before the term window and
+    # makes the per-doc mean an exact weighted sum
+    tfreq = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cfreq = tfreq.withColumn("cf", F.sum("tf").over(Window.partitionBy("term")))
+    total = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("t"))
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+    )
+    scored = cfreq.join(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(F.col("cf") / F.col("n_corpus")))
+                / F.sum("tf"),
+                6,
+            ).alias("avg_neg_logp"),
+        )
+    )
+
+
+ORACLE["doc_unigram_logprob"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+),
+tfreq AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+cfreq AS (
+    SELECT *, sum(tf) OVER (PARTITION BY term) AS cf FROM tfreq
+),
+n AS (SELECT count(*) AS n_corpus FROM toks)
+SELECT doc_id,
+       sum(tf)::BIGINT AS n_tokens,
+       round(sum(tf * -ln(cf / n_corpus)) / sum(tf), 6) AS avg_neg_logp
+FROM cfreq, n
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
+    "doc_unigram_logprob": doc_unigram_logprob,
 }

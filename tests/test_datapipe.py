@@ -62,3 +62,15 @@ def test_split_no_shuffle_before_agg(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 2  # partial agg -> single exchange (+AQE read)
+
+
+def test_sample_k_per_group_budget_and_determinism(spark):
+    df = datapipe.sample_k_per_group(spark, SF_DIR)
+    rows = df.collect()
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    assert all(n <= 50 for n in per_lang.values())
+    # rerun returns the identical membership (no rand() anywhere)
+    again = {(r["doc_id"], r["lang"], r["rk"]) for r in df.collect()}
+    assert again == {(r["doc_id"], r["lang"], r["rk"]) for r in rows}

@@ -57,3 +57,19 @@ def test_retention_week_zero_covers_all_cohorts(spark):
     for r in rows:
         by_cohort.setdefault(r["cohort_week"], set()).add(r["weeks_since"])
     assert all(0 in wks for wks in by_cohort.values())
+
+
+def test_state_intervals_contiguous_per_user(spark):
+    """Each user's SCD2 history: contiguous intervals, exactly one open
+    (valid_to NULL) current state, no adjacent duplicate states."""
+    rows = event_analytics.events_state_intervals(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for hist in by_user.values():
+        hist.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in hist if r["valid_to"] is None) == 1
+        assert hist[-1]["valid_to"] is None
+        for a, b in zip(hist, hist[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]

@@ -126,3 +126,45 @@ def test_ivf_trained_recall(spark):
         tr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(bf[q] & tr.get(q, set())) / len(bf[q]) for q in bf]
     assert sum(recalls) / len(recalls) > 0.3
+
+
+def test_copurchase_triangles_matches_oracle(spark, duck):
+    from grapefruit_spark.operators import graph
+
+    from .util import assert_matches_oracle
+
+    sdf = graph.copurchase_triangles(spark, SF_DIR)
+    assert_matches_oracle(sdf, duck, graph.ORACLE["copurchase_triangles"])
+
+
+def test_copurchase_triangles_matches_bruteforce(spark):
+    """Recount triangles with a plain python set over the same edge set."""
+    from grapefruit_spark.operators import graph
+
+    li = [
+        (r["l_orderkey"], r["l_partkey"])
+        for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ]
+    by_order: dict[int, set[int]] = {}
+    for k, p in li:
+        by_order.setdefault(k, set()).add(p)
+    edges: set[tuple[int, int]] = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                edges.add((u, v))
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n_tri = sum(
+        1 for u, v in edges for w in (adj[u] & adj[v]) if v < w
+    )
+    row = graph.copurchase_triangles(spark, SF_DIR).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_nodes"] == len(adj)
+    assert row["n_triangles"] == n_tri
+    assert 0.0 <= row["clustering_coeff"] <= 1.0

