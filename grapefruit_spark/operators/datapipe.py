@@ -324,24 +324,53 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles its exploded grams — the standard decontamination
     shape (e.g. GPT-3 appendix C) as one broadcast semi-join + count.
     """
-    from ..functions import normalize_text, word_ngrams, ws_tokens
+    from ..functions import MINHASH_P, normalize_text, ws_tokens
 
     docs = table(spark, sf_dir, "documents")
-    # join on xxhash64 of the gram, not the gram string: 8-byte keys
-    # through the explode and broadcast probe instead of ~40-byte strings
-    # (counts identical barring a 2^-64 collision — the standard
-    # hash-based decontamination trade)
-    grams = F.array_distinct(
-        F.transform(
-            word_ngrams(ws_tokens(normalize_text(F.col("text"))), DECON_N),
-            lambda g: F.xxhash64(g),
+    # Gram keys WITHOUT building gram strings: hash each token once into
+    # two independent 31-bit streams, then fold DECON_N consecutive
+    # hashes arithmetically and pack both folds into one 62-bit key
+    # (ANSI-safe: every intermediate < 2^62). Same dedup_minhash trick;
+    # counts identical to string grams barring a ~2^-62 collision.
+    mult = 1_000_003
+
+    def _th(seed: int):
+        return F.transform(
+            ws_tokens(normalize_text(F.col("text"))),
+            lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(MINHASH_P)),
         )
+
+    def _fold(col: str, i):
+        g = F.element_at(F.col(col), i + 1)
+        for k in range(1, DECON_N):
+            g = (g * F.lit(mult) + F.element_at(F.col(col), i + 1 + k)) % F.lit(MINHASH_P)
+        return g
+
+    grams = F.when(
+        F.size("th1") >= DECON_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("th1") - DECON_N),
+                lambda i: _fold("th1", i) * F.lit(1 << 31) + _fold("th2", i),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    gdf = docs.select("doc_id", _th(1).alias("th1"), _th(2).alias("th2")).select(
+        "doc_id", grams.alias("grams")
     )
+
+    # explode_outer, NOT explode: plain explode triggers
+    # InferFiltersFromGenerate, whose size(grams)>0 predicate is pushed
+    # to the scan with the whole gram pipeline inlined PER element_at —
+    # measured ~100× slower. The null-filter after the generate is free.
+    def _xpl(df):
+        return df.select("doc_id", F.explode_outer("grams").alias("gram")).where(
+            F.col("gram").isNotNull()
+        )
+
     is_eval = F.col("doc_id") % DECON_MOD == 0
-    eval_grams = (
-        docs.where(is_eval).select(F.explode(grams).alias("gram")).distinct()
-    )
-    train = docs.where(~is_eval).select("doc_id", F.explode(grams).alias("gram"))
+    eval_grams = _xpl(gdf.where(is_eval)).select("gram").distinct()
+    train = _xpl(gdf.where(~is_eval))
     return (
         train.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
@@ -477,31 +506,37 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}"),
-            F.countDistinct(c).alias(f"dist_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"max_{c}"),
-        ]
-    wide = orders.agg(*aggs)
-    melted = wide.select(
+    # melt FIRST, then a two-level aggregate keyed by (column, value):
+    # the partial agg collapses to distinct values map-side, the shuffle
+    # carries |distinct| rows per column, and the final agg parallelizes
+    # across columns. The multi-countDistinct alternative Expands every
+    # row ×(N+1) and funnels the whole table into a single global agg —
+    # measured 2.5× slower here and a single-reducer chokepoint at 100 TB.
+    melted = orders.select(
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(c).alias("col_name"),
-                    F.col("n_rows").alias("n_rows"),
-                    F.col(f"nulls_{c}").cast("bigint").alias("n_nulls"),
-                    F.col(f"dist_{c}").alias("n_distinct"),
-                    F.col(f"min_{c}").alias("min_str"),
-                    F.col(f"max_{c}").alias("max_str"),
+                    F.lit(c).alias("col_name"), F.col(c).cast("string").alias("v")
                 )
                 for c in cols
             ])
         ).alias("p")
+    ).select("p.*")
+    return (
+        melted.groupBy("col_name", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("col_name")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
+            F.min("v").alias("min_str"),
+            F.max("v").alias("max_str"),
+        )
+        .orderBy("col_name")
     )
-    return melted.select("p.*").orderBy("col_name")
 
 
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]

@@ -374,10 +374,68 @@ WHERE round(n_inter / sa.n_grams, 6) >= {CONTAIN_TAU}
    OR round(n_inter / sb.n_grams, 6) >= {CONTAIN_TAU}
 """
 
+# ------------------------------------------------------------------ D31
+FUZZY_MAX_DIST = 3
+FUZZY_MIN_DIST = 1  # distance-0 (identical names) is dedup_exact's job
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join: part-name pairs within edit
+    distance 1..3 — the entity-resolution primitive (catalog/record dedup where
+    names drift by a typo or a word swap).
+
+    Scale shape is the same candidate→verify discipline as the LSH
+    dedups: block on the name's first token (cheap, selective, uniform),
+    self-join only within blocks, THEN run the quadratic-cost
+    levenshtein verify on the surviving candidates. A length-difference
+    guard (|len(a)−len(b)| ≤ τ ⊇ edit-distance ≤ τ) prunes before the
+    DP. Never a full cross join.
+    """
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("name")
+    )
+    blocked = parts.withColumn("blk", F.split(F.col("name"), " ").getItem(0))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length("a.name") - F.length("b.name"))
+                <= FUZZY_MAX_DIST
+            ),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
+        .where(F.col("dist").between(FUZZY_MIN_DIST, FUZZY_MAX_DIST))
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            "dist",
+        )
+    )
+
+
+ORACLE["fuzzy_name_pairs"] = f"""
+WITH blocked AS (
+    SELECT p_partkey, lower(p_name) AS name,
+           string_split(lower(p_name), ' ')[1] AS blk
+    FROM part
+)
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       levenshtein(a.name, b.name) AS dist
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+ AND abs(length(a.name) - length(b.name)) <= {FUZZY_MAX_DIST}
+WHERE levenshtein(a.name, b.name) BETWEEN {FUZZY_MIN_DIST} AND {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
 }

@@ -304,8 +304,108 @@ FROM stats, ne, tri
 """
 
 
+# ------------------------------------------------------------------ A17
+LIFT_MIN_SUPPORT = 3
+LIFT_TOP = 20
+
+
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: top-20 part pairs by lift
+    (P(a,b) / P(a)P(b)) with a minimum pair support — the
+    recommendation-engine complement to copurchase_triangles on the same
+    basket data.
+
+    One basket scan feeds everything: distinct (order, part) → pair
+    co-occurrence counts via self-join on the order key, item supports
+    via one groupBy, the order total as a broadcast scalar. Min-support
+    prunes the pair tail BEFORE the support joins, so the join input is
+    the (tiny) frequent-pair set, not every pair seen once.
+    """
+    from ..catalog import table
+
+    basket = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = basket.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pair_n = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= LIFT_MIN_SUPPORT)
+    )
+    item_n = basket.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    total = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    su = item_n.select(F.col("item").alias("u"), F.col("n_item").alias("n_a"))
+    sv = item_n.select(F.col("item").alias("v"), F.col("n_item").alias("n_b"))
+    scored = (
+        pair_n.join(su, "u")
+        .join(sv, "v")
+        .join(F.broadcast(total))
+        .withColumn(
+            "lift",
+            F.round(
+                F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= LIFT_TOP)
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            "n_ab",
+            "lift",
+            "rank",
+        )
+    )
+
+
+ORACLE["copurchase_lift"] = f"""
+WITH basket AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pair_n AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n_ab
+    FROM basket a JOIN basket b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {LIFT_MIN_SUPPORT}
+),
+item_n AS (
+    SELECT l_partkey AS item, count(*) AS n_item FROM basket GROUP BY 1
+),
+total AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket)
+SELECT part_a, part_b, n_ab, lift, rank FROM (
+    SELECT p.u AS part_a, p.v AS part_b, p.n_ab,
+           round(p.n_ab * t.n_orders / (ia.n_item * ib.n_item), 6) AS lift,
+           row_number() OVER (
+               ORDER BY round(p.n_ab * t.n_orders / (ia.n_item * ib.n_item), 6) DESC,
+                        p.u ASC, p.v ASC
+           ) AS rank
+    FROM pair_n p
+    JOIN item_n ia ON ia.item = p.u
+    JOIN item_n ib ON ib.item = p.v
+    CROSS JOIN total t
+)
+WHERE rank <= {LIFT_TOP}
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "supplier_pagerank": supplier_pagerank,
     "copurchase_triangles": copurchase_triangles,
+    "copurchase_lift": copurchase_lift,
 }

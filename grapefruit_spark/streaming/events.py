@@ -126,6 +126,84 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_TTL_GAP_MIN = 30  # inactivity gap that closes a session
+
+_TTL_STATE_SCHEMA = "n bigint, total double, start_us bigint, last_us bigint"
+_TTL_OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "start_us bigint, end_us bigint, closed_by string"
+)
+
+
+def _sessions_ttl_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Gap sessionizer with EXPIRING state: a session closes either when a
+    later event for the key arrives past the gap ('gap'), or — the part
+    only a timeout can do — when the key goes idle and the event-time
+    watermark passes last_event + gap ('timeout'). Idle keys therefore
+    cost zero state: at 100 TB/day with billions of users, state tracks
+    ACTIVE sessions only, not the user universe."""
+    gap_us = SESSION_TTL_GAP_MIN * 60 * 1_000_000
+    cols = ["user_id", "n_events", "total_value", "start_us", "end_us", "closed_by"]
+    out: list[tuple] = []
+    if state.hasTimedOut:
+        n, total, start_us, last_us = state.get
+        out.append((key[0], n, total, start_us, last_us, "timeout"))
+        state.remove()
+        yield pd.DataFrame(out, columns=cols)
+        return
+    runs: list[list] = []  # [n, total, start_us, last_us]
+    if state.exists:
+        n, total, start_us, last_us = state.get
+        runs.append([n, total, start_us, last_us])
+    ev: list[tuple[int, float]] = []
+    for pdf in pdfs:
+        us = (pdf["ts"].astype("int64") // 1000).tolist()
+        ev.extend(zip(us, pdf["value"].astype(float).tolist()))
+    for us, val in sorted(ev):
+        if runs and us - runs[-1][3] <= gap_us:
+            r = runs[-1]
+            r[0] += 1
+            r[1] += val
+            r[3] = max(r[3], us)
+        else:
+            runs.append([1, val, us, us])
+    for n, total, start_us, last_us in runs[:-1]:
+        out.append((key[0], n, total, start_us, last_us, "gap"))
+    n, total, start_us, last_us = runs[-1]
+    state.update((n, total, start_us, last_us))
+    state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # epoch millis
+    yield pd.DataFrame(out, columns=cols)
+
+
+def stream_sessions_ttl(
+    spark: SparkSession, src_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Custom stateful sessionization with state TTL (C5 deepened): emits
+    one row per CLOSED session; open sessions live in per-key GroupState
+    with an event-time timeout at last_event + gap, so abandoned keys are
+    evicted and emitted the moment the watermark clears them."""
+    raw = (
+        spark.readStream.schema(EVENTS_DISK_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    ev = (
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessions_ttl_update,
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the events stream joined to the customer
     dim. The static side broadcasts per microbatch — no stream state, the

@@ -244,3 +244,52 @@ def test_maintained_rollup_matches_batch(spark, tmp_path):
     }
     assert maintained == want
     assert sum(v[0] for v in maintained.values()) == 200
+
+
+def _write_user_chunk(spark, src_dir: str, ts_offset_min: int, n: int, user: int | None) -> None:
+    """Like _write_chunk but with a controllable user set: user=None keeps
+    the id%7 rotation, otherwise every event belongs to `user`."""
+    df = spark.range(n).select(
+        (F.col("id") + ts_offset_min * 100).alias("event_id"),
+        (F.lit(1704067200000000000) + (F.lit(ts_offset_min) * 60 + F.col("id") * 60) * 1_000_000_000).alias("ts"),
+        (F.col("id") % 7 if user is None else F.lit(user)).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def test_sessions_ttl_timeout_evicts_idle_keys(spark, tmp_path):
+    """Event-time timeout: users 0-6 go idle after chunk 1; two later
+    chunks from a lone sentinel user advance the watermark past
+    last_event + gap, so the 7 idle sessions are emitted closed_by=
+    'timeout' and their state removed. The sentinel's own session stays
+    open (never emitted)."""
+    import time
+
+    from grapefruit_spark.streaming.events import run_to_memory, stream_sessions_ttl
+
+    src = str(tmp_path / "src")
+    _write_user_chunk(spark, src, 0, 119, None)      # users 0..6, ts 0..118 min
+    time.sleep(1.1)  # file-source batches order by mod time
+    _write_user_chunk(spark, src, 1000, 2, 100)      # watermark driver #1
+    time.sleep(1.1)
+    _write_user_chunk(spark, src, 2000, 2, 100)      # batch 3: fires timeouts
+    rows = run_to_memory(stream_sessions_ttl(spark, src), "t_ttl", "append").collect()
+
+    closed = {r["user_id"]: r for r in rows}
+    assert set(closed) >= set(range(7)), f"missing timeouts: {sorted(closed)}"
+    per_user = {u: 0 for u in range(7)}
+    for i in range(119):
+        per_user[i % 7] += 1
+    for u in range(7):
+        r = closed[u]
+        assert r["closed_by"] == "timeout"
+        assert r["n_events"] == per_user[u]
+        assert r["total_value"] == float(per_user[u])
+    # sentinel sessions: chunk at +1000 min closed by the +2000 min gap;
+    # the last one is still open and must NOT be emitted
+    if 100 in closed:
+        assert closed[100]["closed_by"] == "gap"
+    assert all(r["user_id"] != 100 or r["start_us"] < 1704067200_000_000 + 2000 * 60_000_000 for r in rows)
