@@ -70,6 +70,14 @@ HEADLINE = [
     "validate_constraints",
     "events_user_lifetime",
     "customer_order_windows",
+    # graph depth / association mining / entity resolution
+    "copurchase_triangles",
+    "copurchase_lift",
+    "fuzzy_name_pairs",
+    # corpus LM scoring / balancing / SCD2
+    "doc_unigram_logprob",
+    "sample_k_per_group",
+    "events_state_intervals",
 ]
 
 

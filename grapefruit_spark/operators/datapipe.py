@@ -193,14 +193,19 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure array expressions (split / array_distinct / transform /
     aggregate) — whole-stage-codegen'd JVM work, no shuffle, no UDF.
     """
-    docs = table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # stage the split ONCE: the old bigram lambda re-split the text per
+    # element (element_at(split(text), i+2) → O(n²) chars per doc)
+    staged = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    words = F.col("words")
     nw = F.size(words)
     dup_frac = F.round(1.0 - F.size(F.array_distinct(words)) / nw, 6)
-    # bigram list = zip(words, words[1:]) joined with '\x01'
-    bigrams = F.expr(
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-        " (w, i) -> concat(w, '\x01', element_at(split(text, ' '), i + 2)))"
+    # bigram list = zip_with(words[:-1], words[1:]) joined with '\x01'
+    bigrams = F.zip_with(
+        F.slice(words, 1, nw - 1),
+        F.slice(words, 2, nw - 1),
+        lambda a, b: F.concat(a, F.lit("\x01"), b),
     )
     # max count of any single bigram = longest equal-run in the SORTED
     # array — O(B log B) and one evaluation of the bigram expression,
@@ -221,7 +226,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_frac = F.round(
         F.nullif(top_bigram, F.lit(0)) / F.nullif(n_bigrams.cast("double"), F.lit(0.0)), 6
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         dup_frac.alias("dup_word_frac"),
         top_frac.alias("top_bigram_frac"),

@@ -375,59 +375,85 @@ WHERE round(n_inter / sa.n_grams, 6) >= {CONTAIN_TAU}
 """
 
 # ------------------------------------------------------------------ D31
-FUZZY_MAX_DIST = 3
-FUZZY_MIN_DIST = 1  # distance-0 (identical names) is dedup_exact's job
-
-
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy-match join: part-name pairs within edit
-    distance 1..3 — the entity-resolution primitive (catalog/record dedup where
-    names drift by a typo or a word swap).
+    """Typo-level fuzzy-match join: supplier-name pairs at edit distance
+    exactly 1 — the entity-resolution primitive (record dedup where a
+    code/name drifts by one character).
 
-    Scale shape is the same candidate→verify discipline as the LSH
-    dedups: block on the name's first token (cheap, selective, uniform),
-    self-join only within blocks, THEN run the quadratic-cost
-    levenshtein verify on the surviving candidates. A length-difference
-    guard (|len(a)−len(b)| ≤ τ ⊇ edit-distance ≤ τ) prunes before the
-    DP. Never a full cross join.
+    Blocking is the character-level deletion neighborhood (FastSS, Bocek
+    et al. 2007): each name emits itself plus one key per dropped char;
+    any two strings within edit distance 1 share ≥1 key (substitution →
+    same-position deletions match; insert/delete → the shorter string IS
+    a deletion of the longer). Candidates are near-identical by
+    construction, so levenshtein only verifies true near-misses — no
+    block ever approaches the quadratic cross join, and key volume is
+    len+1 rows per name through one equi-join shuffle. (Word-level and
+    prefix blocking both degenerate on short names: with 2-word part
+    names a dropped word leaves a single shared token and ~2.5k-row
+    blocks — measured minutes, not seconds, at sf0.1.)
     """
-    parts = table(spark, sf_dir, "part").select(
-        "p_partkey", F.lower(F.col("p_name")).alias("name")
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.lower(F.col("s_name")).alias("name")
     )
-    blocked = parts.withColumn("blk", F.split(F.col("name"), " ").getItem(0))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (
+    keyed = sup.select(
+        "s_suppkey",
+        "name",
+        F.explode_outer(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name")),
+                    lambda i: F.concat(
+                        F.col("name").substr(F.lit(1), i - 1),
+                        F.col("name").substr(i + 1, F.length("name")),
+                    ),
+                ),
+                F.array(F.col("name")),
+            )
+        ).alias("blk"),
+    ).where(F.col("blk").isNotNull())
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-            & (
-                F.abs(F.length("a.name") - F.length("b.name"))
-                <= FUZZY_MAX_DIST
-            ),
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
         )
-        .withColumn("dist", F.levenshtein(F.col("a.name"), F.col("b.name")))
-        .where(F.col("dist").between(FUZZY_MIN_DIST, FUZZY_MAX_DIST))
         .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
-            "dist",
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            F.col("b.name").alias("name_b"),
         )
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") == 1)
+        .select("supp_a", "supp_b", "dist")
     )
 
 
-ORACLE["fuzzy_name_pairs"] = f"""
-WITH blocked AS (
-    SELECT p_partkey, lower(p_name) AS name,
-           string_split(lower(p_name), ' ')[1] AS blk
-    FROM part
+ORACLE["fuzzy_name_pairs"] = """
+WITH named AS (
+    SELECT s_suppkey, lower(s_name) AS name FROM supplier
+),
+keyed AS (
+    SELECT s_suppkey, name,
+           unnest(list_append([
+               substring(name, 1, i - 1) || substring(name, i + 1, length(name))
+               FOR i IN range(1, length(name) + 1)
+           ], name)) AS blk
+    FROM named
+),
+cands AS (
+    SELECT DISTINCT a.s_suppkey AS supp_a, a.name AS name_a,
+                    b.s_suppkey AS supp_b, b.name AS name_b
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
 )
-SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
-       levenshtein(a.name, b.name) AS dist
-FROM blocked a JOIN blocked b
-  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
- AND abs(length(a.name) - length(b.name)) <= {FUZZY_MAX_DIST}
-WHERE levenshtein(a.name, b.name) BETWEEN {FUZZY_MIN_DIST} AND {FUZZY_MAX_DIST}
+SELECT supp_a, supp_b, levenshtein(name_a, name_b) AS dist
+FROM cands
+WHERE levenshtein(name_a, name_b) = 1
 """
 
 

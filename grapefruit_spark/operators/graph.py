@@ -210,8 +210,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # pin the (expensive) basket self-join + distinct ONCE: edges feed
+    # degrees, orientation, adjacency and the edge count — without the
+    # checkpoint each consumer re-runs the self-join
     edges = (
-        a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+        a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -232,19 +237,29 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lo_is_u, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
     )
-    o1 = oriented.select(
-        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("db")
+    # Count per ORIENTED EDGE, not per wedge: for edge u→v the closing
+    # vertices are N+(u) ∩ N+(v), so triangles = Σ_edges |intersect|.
+    # The wedge set (Σ outdeg² rows, ~16M at sf0.1) never materializes —
+    # only E adjacency-array rows move through two equi-join shuffles,
+    # and orientation bounds every array at O(sqrt(E)), hub-safe.
+    adj = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    e_adj = (
+        oriented.select("src", "dst")
+        .join(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+              F.col("src") == F.col("u"))
+        .join(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+              F.col("dst") == F.col("v"), "left")
     )
-    o2 = oriented.select(
-        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("ddeg").alias("dc")
+    n_tri = e_adj.agg(
+        F.sum(
+            F.size(
+                F.array_intersect(
+                    F.col("nu"),
+                    F.coalesce(F.col("nv"), F.array().cast("array<bigint>")),
+                )
+            )
+        ).cast("bigint").alias("n_triangles")
     )
-    wedges = o1.join(o2, "a").where(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
-    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"], "left_semi")
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_wedge_all = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint").alias("n_wedges"),
