@@ -360,9 +360,85 @@ FROM changes
 """
 
 
+# ------------------------------------------------------------------ C19
+EWMA_ALPHA = 0.3
+EWMA_SPAN = 24  # trailing hours in the frame
+
+
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of hourly event volume per
+    event_type — the smoothing half of a rate-monitoring pipeline (the
+    z-score anomaly op is the alerting half).
+
+    EWMA over a BOUNDED 24h frame keeps it expressible as a window
+    aggregate on both engines (the infinite-history recurrence isn't):
+    weights (1-α)^k over the trailing frame, normalized. One shuffle for
+    the hourly rollup; the window reuses the event_type partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(EWMA_SPAN - 1), Window.currentRow)
+    )
+    vals = F.collect_list("n").over(w)  # frame order: oldest → current
+    length = F.size("vals")
+    decay = F.lit(1.0 - EWMA_ALPHA)
+
+    def _wsum(acc, x):
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            (acc["s"] + x * F.pow(decay, (length - 1 - acc["i"]).cast("double"))).alias("s"),
+            (acc["w"] + F.pow(decay, (length - 1 - acc["i"]).cast("double"))).alias("w"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("i"), F.lit(0.0).alias("s"), F.lit(0.0).alias("w")
+    )
+    ewma = F.aggregate(
+        F.col("vals").cast("array<double>"), init, _wsum, lambda a: a["s"] / a["w"]
+    )
+    return (
+        hourly.withColumn("vals", vals)
+        .select("event_type", "hour", "n", F.round(ewma, 6).alias("ewma"))
+    )
+
+
+ORACLE["events_ewma_hourly"] = f"""
+WITH hourly AS (
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+),
+framed AS (
+    SELECT event_type, hour, n,
+           list(n) OVER (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals
+    FROM hourly
+)
+SELECT event_type, hour, n,
+       round(
+           list_sum([vals[i] * pow({1.0 - EWMA_ALPHA}, len(vals) - i)
+                     FOR i IN range(1, len(vals) + 1)])
+           / list_sum([pow({1.0 - EWMA_ALPHA}, len(vals) - i)
+                       FOR i IN range(1, len(vals) + 1)]),
+           6) AS ewma
+FROM framed
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "events_state_intervals": events_state_intervals,
+    "events_ewma_hourly": events_ewma_hourly,
     "events_rate_anomaly": events_rate_anomaly,
     "events_funnel": events_funnel,
     "events_retention": events_retention,

@@ -73,3 +73,20 @@ def test_state_intervals_contiguous_per_user(spark):
         for a, b in zip(hist, hist[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["event_type"] != b["event_type"]
+
+
+def test_ewma_matches_python_reference(spark):
+    rows = event_analytics.events_ewma_hourly(spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    a = 1.0 - event_analytics.EWMA_ALPHA
+    span = event_analytics.EWMA_SPAN
+    for series in by_type.values():
+        series.sort(key=lambda r: r["hour"])
+        ns = [r["n"] for r in series]
+        for t, r in enumerate(series):
+            vals = ns[max(0, t - span + 1): t + 1]
+            ws = [a ** (len(vals) - 1 - i) for i in range(len(vals))]
+            want = sum(v * w for v, w in zip(vals, ws)) / sum(ws)
+            assert abs(r["ewma"] - want) < 1e-5, (r, want)
