@@ -140,3 +140,45 @@ def rolling_hash(col: Column, window: int = 16, base: int = 257, mod: int = (1 <
         lambda acc, c: (acc * F.lit(base) + F.coalesce(F.ascii(c).cast("bigint"), F.lit(0)))
         % F.lit(mod),
     )
+
+
+# ---------------------------------------------------------------- numeric
+
+#: Oracle-side twin of :func:`dec_sum` — format with the summand expression
+#: and round scale: DEC_SUM_SQL.format(expr="l_extendedprice * (1-l_discount)", scale=2)
+DEC_SUM_SQL = "round(sum(({expr})::DECIMAL(38,6)), {scale})::DOUBLE"
+
+
+def dec_sum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent rounded sum of a double expression.
+
+    IEEE double addition is not associative, so ``round(sum(double), 2)``
+    can flip on a .xx5 boundary depending on partitioning/merge order —
+    the round-1 ``events_sessionize`` hash flake. Casting each addend to
+    DECIMAL(38,6) first makes the sum exact and associative on any
+    partitioning; the rounded result is cast back to double (the
+    decimal→double conversion is a deterministic nearest-value map, the
+    same in Spark and DuckDB). The oracle twin is ``DEC_SUM_SQL`` — both
+    sides must cast identically or parity breaks by construction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(38,6)")), scale).cast("double")
+
+
+#: Oracle-side twin of :func:`dec_avg`.
+DEC_AVG_SQL = "round(sum(({expr})::DECIMAL(38,6))::DOUBLE / count({expr}), {scale})"
+
+
+def dec_avg(col: Column | str, scale: int = 4) -> Column:
+    """Order-independent rounded average of a double expression.
+
+    Same rationale as :func:`dec_sum`: the decimal partial sums are exact
+    under any partitioning; the single decimal→double cast and the final
+    double division are deterministic scalar ops, so the rounded average
+    can never flip with shuffle layout. (Dividing decimal-by-count
+    directly is avoided because Spark and DuckDB derive different result
+    scales for decimal division.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    dc = c.cast("decimal(38,6)")
+    return F.round(F.sum(dc).cast("double") / F.count(dc), scale)

@@ -166,7 +166,8 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
                count(DISTINCT o_orderkey)                        AS n_orders
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -180,7 +181,7 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["sql_revenue_by_nation"] = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE AS revenue,
        count(DISTINCT o_orderkey)                        AS n_orders
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import dec_sum
 
 ORACLE: dict[str, str] = {}
 
@@ -191,7 +192,7 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(bounds))
         .select("event_type", b, "value")
         .groupBy("event_type", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value").alias("sum_value"))
         .orderBy("event_type", "bucket")
     )
 
@@ -201,7 +202,7 @@ WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
 SELECT event_type,
        least({N_BUCKETS - 1},
              floor((value - lo) / ((hi - lo) / {N_BUCKETS})))::INT AS bucket,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+       count(*) AS n, round(sum((value)::DECIMAL(38,6)), 2)::DOUBLE AS sum_value
 FROM events, bounds
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -219,7 +220,7 @@ def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
         F.countDistinct(F.to_date("ts")).alias("active_days"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        dec_sum("value").alias("total_value"),
     )
 
 
@@ -229,7 +230,7 @@ SELECT user_id,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
        count(DISTINCT ts::DATE) AS active_days,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       round(sum((value)::DECIMAL(38,6)), 2)::DOUBLE AS total_value
 FROM events
 GROUP BY user_id
 """

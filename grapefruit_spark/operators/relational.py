@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import table
+from ..functions import dec_avg, dec_sum
 
 ORACLE: dict[str, str] = {}
 
@@ -45,13 +46,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc).alias("sum_disc_price"),
+            dec_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            dec_avg("l_quantity", 4).alias("avg_qty"),
+            dec_avg("l_extendedprice", 4).alias("avg_price"),
+            dec_avg("l_discount", 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -59,13 +60,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q1_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       round(sum((l_quantity)::DECIMAL(38,6)), 2)::DOUBLE               AS sum_qty,
+       round(sum((l_extendedprice)::DECIMAL(38,6)), 2)::DOUBLE          AS sum_base_price,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE AS sum_disc_price,
+       round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(38,6)), 2)::DOUBLE AS sum_charge,
+       round(sum((l_quantity)::DECIMAL(38,6))::DOUBLE / count(l_quantity), 4)     AS avg_qty,
+       round(sum((l_extendedprice)::DECIMAL(38,6))::DOUBLE / count(l_extendedprice), 4) AS avg_price,
+       round(sum((l_discount)::DECIMAL(38,6))::DOUBLE / count(l_discount), 6)     AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -88,7 +89,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -102,7 +103,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q3_shipping_priority"] = """
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
        o_orderpriority
 FROM lineitem
@@ -144,13 +145,13 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 ORACLE["q5_local_supplier"] = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -180,12 +181,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
 ORACLE["q6_forecast_revenue"] = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(38,6)), 2)::DOUBLE AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -208,7 +209,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
@@ -223,7 +224,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q10_returned_items"] = """
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE AS revenue,
        round(c_acctbal, 2)                               AS c_acctbal,
        n_name
 FROM lineitem
@@ -283,8 +284,12 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(38,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(38,6)")).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -292,9 +297,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q14_promo_effect"] = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT round(100.0 * sum((CASE WHEN p_type = 'ECONOMY'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)::DECIMAL(38,6))::DOUBLE
+             / sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6))::DOUBLE, 4) AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -314,7 +319,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
         .where(F.col("sum_qty") > 150)
     )
     return (
@@ -339,8 +344,9 @@ SELECT c_custkey, c_name, o_orderkey,
        round(o_totalprice, 2)            AS o_totalprice,
        sum_qty
 FROM (
-    SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+    SELECT l_orderkey, round(sum((l_quantity)::DECIMAL(38,6)), 2)::DOUBLE AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING round(sum((l_quantity)::DECIMAL(38,6)), 2)::DOUBLE > 150
 )
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -426,7 +432,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.rollup("o_orderpriority", "o_orderstatus")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            dec_sum("o_totalprice").alias("total_sales"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -441,7 +447,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["rollup_sales"] = """
 SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
-       round(sum(o_totalprice), 2)      AS total_sales,
+       round(sum((o_totalprice)::DECIMAL(38,6)), 2)::DOUBLE AS total_sales,
        count(*)                         AS n_orders
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import table
+from ..functions import dec_avg, dec_sum
 
 ORACLE: dict[str, str] = {}
 
@@ -48,7 +49,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
-        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("cost"))
+        .agg(dec_avg(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("cost"))
     )
     eur = (
         table(spark, sf_dir, "supplier")
@@ -75,7 +76,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q2_min_cost_supplier"] = """
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         round(avg(l_extendedprice / l_quantity), 4) AS cost
+         round(sum((l_extendedprice / l_quantity)::DECIMAL(38,6))::DOUBLE
+               / count(l_extendedprice / l_quantity), 4) AS cost
   FROM lineitem GROUP BY 1, 2
 ), eur AS (
   SELECT s_suppkey, s_name, s_acctbal, n_name
@@ -128,14 +130,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
     )
 
 
 ORACLE["q7_volume_shipping"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -183,7 +185,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(target) / F.nullif(F.sum(vol), F.lit(0.0)), 6
+                F.sum(target.cast("decimal(38,6)")).cast("double")
+                / F.nullif(F.sum(vol.cast("decimal(38,6)")).cast("double"), F.lit(0.0)),
+                6,
             ).alias("mkt_share")
         )
     )
@@ -191,9 +195,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q8_market_share"] = """
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN n1.n_name = 'NATION_9'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / nullif(sum(l_extendedprice * (1 - l_discount)), 0), 6) AS mkt_share
+       round(sum((CASE WHEN n1.n_name = 'NATION_9'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)::DECIMAL(38,6))::DOUBLE
+             / nullif(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6))::DOUBLE, 0), 6) AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey = p_partkey
@@ -265,9 +269,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = li.join(broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
     per_part = base.groupBy("l_partkey").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+        dec_sum("l_extendedprice").alias("part_value")
     )
-    total = base.agg((F.sum("l_extendedprice") * 0.001).alias("threshold"))
+    total = base.agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") * 0.001)
+        .alias("threshold")
+    )
     return (
         per_part.join(broadcast(total))
         .where(F.col("part_value") > F.col("threshold"))
@@ -285,10 +292,12 @@ WITH base AS (
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'ASIA'
 )
-SELECT l_partkey AS p_partkey, round(sum(l_extendedprice), 2) AS part_value
+SELECT l_partkey AS p_partkey,
+       round(sum((l_extendedprice)::DECIMAL(38,6)), 2)::DOUBLE AS part_value
 FROM base
 GROUP BY 1
-HAVING round(sum(l_extendedprice), 2) > (SELECT sum(l_extendedprice) * 0.001 FROM base)
+HAVING round(sum((l_extendedprice)::DECIMAL(38,6)), 2)::DOUBLE
+       > (SELECT sum((l_extendedprice)::DECIMAL(38,6))::DOUBLE * 0.001 FROM base)
 ORDER BY part_value DESC, p_partkey
 """
 
@@ -335,7 +344,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between("1996-01-01", "1996-03-31")
     )
-    rev = li.groupBy("l_suppkey").agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    rev = li.groupBy("l_suppkey").agg(dec_sum(_rev()).alias("total_revenue"))
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     supp = table(spark, sf_dir, "supplier")
     return (
@@ -349,7 +358,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q15_top_supplier"] = """
 WITH rev AS (
-  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  SELECT l_suppkey, round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE AS total_revenue
   FROM lineitem
   WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31'
   GROUP BY 1
@@ -404,12 +413,17 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
 ORACLE["q17_small_qty_revenue"] = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(sum((l_extendedprice)::DECIMAL(38,6))::DOUBLE / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#13'
@@ -445,12 +459,12 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
     )
 
 
 ORACLE["q19_discounted_revenue"] = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
@@ -586,14 +600,14 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            dec_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("nation")
     )
 
 
 ORACLE["q22_inactive_customers"] = """
-SELECT n_name AS nation, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT n_name AS nation, count(*) AS numcust, round(sum((c_acctbal)::DECIMAL(38,6)), 2)::DOUBLE AS totacctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..functions import dec_sum
 
 ORACLE: dict[str, str] = {}
 
@@ -30,7 +31,7 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dec_sum("value").alias("sum_value"),
         )
         .select(
             F.date_format("w.start", _TS_FMT).alias("window_start"),
@@ -48,8 +49,8 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["events_tumbling"] = f"""
 SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
        event_type,
-       count(*)                 AS n_events,
-       round(sum(value), 2)     AS sum_value
+       count(*)                                       AS n_events,
+       round(sum((value)::DECIMAL(38,6)), 2)::DOUBLE  AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -85,7 +86,7 @@ def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
             F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            dec_sum("value").alias("session_value"),
         )
     )
 
@@ -112,7 +113,7 @@ SELECT user_id, session_id,
        count(*)                                   AS n_events,
        strftime(min(ts), '{_TS_FMT_DUCK}')        AS session_start,
        strftime(max(ts), '{_TS_FMT_DUCK}')        AS session_end,
-       round(sum(value), 2)                       AS session_value
+       round(sum((value)::DECIMAL(38,6)), 2)::DOUBLE AS session_value
 FROM sessions
 GROUP BY user_id, session_id
 """
@@ -134,7 +135,7 @@ def session_window_agg(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            dec_sum("value").alias("session_value"),
         )
         .select(
             "user_id",
@@ -169,7 +170,7 @@ SELECT user_id,
        strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
        strftime(max(ts) + INTERVAL {GAP_MINUTES} MINUTE, '{_TS_FMT_DUCK}') AS session_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS session_value
+       round(sum((value)::DECIMAL(38,6)), 2)::DOUBLE AS session_value
 FROM sessions
 GROUP BY user_id, session_id
 """
