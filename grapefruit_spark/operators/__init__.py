@@ -11,11 +11,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
-    from . import relational
+    """Registry in round-robin module order.
 
-    out: dict[str, QueryFn] = {}
+    External checkers may only sample a prefix of this dict, so instead
+    of concatenating modules (which starves whichever blocks sort last),
+    we interleave one query per module per round. Within a module,
+    oracle-backed queries come first so a sampled prefix maximizes hash-
+    checked (not just rows-only) coverage. Every §2 block then appears
+    within the first len(_modules()) entries of any prefix.
+    """
+    from itertools import chain, zip_longest
+
+    per_module: list[list[tuple[str, QueryFn]]] = []
     for mod in _modules():
-        out.update(mod.QUERIES)
+        names = list(mod.QUERIES)
+        ordered = [n for n in names if n in mod.ORACLE] + [
+            n for n in names if n not in mod.ORACLE
+        ]
+        per_module.append([(n, mod.QUERIES[n]) for n in ordered])
+    out: dict[str, QueryFn] = {}
+    for item in chain.from_iterable(zip_longest(*per_module)):
+        if item is not None:
+            out[item[0]] = item[1]
     return out
 
 

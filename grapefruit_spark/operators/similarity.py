@@ -192,56 +192,54 @@ IVF_CELLS = 16
 IVF_PROBES = 3
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF (inverted-file) coarse quantization.
+def _cell_ranking(vec: F.Column, centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """Cells ranked nearest-first for one vector, as a NARROW map.
 
-    Deterministic centroid seeding (every ceil(n/IVF_CELLS)-th vector by
-    id — a data-driven stand-in for trained k-means centroids), one
-    broadcast assignment pass for the corpus, queries probe their
-    IVF_PROBES nearest cells. Versus LSH: cells adapt to the data
-    distribution, and probe count tunes the recall/cost curve directly.
-    rows-only gate; recall vs brute force in pytest.
+    The centroid table is tiny and fixed (IVF_CELLS rows), so it rides
+    into the plan as a literal array of (cell, centroid) structs and the
+    argmin is an array_sort over per-cell (neg_cos, cell) structs — all
+    whole-stage codegen, zero exchanges. This replaces the round-1
+    emb.join(bcent) + groupBy shape, which inflated the corpus 16× and
+    dragged every embedding payload through an avoidable full shuffle.
+    Struct ordering (neg_cos asc, cell asc) preserves the exact argmax-
+    cosine / lowest-cell-tiebreak semantics of the old F.min(struct).
     """
-    emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    step = max(1, n // IVF_CELLS)
-    cent = emb.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < IVF_CELLS)).select(
-        (F.col("vec_id") / step).cast("int").alias("cell"),
-        F.col("embedding").alias("centroid"),
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in v]).alias("centroid"),
+            )
+            for i, v in centroids
+        ]
     )
-    bcent = broadcast(cent)
-    # corpus: assign to single nearest cell (min over (neg_cos, cell)
-    # structs — struct ordering gives argmax cosine with cell tie-break)
-    corpus_scored = emb.join(bcent).select(
+    return F.array_sort(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                (-cosine_similarity(vec, c.getField("centroid"))).alias("neg_cos"),
+                c.getField("cell").alias("cell"),
+            ),
+        )
+    )
+
+
+def _ivf_knn(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Shared IVF probe/score/rank given a driver-side centroid list
+    (≤ IVF_CELLS entries — a few KB, bounded by design)."""
+    ranking = _cell_ranking(F.col("embedding"), centroids)
+    corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cvec"),
-        F.struct(
-            (-cosine_similarity(F.col("embedding"), F.col("centroid"))).alias("neg_cos"),
-            F.col("cell"),
-        ).alias("sc"),
-    )
-    corpus = (
-        corpus_scored.groupBy("neighbor_id")
-        .agg(F.min("sc").alias("best"), F.first("cvec").alias("cvec"))
-        .select("neighbor_id", "cvec", F.col("best.cell").alias("cell"))
-    )
-    # queries: probe IVF_PROBES nearest cells
-    q = emb.where(F.col("vec_id") < N_QUERIES)
-    q_scored = q.join(bcent).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        F.struct(
-            (-cosine_similarity(F.col("embedding"), F.col("centroid"))).alias("neg_cos"),
-            F.col("cell"),
-        ).alias("sc"),
+        F.element_at(ranking, 1).getField("cell").alias("cell"),
     )
     probes = (
-        q_scored.groupBy("query_id")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("sc")), 1, IVF_PROBES).alias("cells"),
-            F.first("qvec").alias("qvec"),
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.explode(F.slice(ranking, 1, IVF_PROBES).getField("cell")).alias("cell"),
         )
-        .select("query_id", "qvec", F.explode(F.col("cells.cell")).alias("cell"))
     )
     scored = (
         corpus.join(broadcast(probes), "cell")
@@ -254,6 +252,29 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization.
+
+    Deterministic centroid seeding (every ceil(n/IVF_CELLS)-th vector by
+    id — a data-driven stand-in for trained k-means centroids); corpus
+    cell assignment is a narrow map over broadcast-literal centroids
+    (zero exchanges — see _cell_ranking), queries probe their IVF_PROBES
+    nearest cells. Versus LSH: cells adapt to the data distribution, and
+    probe count tunes the recall/cost curve directly. rows-only gate;
+    recall vs brute force in pytest.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    step = max(1, n // IVF_CELLS)
+    cent_rows = (
+        emb.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < IVF_CELLS))
+        .select((F.col("vec_id") / step).cast("int").alias("cell"), "embedding")
+        .collect()
+    )
+    centroids = [(r["cell"], [float(x) for x in r["embedding"]]) for r in cent_rows]
+    return _ivf_knn(emb, centroids)
 
 
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,67 +287,66 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_fit(spark, emb.select("vec_id", "embedding"), k=IVF_CELLS, iters=4)
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>",
-    )
-    bcent = broadcast(cent)
-    corpus_scored = emb.join(bcent).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cvec"),
-        F.struct(
-            (-cosine_similarity(F.col("embedding"), F.col("centroid"))).alias("neg_cos"),
-            F.col("cell"),
-        ).alias("sc"),
-    )
-    corpus = (
-        corpus_scored.groupBy("neighbor_id")
-        .agg(F.min("sc").alias("best"), F.first("cvec").alias("cvec"))
-        .select("neighbor_id", "cvec", F.col("best.cell").alias("cell"))
-    )
-    q = emb.where(F.col("vec_id") < N_QUERIES)
-    q_scored = q.join(bcent).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        F.struct(
-            (-cosine_similarity(F.col("embedding"), F.col("centroid"))).alias("neg_cos"),
-            F.col("cell"),
-        ).alias("sc"),
-    )
-    probes = (
-        q_scored.groupBy("query_id")
-        .agg(
-            F.slice(F.array_sort(F.collect_list("sc")), 1, IVF_PROBES).alias("cells"),
-            F.first("qvec").alias("qvec"),
-        )
-        .select("query_id", "qvec", F.explode(F.col("cells.cell")).alias("cell"))
-    )
-    scored = (
-        corpus.join(broadcast(probes), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    return _ivf_knn(emb, centroids)
+
+
+NEARDUP_TAU = 0.45
+NEARDUP_CHUNKS = 8  # raise with cluster size: tasks = C(C+1)/2, replication = C
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup flavor of D5):
-    all pairs with cos ≥ τ, via the same double-precision path as the
-    oracle. Threshold keeps the pair set tiny at any scale."""
-    tau = 0.45
+    """Embedding-cosine near-duplicate pairs (dedup flavor of D5): all
+    pairs with rounded cos ≥ τ — exact, via blocked all-pairs.
+
+    An EXACT threshold self-join at τ=0.45 is inherently O(n²) compute:
+    τ sits inside the bulk of the cosine distribution (per-bit sign-LSH
+    agreement ≈0.65 for matches vs 0.5 for background), so banding
+    cannot prune without losing recall. The scalable form therefore
+    distributes the quadratic work instead of pretending to avoid it:
+    vectors hash into NEARDUP_CHUNKS blocks, each of the C(C+1)/2 block
+    PAIRS becomes one equi-join key, and the cross product runs
+    block-by-block as a shuffled hash join — Catalyst never sees a join
+    without an equality condition, so no BroadcastNestedLoopJoin or
+    CartesianProduct appears in the plan (asserted in tests/test_plans.py)
+    and no single task owns the whole corpus. Replication is C rows/side
+    (communication O(n·C)); per-task compute is |block_i|·|block_j|
+    cosines in whole-stage codegen. For HIGH-τ near-dup at corpus scale
+    use dedup_minhash / knn_lsh, where banding does prune.
+    """
+    C = NEARDUP_CHUNKS
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    chunked = emb.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.hash("vec_id"), F.lit(C)).alias("chunk"),
+    )
+    others = F.sequence(F.lit(0), F.lit(C - 1))
+    left = chunked.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("chunk").alias("ca"),
+        F.explode(F.filter(others, lambda j: j >= F.col("chunk"))).alias("cb"),
+    )
+    right = chunked.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.explode(F.filter(others, lambda j: j <= F.col("chunk"))).alias("ca"),
+        F.col("chunk").alias("cb"),
+    )
+    # dot/norm products are elementwise-identical either direction, so
+    # cos(va, vb) is bit-equal to cos(vb, va) and the least/greatest id
+    # canonicalization below cannot perturb the rounded score.
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        left.join(right, ["ca", "cb"])
+        .where((F.col("ca") != F.col("cb")) | (F.col("id_a") < F.col("id_b")))
         .withColumn("cos_sim", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
-        .where(F.col("cos_sim") >= tau)
-        .select("id_a", "id_b", "cos_sim")
+        .where(F.col("cos_sim") >= F.lit(NEARDUP_TAU))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cos_sim",
+        )
     )
 
 

@@ -64,6 +64,30 @@ def test_knn_bruteforce_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_embedding_neardup_is_blocked_not_cartesian(spark):
+    """The exact cosine-threshold self-join must run as a blocked equi-
+    join over chunk-pair keys — an all-pairs BroadcastNestedLoopJoin /
+    CartesianProduct is the round-1 scale-killer this pins against."""
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(similarity.embedding_neardup(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivf_assignment_is_narrow(spark):
+    """Corpus→cell assignment must be a narrow map over literal centroids:
+    the only exchanges allowed in the whole IVF plan are the probe-join
+    broadcast and the final top-k ranking shuffle — never a full-corpus
+    hashpartitioning on neighbor_id (the round-1 16×-inflation shape)."""
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(similarity.knn_ivf(spark, SF_DIR))
+    assert "hashpartitioning(neighbor_id" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # ranking window only
+
+
 def test_asof_join_single_shuffle(spark):
     """The as-of join must not multiply rows: exactly one Exchange on the
     key feeds the window, and no join operator appears at all."""
