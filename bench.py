@@ -96,28 +96,40 @@ def main() -> None:
         table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = queries[name]
-        # run 1 (untimed) pays one-time costs: janino codegen compile,
-        # file-footer listing, sink init; run 2 is engine steady state
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # drop persisted frames (dedup signature caches etc.) so queries
-        # don't evict each other's storage memory as the session grows —
-        # each query is measured cold-cache / warm-codegen
-        spark.catalog.clearCache()
+        # Per-query isolation: one broken query must never zero the whole
+        # round's bench signal (round-3 postmortem — a single
+        # AnalysisException produced rc:1 and no timings at all).
+        try:
+            fn = queries[name]
+            # run 1 (untimed) pays one-time costs: janino codegen compile,
+            # file-footer listing, sink init; run 2 is engine steady state
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+        finally:
+            # drop persisted frames (dedup signature caches etc.) so queries
+            # don't evict each other's storage memory as the session grows —
+            # each query is measured cold-cache / warm-codegen
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "grapefruit_spark_headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

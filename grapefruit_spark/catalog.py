@@ -29,24 +29,42 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zoned TIMESTAMP regardless
+    of how the parquet writer encoded it. The testdata generator has shipped
+    the same logical instants as TIMESTAMP(NANOS) (read as bigint under
+    nanosAsLong), plain timestamp[us] (read as TIMESTAMP_NTZ), and zoned
+    TIMESTAMP across rounds — every downstream epoch computation goes
+    through this one choke point so a disk-format change degrades to a
+    value-level test failure, never an AnalysisException.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # nanosAsLong read: truncate ns→us exactly like DuckDB's
+        # TIMESTAMP_NS→TIMESTAMP cast
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dtype == "timestamp_ntz":
+        # session tz is pinned UTC, so this cast is a wall-clock identity
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table lazily. Never caches — each query plans its own scan
     so column pruning reflects that query's projection."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk. Set the read conf HERE, not just
-        # in our session factory — the driver hands queries() its own
-        # SparkSession, which must not need pre-arranged confs to work.
+        # ts encoding has changed across testdata generations. Set the
+        # legacy-nanos read conf HERE, not just in our session factory —
+        # the driver hands queries() its own SparkSession, which must not
+        # need pre-arranged confs to work.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
-            pass  # immutable on this build; the dtype check below adapts
+            pass  # immutable on this build; normalize_ts adapts by dtype
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            # truncate ns→us exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_ts(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -66,6 +66,9 @@ def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
     Classic lag + cumulative-sum-of-breaks — one shuffle on user_id, all
     window work stays in that partitioning (both windows share the key).
     """
+    from ..catalog import normalize_ts
+
+    events = normalize_ts(events)  # idempotent: accepts ts as timestamp/ntz/bigint-ns
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w = Window.partitionBy("user_id").orderBy(*order)
     # exact integer microsecond math — no float boundary flips vs the oracle

@@ -16,23 +16,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: on-disk schema of events.parquet (ts is TIMESTAMP(NANOS) → long under
-#: spark.sql.legacy.parquet.nanosAsLong)
+#: historical on-disk schema of events.parquet (ts was TIMESTAMP(NANOS) →
+#: long under spark.sql.legacy.parquet.nanosAsLong). Kept for tests that
+#: synthesize bigint-ns stream input; production readers infer the schema
+#: from the landed files instead (see _event_stream).
 EVENTS_DISK_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
+def _event_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Build a file-source events stream whose schema matches whatever the
+    writer actually produced. A streaming source needs a declared schema up
+    front, so we footer-read the already-landed files with a batch scan (a
+    metadata-only operation) and declare THAT — then route the ts column
+    through catalog.normalize_ts so bigint-nanos, timestamp_ntz, and zoned
+    timestamp encodings all normalize to one session-zoned TIMESTAMP.
+    Testdata generations have shipped all three (VERDICT r3)."""
+    from pyspark.sql.types import StructType
+
+    from ..catalog import normalize_ts
+
+    static = spark.read.option("pathGlobFilter", glob).parquet(path)
+    ts_field = static.schema["ts"]
+    # Canonical wide types for every column except ts (parquet upcasts
+    # int→bigint etc. under a declared schema, but inference can pick a
+    # narrow type from one file and then fail on another); only the ts
+    # encoding genuinely varies, so splice the inferred ts dtype into the
+    # canonical schema.
+    schema = StructType.fromDDL(EVENTS_DISK_SCHEMA)
+    schema = StructType(
+        [ts_field if f.name == "ts" else f for f in schema.fields]
+    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return normalize_ts(reader.parquet(path))
+
+
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (one file per microbatch
     discovery; glob keeps it to the events file)."""
-    raw = (
-        spark.readStream.schema(EVENTS_DISK_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _event_stream(spark, sf_dir, "events.parquet")
 
 
 def stream_tumbling(
@@ -184,14 +215,8 @@ def stream_sessions_ttl(
     one row per CLOSED session; open sessions live in per-key GroupState
     with an event-time timeout at last_event + gap, so abandoned keys are
     evicted and emitted the moment the watermark clears them."""
-    raw = (
-        spark.readStream.schema(EVENTS_DISK_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src_dir)
-    )
     ev = (
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _event_stream(spark, src_dir, "*.parquet", max_files_per_trigger=1)
         .withWatermark("ts", watermark)
         .select("user_id", "ts", "value")
     )
@@ -263,9 +288,9 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def batch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of stream_stream_attribution (same join semantics on the
     static events table) — the streaming test asserts set-equality."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from ..catalog import table
+
+    ev = table(spark, sf_dir, "events")
     views = ev.where(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
@@ -332,12 +357,7 @@ def maintain_event_rollup(spark: SparkSession, src_dir: str, fs, name: str, chec
     import os
     import shutil
 
-    raw = (
-        spark.readStream.schema(EVENTS_DISK_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(src_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _event_stream(spark, src_dir, "*.parquet")
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         delta = (
@@ -391,14 +411,7 @@ def stream_dedup_within_watermark(
     stream's lifetime."""
     # wider glob than read_event_stream: redelivered copies land as new
     # files (events_*.parquet) and must flow through the dedup
-    raw = (
-        spark.readStream.schema(EVENTS_DISK_SCHEMA)
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).withWatermark(
-        "ts", horizon
-    )
+    ev = _event_stream(spark, sf_dir, "events*.parquet").withWatermark("ts", horizon)
     return ev.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
     )

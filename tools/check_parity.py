@@ -58,15 +58,26 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
+        # isolate per-query failures: one crash must not kill the sweep
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(srows)} rows")
             continue
-        rel = con.sql(oracles[name])
-        drows = [tuple(r) for r in rel.fetchall()]
-        dcols = list(rel.columns)
+        try:
+            rel = con.sql(oracles[name])
+            drows = [tuple(r) for r in rel.fetchall()]
+            dcols = list(rel.columns)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:28s} ORACLE-ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures.append(name)
+            continue
         ok_n = len(srows) == len(drows)
         ok_c = sorted(scols) == sorted(dcols)
         ok_h = ok_c and value_hash(srows, scols) == value_hash(drows, dcols)
