@@ -32,6 +32,13 @@ LSH_BANDS = 16
 LSH_ROWS = 4  # bands * rows == num_perm
 MINHASH_TAU = 0.5
 JACCARD_TAU = 0.08
+#: document-frequency cap on shingle postings before the pair self-join.
+#: A shingle appearing in d docs contributes d*(d-1)/2 candidate rows — one
+#: boilerplate shingle (page header, license blurb) with df=10^6 would emit
+#: 5*10^11 pairs. Shingles that common carry no near-dup signal (CCNet /
+#: Lee et al. dedup practice), so they are dropped from the INTERSECTION
+#: while full gram counts still feed the union/containment denominators.
+SHINGLE_DF_CAP = 1000
 
 _DUCK_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -72,12 +79,13 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches documents swallowed by a larger one, which symmetric Jaccard
     misses (a quote inside a long page scores low J but high C).
 
-    Same inverted-index self-join as Jaccard (shared shingle postings);
-    emits the ordered pair once with containment in both directions.
+    Same inverted-index self-join as Jaccard (shared df-capped shingle
+    postings); emits the ordered pair once with containment in both
+    directions.
     """
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("grams").alias("n_grams")).where(F.col("n_grams") > 0)
-    posting = sh.select("doc_id", F.explode("grams").alias("gram"))
+    posting = _capped_posting(sh)
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -106,6 +114,32 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_posting(sh: DataFrame) -> DataFrame:
+    """Exploded (doc_id, gram) postings with hot shingles removed.
+
+    groupBy(gram) is skew-proof (map-side partial counts); the join back
+    keeps only grams with df ≤ SHINGLE_DF_CAP, so the downstream
+    self-join's worst bucket is CAP² rows instead of unbounded.
+    """
+    posting = sh.select("doc_id", F.explode("grams").alias("gram"))
+    rare = (
+        posting.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+        .where(F.col("gram_df") <= SHINGLE_DF_CAP)
+        .select("gram")
+    )
+    return posting.join(rare, "gram").select("doc_id", "gram")
+
+
+#: SQL mirror of _capped_posting (expects a CTE named `posting`)
+_DUCK_CAPPED = f"""
+    SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS gram_df
+        FROM posting
+    ) WHERE gram_df <= {SHINGLE_DF_CAP}
+"""
+
+
 _DUCK_SHINGLES = f"""
     SELECT doc_id,
            list_distinct([
@@ -124,12 +158,13 @@ _DUCK_SHINGLES = f"""
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the verify-stage primitive).
 
-    Inverted-index self-join on shingle (never a cross join): pairs only
-    materialize for docs sharing ≥1 shingle, then J = |∩| / |∪| ≥ τ.
+    Inverted-index self-join on df-capped shingle postings (never a cross
+    join): pairs only materialize for docs sharing ≥1 rare shingle, then
+    J = |∩| / |∪| ≥ τ.
     """
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("grams").alias("n_grams")).where(F.col("n_grams") > 0)
-    posting = sh.select("doc_id", F.explode("grams").alias("gram"))
+    posting = _capped_posting(sh)
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -154,12 +189,13 @@ WITH shingles AS ({_DUCK_SHINGLES}),
 posting AS (
     SELECT doc_id, unnest(grams) AS gram FROM shingles
 ),
+capped AS ({_DUCK_CAPPED}),
 sizes AS (
     SELECT doc_id, len(grams) AS n_grams FROM shingles WHERE len(grams) > 0
 ),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-    FROM posting a JOIN posting b
+    FROM capped a JOIN capped b
       ON a.gram = b.gram AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
@@ -355,12 +391,13 @@ WITH shingles AS ({_DUCK_SHINGLES}),
 posting AS (
     SELECT doc_id, unnest(grams) AS gram FROM shingles
 ),
+capped AS ({_DUCK_CAPPED}),
 sizes AS (
     SELECT doc_id, len(grams) AS n_grams FROM shingles WHERE len(grams) > 0
 ),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-    FROM posting a JOIN posting b
+    FROM capped a JOIN capped b
       ON a.gram = b.gram AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )

@@ -373,10 +373,14 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # Distributed top-N: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition heap + tiny driver merge), so no task ever sorts the
+    # full pair set. Only the LIFT_TOP finalists see the rank window — a
+    # single partition of 20 rows, not a single partition of everything.
+    finalists = scored.orderBy(F.desc("lift"), F.asc("u"), F.asc("v")).limit(LIFT_TOP)
     w = Window.orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= LIFT_TOP)
+        finalists.withColumn("rank", F.row_number().over(w))
         .select(
             F.col("u").alias("part_a"),
             F.col("v").alias("part_b"),

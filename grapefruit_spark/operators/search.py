@@ -8,10 +8,10 @@ what the reference's grep/WordCount demo apps
 grow into once term statistics matter, re-expressed as declarative
 aggregations instead of per-file map/reduce executables.
 
-Scale notes: document frequency is computed with a window over the term
-key (one shuffle, no self-join recompute of the exploded tokens); the
-corpus-level scalars (N, avgdl) are 1-row aggregates broadcast into the
-scoring map. BM25 never explodes tokens at all — per-query-term counts
+Scale notes: document/corpus frequency is computed with groupBy(term) +
+join-back (map-side partial aggregation keeps a stopword term from
+concentrating its posting list in one task); the corpus-level scalars
+(N, avgdl) are 1-row aggregates broadcast into the scoring map. BM25 never explodes tokens at all — per-query-term counts
 are higher-order array ops inside codegen, so the scan stays narrow.
 """
 
@@ -35,17 +35,23 @@ TOP_TERMS = 5
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (idf = ln((N+1)/(df+1))).
 
-    explode → (doc,term) count → df via count-over-term-window (reuses
-    the aggregated frame; no second explode) → broadcast scalar N →
-    rank window per doc. Scores rounded to 6 dp BEFORE ranking so both
-    engines rank identically.
+    explode → (doc,term) count → df via groupBy(term) + join-back (no
+    second explode) → broadcast scalar N → rank window per doc. Scores
+    rounded to 6 dp BEFORE ranking so both engines rank identically.
     """
     docs = table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
     )
     tfreq = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tfreq.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    # df via groupBy + join-back, NOT a per-term window: partial (map-side)
+    # aggregation makes the count skew-proof, whereas a window on a
+    # stopword term would concentrate its whole posting list in one task.
+    # The join redistributes by term with AQE skew-split available; the df
+    # table is one row per distinct term (vocab-sized, can exceed broadcast
+    # at corpus scale, so it stays a shuffle join).
+    dfs = tfreq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = tfreq.join(dfs, "term")
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = dfreq.join(F.broadcast(total)).withColumn(
         "score",
@@ -187,8 +193,8 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     its tokens under the corpus unigram distribution (a cheap perplexity
     proxy — high avg_neg_logp ⇒ rare/garbled text, low ⇒ boilerplate).
 
-    Same shuffle shape as tfidf: explode → window over the term key for
-    global counts (one shuffle, no self-join) → broadcast 1-row total →
+    Same shuffle shape as tfidf: explode → groupBy(term) + join-back for
+    global counts (partial aggs, skew-proof) → broadcast 1-row total →
     re-aggregate per doc (second shuffle). Rounded to 6 dp so JVM/libm
     ln() agree with DuckDB's.
     """
@@ -199,7 +205,10 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-(doc,term) tf first: shrinks rows before the term window and
     # makes the per-doc mean an exact weighted sum
     tfreq = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    cfreq = tfreq.withColumn("cf", F.sum("tf").over(Window.partitionBy("term")))
+    # corpus frequency via groupBy + join-back (skew-proof partial aggs),
+    # not a per-term window — see tfidf_top_terms
+    cfs = tfreq.groupBy("term").agg(F.sum("tf").alias("cf"))
+    cfreq = tfreq.join(cfs, "term")
     total = (
         docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("t"))
         .agg(F.count(F.lit(1)).alias("n_corpus"))

@@ -49,3 +49,32 @@ def test_asof_join_picks_latest_at_or_before(spark):
     )
     got = {r["event_id"]: r["o_orderkey"] for r in out.collect()}
     assert got == {1: 100, 2: 200, 3: None}  # user 11 has no order → null
+
+
+@pytest.mark.parametrize("encoding", ["timestamp", "timestamp_ntz", "bigint_ns"])
+def test_sessionize_hardened_across_ts_encodings(spark, encoding):
+    """The testdata generator has shipped events.ts as TIMESTAMP(NANOS)
+    (bigint under nanosAsLong), timestamp[us] (TIMESTAMP_NTZ), and zoned
+    TIMESTAMP across rounds. normalize_ts must make sessionize produce
+    identical results for all three encodings of the same instants."""
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    rows = [(i, base_us + i * 60_000_000, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, us long, user_id long")
+    if encoding == "timestamp":
+        ev = df.select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    elif encoding == "timestamp_ntz":
+        ev = df.select(
+            "event_id", "user_id",
+            F.timestamp_micros("us").cast("timestamp_ntz").alias("ts"),
+        )
+    else:
+        ev = df.select("event_id", "user_id", (F.col("us") * 1000).alias("ts"))
+    ev = ev.withColumn("value", F.lit(1.0))
+    got = sorted(tuple(r) for r in windows.sessionize(ev).collect())
+    assert len(got) == 3  # one dense session per user
+    want = [
+        (u, 1, 10, f"2024-01-01 00:0{u}:00", f"2024-01-01 00:2{7 + u}:00", 10.0)
+        for u in (0, 1, 2)
+    ]
+    got_simplified = sorted((r[0], r[1], r[2], r[3], r[4], r[5]) for r in got)
+    assert got_simplified == want

@@ -176,3 +176,30 @@ def test_multimodal_arrow_path_equals_pandas_path(spark):
     a = canon(multimodal.extract_features_arrow(media))
     b = canon(multimodal.extract_features(media))
     assert a == b and len(a) == 500
+
+
+def test_hot_shingle_df_cap_bounds_candidates(spark, tmp_path, monkeypatch):
+    """A boilerplate shingle shared by every doc must NOT create O(n²)
+    candidate pairs: with the df cap active, docs whose only overlap is
+    the hot shingle produce zero pairs, while a genuine near-dup pair
+    (sharing rare shingles) still surfaces."""
+    import grapefruit_spark.operators.dedup as ddp
+
+    n = 20
+    rows = []
+    for i in range(n):
+        # every doc opens with the same boilerplate; remainder is unique
+        uniq = " ".join(f"u{i}w{j}" for j in range(6))
+        rows.append((i, f"common boiler plate header {uniq}", "en", "synth", 0))
+    # one true near-dup pair sharing six rare words (ids 100/101)
+    rows.append((100, "alpha beta gamma delta epsilon zeta", "en", "synth", 0))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta", "en", "synth", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "hotshingle"
+    df.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    monkeypatch.setattr(ddp, "SHINGLE_DF_CAP", 5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in ddp.ngram_jaccard_pairs(spark, str(d)).collect()}
+    assert (100, 101) in pairs, "rare-shingle near-dup must survive the cap"
+    boiler_pairs = [p for p in pairs if p[0] < n and p[1] < n]
+    assert not boiler_pairs, f"hot shingle leaked {len(boiler_pairs)} candidate pairs"

@@ -96,3 +96,29 @@ def test_asof_join_single_shuffle(spark):
     plan = executed_plan(windows.events_asof_join(spark, SF_DIR))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning(_k") == 1
+
+
+def test_copurchase_lift_topn_is_distributed(spark):
+    """The lift ranking must be a distributed TakeOrderedAndProject over
+    the scored pairs (per-partition heap + driver merge of LIFT_TOP rows),
+    never a global sort/window over the full pair set — the round-3
+    scale-killer this pins against. The only rank window allowed runs on
+    the LIFT_TOP finalists."""
+    from grapefruit_spark.operators.graph import copurchase_lift
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(copurchase_lift(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_term_stats_use_groupby_not_window(spark):
+    """df/cf term statistics must come from groupBy(term) + join-back
+    (map-side partial aggregation, skew-proof), not a window partitioned
+    by term — a stopword term's posting list must never concentrate in
+    one task."""
+    from grapefruit_spark.operators.search import doc_unigram_logprob, tfidf_top_terms
+    from grapefruit_spark.plans import executed_plan
+
+    for fn in (tfidf_top_terms, doc_unigram_logprob):
+        plan = executed_plan(fn(spark, SF_DIR))
+        assert "windowspecdefinition(term#" not in plan, f"per-term window in {fn.__name__}"
