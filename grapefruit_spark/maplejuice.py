@@ -62,6 +62,10 @@ def juice(
     key: str = "key",
     num_juices: int | None = None,
     shuffle: str = "hash",
+    fs=None,
+    src_name: str | None = None,
+    dest_name: str | None = None,
+    delete_input: bool = False,
 ) -> DataFrame:
     """Juice phase: shuffle on ``key`` then reduce each key-group.
 
@@ -70,6 +74,11 @@ def juice(
     The reduce runs per-partition with a pandas groupby, so there is exactly
     ONE shuffle — the explicit one — and every group is complete because
     both placements are key-deterministic.
+
+    ``delete_input`` mirrors the reference's ``juice ... delete_input={0,1}``
+    (JuiceJob.java:12): with ``fs``/``src_name``/``dest_name`` given, the
+    output is materialized into the SDFS namespace first, then the consumed
+    input dataset is deleted — never before the write succeeds.
     """
     n = num_juices or kv.sparkSession.conf.get("spark.sql.shuffle.partitions")
     n = int(n)
@@ -90,7 +99,25 @@ def juice(
             if out is not None and len(out):
                 yield out
 
-    return placed.mapInPandas(run, schema=output_schema)
+    reduced = placed.mapInPandas(run, schema=output_schema)
+    return _finish_juice(reduced, fs, src_name, dest_name, delete_input)
+
+
+def _finish_juice(out: DataFrame, fs, src_name: str | None,
+                  dest_name: str | None, delete_input: bool) -> DataFrame:
+    """Shared delete_input contract: materialize to SDFS, then reclaim the
+    consumed input (reference JuiceJob.java:12 semantics)."""
+    if fs is not None and dest_name is not None:
+        fs.put(out, dest_name)
+        if delete_input and src_name is not None:
+            fs.delete(src_name)
+        return fs.get(dest_name)
+    if delete_input:
+        raise ValueError(
+            "delete_input requires fs + src_name + dest_name: a lazy juice "
+            "has no stored input to delete"
+        )
+    return out
 
 
 def maple_expr(df: DataFrame, key: F.Column, value: F.Column) -> DataFrame:
@@ -104,19 +131,49 @@ def juice_agg(kv: DataFrame, agg: F.Column, key: str = "key") -> DataFrame:
 
 
 class MapleJuicePipeline:
-    """Multi-stage chaining (the reference runs maple→juice jobs back to
-    back through SDFS files; here stages compose lazily into ONE Catalyst
-    plan, so no intermediate materialization)."""
+    """Multi-stage chaining. Default mode composes stages lazily into ONE
+    Catalyst plan (no intermediate materialization — strictly better than
+    the reference's file-per-stage execution). Passing ``fs`` plus
+    per-stage ``dest_name``s reproduces the reference's materialized mode
+    instead: each stage writes its output to the SDFS namespace before the
+    next reads it, and ``juice(..., delete_input=True)`` reclaims the
+    consumed intermediate after the stage output is durably written — the
+    reference's ``juice ... delete_input={0,1}`` contract
+    (/root/reference/src/main/java/edu/cs425/mp3/JuiceJob.java:12, honored
+    by the juice handler in MapleJuice.java).
+    """
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, fs=None, stage_name: str | None = None):
         self.df = df
+        self.fs = fs
+        #: SDFS name this pipeline's current frame was materialized under
+        #: (None in lazy mode) — the thing delete_input deletes
+        self.stage_name = stage_name
 
-    def maple(self, fn: MapleFn, output_schema: str, num_maples: int | None = None):
-        return MapleJuicePipeline(maple(self.df, fn, output_schema, num_maples))
+    def _next(self, out: DataFrame, dest_name: str | None, delete_input: bool):
+        if self.fs is not None and dest_name is not None:
+            # materialize BEFORE deleting the input: the reference deletes
+            # only after the juice output lands in SDFS, and so do we
+            self.fs.put(out, dest_name)
+            if delete_input and self.stage_name is not None:
+                self.fs.delete(self.stage_name)
+            return MapleJuicePipeline(self.fs.get(dest_name), self.fs, dest_name)
+        if delete_input:
+            raise ValueError(
+                "delete_input requires materialized mode (fs + dest_name): "
+                "a lazily composed stage has no stored input to delete"
+            )
+        return MapleJuicePipeline(out, self.fs)
+
+    def maple(self, fn: MapleFn, output_schema: str, num_maples: int | None = None,
+              dest_name: str | None = None):
+        return self._next(maple(self.df, fn, output_schema, num_maples), dest_name, False)
 
     def juice(self, fn: JuiceFn, output_schema: str, key: str = "key",
-              num_juices: int | None = None, shuffle: str = "hash"):
-        return MapleJuicePipeline(juice(self.df, fn, output_schema, key, num_juices, shuffle))
+              num_juices: int | None = None, shuffle: str = "hash",
+              dest_name: str | None = None, delete_input: bool = False):
+        out = juice(self.df, fn, output_schema, key, num_juices, shuffle)
+        return self._next(out, dest_name, delete_input)
 
     def done(self) -> DataFrame:
         return self.df
@@ -145,7 +202,15 @@ def maple_pipe(df: DataFrame, exe: str) -> DataFrame:
     return spark.createDataFrame(kv, "key string, value string")
 
 
-def juice_pipe(kv: DataFrame, exe: str, num_juices: int = 4) -> DataFrame:
+def juice_pipe(
+    kv: DataFrame,
+    exe: str,
+    num_juices: int = 4,
+    fs=None,
+    src_name: str | None = None,
+    dest_name: str | None = None,
+    delete_input: bool = False,
+) -> DataFrame:
     """``juice <exe>`` with hash shuffle (shuffle_option=1): key-groups are
     hash-placed on ``num_juices`` reducers (Math.abs(hashCode) % N in the
     reference), sorted within each reducer, and streamed through ``exe``
@@ -170,4 +235,5 @@ def juice_pipe(kv: DataFrame, exe: str, num_juices: int = 4) -> DataFrame:
         .filter(lambda p: len(p) == 2)
         .map(lambda p: (p[0], p[1]))
     )
-    return spark.createDataFrame(res, "key string, value string")
+    reduced = spark.createDataFrame(res, "key string, value string")
+    return _finish_juice(reduced, fs, src_name, dest_name, delete_input)

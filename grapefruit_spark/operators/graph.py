@@ -2,9 +2,11 @@
 the near-duplicate pair graph → dedup clusters.
 
 The loop is driver-coordinated but all data movement is joins — no
-collect of edges or labels. localCheckpoint() truncates lineage each
+collect of edges or labels. reliability.pin() truncates lineage each
 round so plan size stays O(1) across iterations (the classic Spark
-iterative-algorithm pitfall). Dedup graphs have tiny diameters, so
+iterative-algorithm pitfall); with SPARK_GRAFT_CHECKPOINT_DIR set it
+upgrades to durable checkpoints that survive executor loss (the Spark
+analog of the reference re-replicating SDFS blocks on failure). Dedup graphs have tiny diameters, so
 convergence is a handful of rounds; the cap bounds the worst case.
 """
 
@@ -12,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..reliability import pin
 
 ORACLE: dict[str, str] = {}
 
@@ -30,7 +34,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # Size iteration parallelism to the edge set, not the corpus: after
     # LSH pruning the graph is orders of magnitude smaller than the input,
@@ -40,13 +44,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # iteration's join (no per-round exchange of sym).
     n_edges = sym.count()
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000))
-    sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
+    sym = sym.repartition(parts, "b").transform(pin)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .repartition(parts, "node")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     for _ in range(MAX_ITERS):
         neighbor_min = (
@@ -66,7 +70,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
                 nxt.alias("component"),
                 (nxt < F.col("component")).cast("int").alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         changed = new_labels.agg(F.sum("changed")).first()[0] or 0
         labels = new_labels.drop("changed")
@@ -99,7 +103,7 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
     `app/WebGraph.java` + wg_maple/wg_juice stop at in-link counting;
     PageRank is the same shuffle shape iterated). Spark-first layout:
     the EDGE set — the big side — is hash-partitioned once on src and
-    localCheckpoint-pinned; each iteration broadcasts the (small) rank
+    lineage-pinned (reliability.pin); each iteration broadcasts the (small) rank
     vector into an edge-colocated join, so per-iteration cost is one
     scan of edges + one agg shuffle on dst, never an edge re-shuffle.
     Dangling mass (nodes without out-links) is folded back uniformly, so
@@ -108,25 +112,25 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
     # pin the deduped edge set FIRST — nodes/degrees/links all derive
     # from it, and without this each eager checkpoint below would
     # recompute the (possibly expensive) upstream edge pipeline
-    e = edges.select(F.col("src"), F.col("dst")).distinct().localCheckpoint(eager=True)
+    e = edges.select(F.col("src"), F.col("dst")).distinct().transform(pin)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     links = (
         e.join(out_deg, "src")
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # dangling node SET is iteration-invariant — pin it once; only its
     # current mass (a scalar) is recomputed per round
     dangling_nodes = (
         nodes.join(out_deg, nodes.node == out_deg.src, "left_anti")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # rank vector: broadcast while it plausibly fits on executors; past
     # that, co-partition on the join key so only the SMALL side shuffles
@@ -156,7 +160,7 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .join(F.broadcast(dm))
             .select("node", new_rank.alias("rank"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return ranks
 
@@ -216,7 +220,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     deg = (
         edges.select(F.col("u").alias("n"))

@@ -168,3 +168,35 @@ def test_copurchase_triangles_matches_bruteforce(spark):
     assert row["n_nodes"] == len(adj)
     assert row["n_triangles"] == n_tri
     assert 0.0 <= row["clustering_coeff"] <= 1.0
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    """With a reliable checkpoint dir configured, iterative ops route
+    lineage truncation through fault-tolerant checkpoint() (files land in
+    the dir — the durability the reference gets from SDFS re-replication)
+    and still produce correct results."""
+    import os
+
+    from grapefruit_spark.operators.graph import connected_components
+
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+        )
+        comps = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        walked = [
+            os.path.join(r, f) for r, _, fs_ in os.walk(ckdir) for f in fs_
+        ]
+        assert walked, "reliable checkpoint dir should contain rdd blocks"
+    finally:
+        # restore local-mode default (scala setter checkpointDir_= → None)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )

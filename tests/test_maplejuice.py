@@ -170,3 +170,53 @@ def test_sdfs_compact_small_files(spark, tmp_path):
     assert {r["doc_id"] for r in got.select("doc_id").collect()} == {
         r["doc_id"] for r in docs.select("doc_id").collect()
     }
+
+
+def test_pipeline_delete_input_reclaims_intermediate(spark, tmp_path):
+    """Materialized maple→juice chaining with delete_input=1: the juice
+    output lands in the SDFS namespace BEFORE the consumed intermediate
+    is deleted, and afterwards the intermediate is gone — the reference's
+    `juice ... delete_input={0,1}` contract (JuiceJob.java:12)."""
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([("x y",), ("y",)], ["text"])
+
+    def m(pdf):
+        w = pdf["text"].str.split().explode()
+        return pd.DataFrame({"key": w, "value": 1})
+
+    def j(key, grp):
+        return pd.DataFrame({"key": [key], "value": [int(grp["value"].sum())]})
+
+    out = (
+        MapleJuicePipeline(df, fs=fs)
+        .maple(m, "key string, value int", dest_name="wc_inter")
+        .juice(j, "key string, value int", dest_name="wc_out", delete_input=True)
+        .done()
+    )
+    assert {r["key"]: r["value"] for r in out.collect()} == {"x": 1, "y": 2}
+    assert not fs.exists("wc_inter"), "delete_input must reclaim the intermediate"
+    assert fs.exists("wc_out")
+    # lazy mode refuses the flag instead of silently ignoring it
+    with pytest.raises(ValueError, match="delete_input"):
+        MapleJuicePipeline(df).maple(m, "key string, value int").juice(
+            j, "key string, value int", delete_input=True
+        )
+
+
+def test_juice_fn_delete_input(spark, tmp_path):
+    """Same contract on the bare juice() entry point."""
+    from grapefruit_spark.maplejuice import juice
+
+    fs = Sdfs(spark, str(tmp_path / "wh2"))
+    kv = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], ["key", "value"])
+    fs.put(kv, "inter")
+
+    def j(key, grp):
+        return pd.DataFrame({"key": [key], "value": [int(grp["value"].sum())]})
+
+    out = juice(
+        fs.get("inter"), j, "key string, value bigint",
+        fs=fs, src_name="inter", dest_name="dest", delete_input=True,
+    )
+    assert {r["key"]: r["value"] for r in out.collect()} == {"a": 3, "b": 3}
+    assert not fs.exists("inter")
