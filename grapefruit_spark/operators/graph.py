@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..reliability import pin
+from ..reliability import pin, unpin
 
 ORACLE: dict[str, str] = {}
 
@@ -52,6 +52,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         .repartition(parts, "node")
         .transform(pin)
     )
+    pinned = labels
     for _ in range(MAX_ITERS):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -73,6 +74,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             .transform(pin)
         )
         changed = new_labels.agg(F.sum("changed")).first()[0] or 0
+        # new_labels is materialized — the previous generation's blocks
+        # are dead weight now; release them so the loop holds at most two
+        # label generations in block storage, not MAX_ITERS of them
+        unpin(pinned)
+        pinned = new_labels
         labels = new_labels.drop("changed")
         if changed == 0:
             break
@@ -138,6 +144,7 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
     bcast_ok = n <= 5_000_000
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    prev_pinned: DataFrame | None = None
     for _ in range(iters):
         # dangling mass stays a lazy 1-row aggregate crossJoin'd in, so
         # each iteration is ONE job (the eager checkpoint) — a .first()
@@ -162,6 +169,11 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
             .select("node", new_rank.alias("rank"))
             .transform(pin)
         )
+        # the eager pin above already consumed the previous rank vector —
+        # drop its blocks so only the current generation stays resident
+        if prev_pinned is not None:
+            unpin(prev_pinned)
+        prev_pinned = ranks
     return ranks
 
 

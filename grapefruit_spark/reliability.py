@@ -48,7 +48,31 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     executor-local (``localCheckpoint``). Both return a DataFrame whose
     plan is a flat scan of the materialized blocks, so iterative loops
     stay O(1) plan size per round.
+
+    The returned frame carries the id of the storage it pinned (local
+    mode) so :func:`unpin` can release it the moment a later iteration
+    supersedes it — without that, a 10-round loop holds 10 generations
+    of state in block storage simultaneously.
     """
+    sc = df.sparkSession.sparkContext
     if reliable_dir(df) is not None:
         return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=eager)
+    new_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    if new_ids:
+        out._pin_rdd_id = max(new_ids)
+    return out
+
+
+def unpin(df: DataFrame) -> None:
+    """Release the block storage held by a :func:`pin`'d frame.
+
+    Call ONLY once nothing will read ``df`` again (e.g. the previous
+    iteration's state after the next one is eagerly materialized). No-op
+    for frames pin() didn't mark (reliable checkpoints clean up via
+    spark.cleaner.referenceTracking.cleanCheckpoints / sc.stop).
+    """
+    rid = getattr(df, "_pin_rdd_id", None)
+    if rid is not None:
+        df.sparkSession.sparkContext._jsc.sc().unpersistRDD(rid, False)
