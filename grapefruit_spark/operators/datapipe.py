@@ -663,8 +663,67 @@ WHERE rk <= 50
 """
 
 
+# ------------------------------------------------------------------ D32
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a uniform domain mixture: every `source`
+    domain is hash-downsampled to the size of the smallest domain — the
+    mixture-reweighting step of training-data curation (sampling rates
+    per domain, applied deterministically so any re-run or backfill
+    reproduces the same corpus).
+
+    Shape: one tiny groupBy for domain counts (broadcast back), then a
+    narrow hash-threshold filter over the corpus — no corpus shuffle at
+    all. Membership is a pure function of doc_id, so the sample stays
+    stable under repartitioning/cluster resize. Returns per-domain
+    audit stats; the kept doc set itself is the filtered frame.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_domain"))
+    min_n = counts.agg(F.min("n_domain").alias("n_min"))
+    rates = counts.join(F.broadcast(min_n)).select(
+        "source",
+        "n_domain",
+        # floor() in BOTH engines: Spark double→bigint truncates while
+        # DuckDB rounds, so the threshold must be floored explicitly
+        F.floor(F.col("n_min") / F.col("n_domain") * _U32).alias("thresh"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(_bucket(F.col("doc_id")) < F.col("thresh"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .join(rates.select("source", "n_domain"), "source")
+        .orderBy("source")
+    )
+
+
+ORACLE["domain_mix_sample"] = f"""
+WITH counts AS (
+    SELECT source, count(*) AS n_domain FROM documents GROUP BY 1
+),
+rates AS (
+    SELECT source, n_domain,
+           floor(CAST((SELECT min(n_domain) FROM counts) AS DOUBLE)
+                 / n_domain * {_U32}) AS thresh
+    FROM counts
+)
+SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS min_doc_id,
+       any_value(r.n_domain) AS n_domain
+FROM documents d JOIN rates r USING (source)
+WHERE {_duck_bucket('d.doc_id')} < r.thresh
+GROUP BY 1
+ORDER BY d.source
+"""
+
+
 QUERIES = {
     "split_train_val": split_train_val,
+    "domain_mix_sample": domain_mix_sample,
     "sample_k_per_group": sample_k_per_group,
     "seq_packing": seq_packing,
     "decontaminate_ngrams": decontaminate_ngrams,

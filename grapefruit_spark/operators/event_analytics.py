@@ -436,9 +436,61 @@ FROM framed
 """
 
 
+# ------------------------------------------------------------------ C20
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: P(next event type |
+    current event type), estimated from each user's time-ordered stream.
+
+    One shuffle on user_id feeds the lag window (per-user streams are
+    short and uniform — no skew), then the (prev, next) pair counts
+    aggregate map-side into a |types|² matrix. The transition matrix is
+    what session-simulation / next-event-prediction features train on.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = steps.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return (
+        steps.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+        )
+    )
+
+
+ORACLE["events_markov_transitions"] = """
+WITH steps AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT prev_type, sum(n) AS n_from FROM steps GROUP BY 1
+)
+SELECT s.prev_type, s.next_type, s.n, round(s.n / t.n_from, 6) AS p
+FROM steps s JOIN totals t USING (prev_type)
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "events_state_intervals": events_state_intervals,
+    "events_markov_transitions": events_markov_transitions,
     "events_ewma_hourly": events_ewma_hourly,
     "events_rate_anomaly": events_rate_anomaly,
     "events_funnel": events_funnel,

@@ -137,6 +137,74 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TAU = 0.96
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster mark every vector whose cosine similarity to a LOWER-id
+    vector in the same cluster is ≥ τ as a semantic duplicate of the
+    lowest such id. Returns (vec_id, cluster, is_kept, dup_of).
+
+    Scale shape: the O(n²) cosine comparison is confined to individual
+    k-means cells — the global problem never materializes. k is the
+    scale knob: at corpus scale pick k ≈ n / desired_cell_size so each
+    cell's c² matrix fits one task (SemDeDup runs n=5e9 with k=1e5).
+    One shuffle (groupBy cluster); cells process independently in
+    Arrow-batched pandas with a single BLAS matmul per cell.
+
+    Iterative + hash-family-specific → rows-only gate; recall/keeper
+    semantics covered by a planted-duplicate pytest.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, _ = kmeans_fit(spark, emb)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cl, _sq = _assign(mat, bc.value)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": cl, "embedding": pdf["embedding"]}
+            )
+
+    assigned = emb.mapInPandas(
+        assign, schema="vec_id long, cluster int, embedding array<float>"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        ids = pdf["vec_id"].to_numpy()
+        dup_of = np.full(len(pdf), -1, dtype=np.int64)
+        for i in range(1, len(pdf)):
+            hits = np.nonzero(sims[i, :i] >= tau)[0]
+            if len(hits):
+                dup_of[i] = ids[hits[0]]  # lowest id shadowing this vec
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"],
+                "is_kept": dup_of < 0,
+                "dup_of": dup_of,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedup_cell, schema="vec_id long, cluster int, is_kept boolean, dup_of long"
+    )
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
+    "semantic_dedup": semantic_dedup,
 }
