@@ -269,6 +269,116 @@ ASOF LEFT JOIN dedup o
 """
 
 
+# ------------------------------------------------------------------ C21
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_ts: str,
+    start: str,
+    end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Point-in-interval join that never degenerates into a nested-loop.
+
+    A raw range predicate (``p.ts BETWEEN i.start AND i.end``) with no
+    usable equi-condition plans as BroadcastNestedLoopJoin / Cartesian —
+    O(points × intervals) at any scale. Binning manufactures the equi
+    key: points get their containing time bin, intervals explode to every
+    bin they overlap, the join runs as an ordinary hash join on
+    (keys…, bin), and the exact half-open containment
+    (start ≤ ts < end) filters after. Each (point, interval) pair meets
+    in exactly one bin (the point's), so no dedup is needed. Cost:
+    one hash shuffle of points + intervals×⌈len/bin⌉ rows. Pick
+    bin_seconds near the typical interval length so the explode factor
+    stays ~2.
+    """
+    bs_us = F.lit(bin_seconds * 1_000_000)
+    pb = points.withColumn("_bin", F.floor(F.unix_micros(F.col(point_ts)) / bs_us))
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start)) / bs_us),
+                # half-open end: the bin of the last contained microsecond
+                F.floor((F.unix_micros(F.col(end)) - 1) / bs_us),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, [*keys, "_bin"])
+        .where((F.col(point_ts) >= F.col(start)) & (F.col(point_ts) < F.col(end)))
+        .drop("_bin")
+    )
+
+
+ATTR_WINDOW_MIN = 30
+
+
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-purchase attribution: for every purchase, the count and value
+    of the same user's *view* events in the preceding 30 minutes — the
+    batch twin of the stream-stream interval join (C12), built on the
+    binned interval join so the plan is hash joins only (asserted in
+    tests/test_plans.py; the naive range join is a nested loop).
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    matched = interval_join_binned(
+        views, purchases,
+        keys=["user_id"], point_ts="view_ts",
+        start="w_start", end="w_end",
+        bin_seconds=ATTR_WINDOW_MIN * 60,
+    )
+    attr = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        dec_sum("view_value").alias("view_value"),
+    )
+    # left join back so purchases with zero preceding views still report
+    return (
+        purchases.select("purchase_id", "user_id")
+        .join(attr, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+            F.coalesce("view_value", F.lit(0.0)).alias("view_value"),
+        )
+    )
+
+
+ORACLE["events_purchase_attribution"] = f"""
+WITH views AS (
+    SELECT user_id, ts AS view_ts, value AS view_value
+    FROM events WHERE event_type = 'view'
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id,
+           ts - INTERVAL {ATTR_WINDOW_MIN} MINUTE AS w_start, ts AS w_end
+    FROM events WHERE event_type = 'purchase'
+),
+attr AS (
+    SELECT p.purchase_id, count(*) AS n_views,
+           round(sum((v.view_value)::DECIMAL(38,6)), 2)::DOUBLE AS view_value
+    FROM views v JOIN purchases p
+      ON v.user_id = p.user_id AND v.view_ts >= p.w_start AND v.view_ts < p.w_end
+    GROUP BY 1
+)
+SELECT p.purchase_id, p.user_id,
+       coalesce(a.n_views, 0) AS n_views,
+       coalesce(a.view_value, 0.0) AS view_value
+FROM purchases p LEFT JOIN attr a USING (purchase_id)
+"""
+
+
 # ------------------------------------------------------------------ C-extra
 def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction + agg (semi-structured path: props is a JSON
@@ -301,5 +411,6 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "events_asof_join": events_asof_join,
+    "events_purchase_attribution": events_purchase_attribution,
     "events_props_agg": events_props_agg,
 }

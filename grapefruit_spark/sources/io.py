@@ -109,3 +109,69 @@ def write_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+ZORDER_BITS = 16
+
+
+def zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Append a ``_z`` column: the Morton (Z-order) interleave of the
+    given numeric columns' rank spaces.
+
+    Each column is min-max scaled to a ZORDER_BITS integer (bounds from
+    one tiny agg, broadcast as literals), then bits interleave round-robin
+    — pure JVM expressions, no UDF. Sorting by ``_z`` gives every output
+    file a small hyper-rectangle of the combined key space, so parquet
+    min/max stats stay tight on EVERY interleaved column at once —
+    multi-dimensional file skipping where a single-column sort only
+    serves its leading column.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    scaled = []
+    top = (1 << ZORDER_BITS) - 1
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+            ).cast("bigint")
+        )
+    z = F.lit(0).cast("bigint")
+    # interleave: output bit (b*K + j) takes bit b of column j
+    for b in range(ZORDER_BITS - 1, -1, -1):
+        for s in scaled:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(s, b).bitwiseAND(F.lit(1)).cast("bigint")
+            )
+    return df.withColumn("_z", z)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 4,
+) -> None:
+    """Multi-dimensional clustered layout: range-partition + sort on the
+    Z-value of ``cols`` so selective scans on ANY of the clustered
+    columns skip files via parquet min/max stats — the layout Delta/
+    Iceberg OPTIMIZE ZORDER produces, from first principles. ``_z`` is
+    dropped before writing; the clustering lives purely in row order.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        zorder_value(df, cols)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -122,3 +122,15 @@ def test_term_stats_use_groupby_not_window(spark):
     for fn in (tfidf_top_terms, doc_unigram_logprob):
         plan = executed_plan(fn(spark, SF_DIR))
         assert "windowspecdefinition(term#" not in plan, f"per-term window in {fn.__name__}"
+
+
+def test_interval_join_is_hash_not_nested_loop(spark):
+    """The binned interval join must plan as hash/sort-merge joins — a
+    raw range-predicate join would be BroadcastNestedLoop/Cartesian,
+    O(points x intervals) at scale."""
+    from grapefruit_spark.operators.windows import events_purchase_attribution
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(events_purchase_attribution(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

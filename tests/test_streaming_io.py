@@ -202,3 +202,43 @@ def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
     pranges = sorted(file_ranges(plain_path))
     overlaps = sum(1 for (l1, h1), (l2, h2) in zip(pranges, pranges[1:]) if h1 > l2)
     assert overlaps > 0  # the unclustered layout can't skip
+
+
+def test_write_zorder_tightens_both_dimensions(spark, tmp_path):
+    """Z-ordered layout: per-file min/max spans must shrink on BOTH
+    interleaved columns vs a round-robin write (multi-dim skipping),
+    while a single-column sort only serves its leading column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from grapefruit_spark.sources.io import write_zorder
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def avg_span(path, col_idx):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "zordered")
+    write_zorder(li, zpath, ["l_partkey", "l_suppkey"], n_files=8)
+    plain = str(tmp_path / "plain")
+    li.repartition(8).write.mode("overwrite").parquet(plain)
+
+    # schema column order is preserved by write_zorder (drop _z)
+    for idx in (0, 1):  # l_partkey, l_suppkey
+        assert avg_span(zpath, idx) < 0.7 * avg_span(plain, idx), (
+            f"column {idx} span not tightened by z-order"
+        )
+    # row count unchanged
+    assert spark.read.parquet(zpath).count() == li.count()
