@@ -78,6 +78,12 @@ HEADLINE = [
     "doc_unigram_logprob",
     "sample_k_per_group",
     "events_state_intervals",
+    # round-4 additions: semantic dedup, mixture balancing, markov,
+    # binned interval join
+    "semantic_dedup",
+    "domain_mix_sample",
+    "events_markov_transitions",
+    "events_purchase_attribution",
 ]
 
 

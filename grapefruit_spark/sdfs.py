@@ -99,3 +99,31 @@ class Sdfs:
         shutil.rmtree(final)
         os.rename(tmp, final)
         return len(self.ls(name))
+
+    def merge(self, name: str, updates: DataFrame, key_cols: list[str]) -> None:
+        """MERGE INTO (upsert) semantics on a stored dataset: rows in
+        ``updates`` replace same-key stored rows, new keys insert — the
+        CDC-apply step of an incremental ingest pipeline.
+
+        Plan shape: one left-anti join of the stored table against the
+        (usually much smaller, broadcastable) distinct update keys —
+        survivors union updates. Written beside and atomically renamed:
+        a Spark job can never overwrite a path it is reading, and
+        readers never observe a half-merged table. At warehouse scale
+        the same shape runs partition-wise (only partitions containing
+        updated keys rewrite); here the dataset is one logical file, the
+        reference's SDFS granularity (put replaces a whole file,
+        SdfsServer.java put/delete).
+        """
+        if not self.exists(name):
+            self.put(updates, name)
+            return
+        current = self.get(name)
+        keys = updates.select(*key_cols).distinct()
+        survivors = current.join(keys, key_cols, "left_anti")
+        merged = survivors.unionByName(updates)
+        tmp = self._path(f"{name}__merging")
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self._path(name)
+        shutil.rmtree(final)
+        os.rename(tmp, final)

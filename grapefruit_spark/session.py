@@ -37,6 +37,10 @@ _BASE_CONFS: dict[str, str] = {
     # in-memory catalog, parquet files live here)
     "spark.sql.warehouse.dir": "/tmp/grapefruit_spark_warehouse",
     "spark.sql.streaming.statefulOperator.checkCorrectness.enabled": "true",
+    # reliable checkpoints (reliability.pin with SPARK_GRAFT_CHECKPOINT_DIR)
+    # are reference-tracked and GC'd once their RDD is unreachable —
+    # without this an iterative job leaks one checkpoint dir per round
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

@@ -220,3 +220,19 @@ def test_juice_fn_delete_input(spark, tmp_path):
     )
     assert {r["key"]: r["value"] for r in out.collect()} == {"a": 3, "b": 3}
     assert not fs.exists("inter")
+
+
+def test_sdfs_merge_upsert(spark, tmp_path):
+    """MERGE semantics: updated keys replaced, new keys inserted,
+    untouched keys preserved; merge into a missing dataset creates it."""
+    fs = Sdfs(spark, str(tmp_path / "wh3"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, tag string, v double"
+    )
+    fs.merge("t", base, ["k"])  # create-on-missing
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "k long, tag string, v double"
+    )
+    fs.merge("t", updates, ["k"])
+    got = {r["k"]: (r["tag"], r["v"]) for r in fs.get("t").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
