@@ -78,3 +78,52 @@ def test_sessionize_hardened_across_ts_encodings(spark, encoding):
     ]
     got_simplified = sorted((r[0], r[1], r[2], r[3], r[4], r[5]) for r in got)
     assert got_simplified == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200)), min_size=1, max_size=15
+    ),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200), st.integers(0, 3600)),
+        min_size=1,
+        max_size=8,
+    ),
+    bin_s=st.sampled_from([60, 600, 3600]),
+)
+def test_interval_join_binned_matches_bruteforce(spark, pts, ivs, bin_s):
+    """Property: the binned interval join equals the naive O(P*I) range
+    join on arbitrary points/intervals — including zero-length intervals,
+    points exactly on bin edges, and intervals spanning many bins."""
+    base = 1_704_067_200
+    points = spark.createDataFrame(
+        [(u, i, base + off) for i, (u, off) in enumerate(pts)],
+        "user_id long, pid long, sec long",
+    ).select("user_id", "pid", F.timestamp_seconds("sec").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(u, j, base + s0, base + s0 + ln) for j, (u, s0, ln) in enumerate(ivs)],
+        "user_id long, iid long, s0 long, e0 long",
+    ).select(
+        "user_id", "iid",
+        F.timestamp_seconds("s0").alias("s"),
+        F.timestamp_seconds("e0").alias("e"),
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in windows.interval_join_binned(
+            points, intervals, keys=["user_id"], point_ts="ts",
+            start="s", end="e", bin_seconds=bin_s,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (pu, poff) in enumerate(pts)
+        for j, (iu, s0, ln) in enumerate(ivs)
+        if pu == iu and s0 <= poff < s0 + ln
+    }
+    assert got == want
