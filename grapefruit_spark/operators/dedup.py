@@ -324,27 +324,34 @@ SIMHASH_HAMMING = 3
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """56-bit SimHash per doc from token-frequency-weighted bit votes.
 
-    explode → one groupBy(doc) with 56 conditional sums — all codegen;
-    56 bits keeps every shiftleft inside a signed 64-bit long.
+    Entirely a NARROW map: token hashes stay an in-row array and each
+    bit's vote folds over it with F.aggregate — no explode, no groupBy,
+    no shuffle (the same per-row design as minhash_signatures; the
+    former explode + 56-conditional-sum groupBy moved every token
+    occurrence through a hash aggregate). Bit j is set iff
+    2·ones_j > n_tokens, which equals the ±1 vote sum being positive —
+    ties (vote 0) leave the bit clear, matching the aggregate form
+    exactly. 56 bits keeps every shiftleft inside a signed 64-bit long.
+    Token-less docs are dropped (they have no signature), as before.
     """
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    toks = docs.select(
-        "doc_id", F.explode(ws_tokens(normalize_text(F.col("text")))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    bits = toks.groupBy("doc_id").agg(*votes)
+    th = F.transform(ws_tokens(normalize_text(F.col("text"))), lambda t: F.xxhash64(t))
+    base = docs.select("doc_id", th.alias("th")).where(F.size("th") > 0)
+    n_tok = F.size("th").cast("bigint")
+
+    def _ones_fn(j: int):
+        # closure factory: a default-arg lambda would change the arity
+        # pyspark introspects for higher-order functions
+        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1))
+
     sim = None
     for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+        ones = F.aggregate("th", F.lit(0).cast("bigint"), _ones_fn(j))
+        term = F.when(ones * 2 > n_tok, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
             F.lit(0).cast("bigint")
         )
         sim = term if sim is None else sim + term
-    return bits.select("doc_id", sim.alias("simhash"))
+    return base.select("doc_id", sim.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
