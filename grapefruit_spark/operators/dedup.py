@@ -43,6 +43,19 @@ SHINGLE_DF_CAP = 1000
 _DUCK_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Ensure the CPU-bound signature stage uses every core WITHOUT ever
+    shuffling a corpus that is already well-partitioned: locally a small
+    parquet file scans in one task, so fan it out; at cluster scale the
+    input arrives in thousands of scan partitions and this is a no-op
+    (an unconditional repartition here would shuffle raw text — the
+    most expensive possible shuffle at 100 TB)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
 # ------------------------------------------------------------------ D1
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: md5(normalized text) → group size + keeper id.
@@ -221,9 +234,7 @@ def minhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
     """
     from ..functions import MINHASH_P, hash_param
 
-    # spread the CPU-bound shingle/hash stage across all cores — a single
-    # small parquet file otherwise scans (and shingles) in one task
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = _spread(docs)
     # shingle hashes without building gram strings: hash each token once,
     # then fold SHINGLE_N consecutive 31-bit-reduced hashes arithmetically
     # (string-concat shingling spent ~half the operator's time allocating)
@@ -334,7 +345,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     exactly. 56 bits keeps every shiftleft inside a signed 64-bit long.
     Token-less docs are dropped (they have no signature), as before.
     """
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    docs = _spread(docs)
     th = F.transform(ws_tokens(normalize_text(F.col("text"))), lambda t: F.xxhash64(t))
     base = docs.select("doc_id", th.alias("th")).where(F.size("th") > 0)
     n_tok = F.size("th").cast("bigint")
