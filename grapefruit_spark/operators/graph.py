@@ -438,9 +438,79 @@ WHERE rank <= {LIFT_TOP}
 """
 
 
+# ------------------------------------------------------------------ A18
+KCORE_K = 3
+KCORE_MAX_ITERS = 30
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core: the maximal subgraph where every node has degree ≥ k —
+    the classic web-graph quality/spam filter (low-core pages are
+    isolated link spam; high-core is the densely-audited center).
+
+    Iterative peel: drop nodes below degree k, restrict edges to
+    survivors, repeat to fixed point. All joins — degrees via groupBy,
+    survivor restriction via two semi joins per round; lineage pinned
+    per round (reliability.pin) and the previous round's blocks released
+    (unpin), so the loop holds one edge generation. Convergence in
+    O(peel depth) rounds, each O(|E| remaining).
+    Returns (node, core_degree) for the surviving subgraph (rows-only:
+    iterative; python-reference pytest).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .transform(pin)
+    )
+    n_edges = sym.count()
+    for _ in range(KCORE_MAX_ITERS):
+        if n_edges == 0:
+            break
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select(F.col("a").alias("node"))
+        nxt = (
+            sym.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .transform(pin)
+        )
+        n_next = nxt.count()
+        unpin(sym)
+        # a peeled node always removes its remaining edges, so an
+        # unchanged edge count IS the fixed point — one count per round,
+        # no extra convergence job
+        converged = n_next == n_edges
+        sym, n_edges = nxt, n_next
+        if converged:
+            break
+    return (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph: parts that remain after
+    iteratively peeling weakly-connected parts — the dense center of
+    the basket graph (rows-only + python-reference pytest)."""
+    from ..catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k").where(F.col("u") < F.col("v")).select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).distinct()
+    )
+    return kcore(edges, KCORE_K)
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "supplier_pagerank": supplier_pagerank,
     "copurchase_triangles": copurchase_triangles,
     "copurchase_lift": copurchase_lift,
+    "copurchase_kcore": copurchase_kcore,
 }

@@ -200,3 +200,50 @@ def test_reliable_checkpoint_path(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(None)
         )
+
+
+def _py_kcore(edges, k):
+    """Reference peel in plain python."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_kcore_small_graph(spark):
+    """Triangle {1,2,3} with pendant 4 and a chain 5-6: 2-core keeps only
+    the triangle."""
+    from grapefruit_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_copurchase_kcore_matches_python_reference(spark):
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.operators.graph import KCORE_K, copurchase_kcore
+    from pyspark.sql import functions as SF
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(SF.col("l_orderkey").alias("k"), SF.col("l_partkey").alias("u"))
+    b = li.select(SF.col("l_orderkey").alias("k"), SF.col("l_partkey").alias("v"))
+    edges = [
+        (r["u"], r["v"])
+        for r in a.join(b, "k").where(SF.col("u") < SF.col("v")).select("u", "v").distinct().collect()
+    ]
+    want = _py_kcore(edges, KCORE_K)
+    got = {r["node"]: r["core_degree"] for r in copurchase_kcore(spark, SF_DIR).collect()}
+    assert got == want
