@@ -47,6 +47,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesces; the supplier/nation/region chain is broadcast.
     """
     li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) | (F.col("p_type") == "LARGE")
+    )
+    # Push the part predicate BELOW the manual decorrelation: the
+    # correlated min is per-partkey, so restricting to qualifying
+    # partkeys before the cost aggregation is semantics-preserving and
+    # shrinks both the agg and the min branch to the filtered subset —
+    # a pushdown Catalyst can't see across our groupBy+join rewrite.
+    li = li.join(
+        broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(dec_avg(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("cost"))
@@ -60,9 +73,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost_eur = cost.join(broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
     min_cost = cost_eur.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
-    part = table(spark, sf_dir, "part").where(
-        (F.col("p_size") == 15) | (F.col("p_type") == "LARGE")
-    )
     return (
         cost_eur.join(min_cost, "l_partkey")
         .where(F.col("cost") == F.col("min_cost"))
