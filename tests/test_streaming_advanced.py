@@ -293,3 +293,58 @@ def test_sessions_ttl_timeout_evicts_idle_keys(spark, tmp_path):
     if 100 in closed:
         assert closed[100]["closed_by"] == "gap"
     assert all(r["user_id"] != 100 or r["start_us"] < 1704067200_000_000 + 2000 * 60_000_000 for r in rows)
+
+
+def test_stateful_checkpoint_restart_continues_counts(spark, tmp_path):
+    """GroupState survives a query restart: run 1 processes 100 events
+    through a checkpoint, run 2 (same checkpoint) sees 50 MORE events for
+    the same keys and must emit CONTINUED running counts, not reset ones
+    — the parity claim for the reference re-scheduling a failed juice
+    task against surviving SDFS state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from grapefruit_spark.streaming.events import (
+        _SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        _event_stream,
+        _session_update,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(qname):
+        ev = _event_stream(spark, src, "*.parquet")
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            _session_update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        rows: list = []
+
+        def sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: r for r in rows}
+
+    _write_chunk(spark, src, 0, 100)      # users 0..6 via id%7
+    first = run_once("t_restart1")
+    assert sum(r["n_events"] for r in first.values()) == 100
+
+    _write_chunk(spark, src, 1000, 50)    # 50 more for the same users
+    second = run_once("t_restart2")
+    # run 2 emits only keys touched by the new batch, with CONTINUED counts
+    assert second, "restarted run must emit updated keys"
+    for u, r in second.items():
+        expected = sum(1 for i in range(100) if i % 7 == u) + sum(
+            1 for i in range(50) if i % 7 == u
+        )
+        assert r["n_events"] == expected, (u, r["n_events"], expected)
