@@ -663,6 +663,52 @@ WHERE rk <= 50
 """
 
 
+# ------------------------------------------------------------------ D34
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: each doc is kept with probability
+    equal to its quality score (P(keep) = score), decided by the same
+    deterministic hash-threshold device as the other sampling ops — so
+    the sampled corpus is exactly reproducible on any cluster layout and
+    any corpus subset, unlike rand()-based sampling.
+
+    Shape: the quality score is a narrow per-row expression and the keep
+    decision is a pure function of (doc_id, score) — zero shuffles
+    before the (tiny) audit aggregate. Emits kept doc ids + scores so
+    the oracle checks exact membership.
+    """
+    from .text import doc_quality
+
+    q = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    return (
+        q.where(_bucket(F.col("doc_id")) < F.floor(F.col("quality_score") * _U32))
+        .orderBy("doc_id")
+    )
+
+
+def _quality_cte() -> str:
+    from .text import ORACLE as TEXT_ORACLE
+
+    return TEXT_ORACLE["doc_quality"].strip()
+
+
+ORACLE["quality_weighted_sample"] = f"""
+WITH q AS ({{QUALITY_SQL}})
+SELECT doc_id, quality_score
+FROM q
+WHERE {_duck_bucket('doc_id')} < floor(quality_score * {_U32})
+ORDER BY doc_id
+"""
+
+
+def _finalize_quality_oracle() -> None:
+    ORACLE["quality_weighted_sample"] = ORACLE["quality_weighted_sample"].replace(
+        "{QUALITY_SQL}", _quality_cte()
+    )
+
+
+_finalize_quality_oracle()
+
+
 # ------------------------------------------------------------------ D32
 def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebalance the corpus to a uniform domain mixture: every `source`
@@ -724,6 +770,7 @@ ORDER BY d.source
 QUERIES = {
     "split_train_val": split_train_val,
     "domain_mix_sample": domain_mix_sample,
+    "quality_weighted_sample": quality_weighted_sample,
     "sample_k_per_group": sample_k_per_group,
     "seq_packing": seq_packing,
     "decontaminate_ngrams": decontaminate_ngrams,
