@@ -487,10 +487,61 @@ FROM steps s JOIN totals t USING (prev_type)
 """
 
 
+# ------------------------------------------------------------------ C22
+PATHS_TOP = 10
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavior paths (t1→t2→t3 event-type triples over
+    each user's time-ordered stream) — the sequence-mining report behind
+    "what do users do right before purchasing".
+
+    One user_id shuffle feeds both lags (shared window sort), triple
+    counts aggregate map-side, and the top-10 is the distributed
+    TakeOrderedAndProject + finalists-only rank (never a global window).
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = (
+        ev.withColumn("t2", F.lag("event_type", 1).over(w))
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .where(F.col("t1").isNotNull())
+        .groupBy("t1", F.col("t2"), F.col("event_type").alias("t3"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    finalists = triples.orderBy(F.desc("n"), "t1", "t2", "t3").limit(PATHS_TOP)
+    rk = Window.orderBy(F.desc("n"), "t1", "t2", "t3")
+    return finalists.withColumn("rank", F.row_number().over(rk))
+
+
+ORACLE["events_top_paths"] = f"""
+WITH steps AS (
+    SELECT lag(event_type, 2) OVER w AS t1,
+           lag(event_type, 1) OVER w AS t2,
+           event_type AS t3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+triples AS (
+    SELECT t1, t2, t3, count(*) AS n
+    FROM steps WHERE t1 IS NOT NULL
+    GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, n,
+       row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS rank
+FROM triples
+ORDER BY n DESC, t1, t2, t3
+LIMIT {PATHS_TOP}
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "events_state_intervals": events_state_intervals,
     "events_markov_transitions": events_markov_transitions,
+    "events_top_paths": events_top_paths,
     "events_ewma_hourly": events_ewma_hourly,
     "events_rate_anomaly": events_rate_anomaly,
     "events_funnel": events_funnel,
