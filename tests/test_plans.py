@@ -134,3 +134,27 @@ def test_interval_join_is_hash_not_nested_loop(spark):
     plan = executed_plan(events_purchase_attribution(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A dim-filtered join against a partition-keyed fact table must plan
+    a dynamic-pruning subquery on the fact scan — at warehouse scale DPP
+    is the difference between scanning one year and scanning the table."""
+    from pyspark.sql import functions as F
+
+    from grapefruit_spark.plans import executed_plan
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", F.year("l_shipdate").alias("ship_year"))
+    )
+    fact_path = str(tmp_path / "fact")
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    years = spark.createDataFrame(
+        [(1995, "keep"), (1996, "keep"), (1997, "drop")], ["y", "tag"]
+    )
+    q = fact.join(years.where(F.col("tag") == "keep"), fact.ship_year == F.col("y")).agg(
+        F.sum("l_quantity")
+    )
+    assert "dynamicpruning" in executed_plan(q).lower()
