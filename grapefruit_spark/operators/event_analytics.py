@@ -537,11 +537,129 @@ LIMIT {PATHS_TOP}
 """
 
 
+# ------------------------------------------------------------------ C23
+PATTERN_L = 6
+#: the query shape: flat activity then a spike in the last hour
+_PATTERN_RAW = (1.0, 1.0, 1.0, 1.0, 1.0, 6.0)
+
+
+def _znorm(seq):
+    m = sum(seq) / len(seq)
+    sd = (sum((x - m) ** 2 for x in seq) / len(seq)) ** 0.5
+    return [(x - m) / sd for x in seq]
+
+
+#: z-normalized query pattern, precomputed in python so BOTH engines use
+#: the exact same double literals (no cross-engine fold of the query side)
+PATTERN_Z = _znorm(_PATTERN_RAW)
+PATTERN_TOP = 10
+
+
+def events_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series pattern search (the distributed subsequence-similarity
+    problem of Time Series Similarity Search for Streaming Data, EDBT
+    2019): find the 10 user-hour windows whose z-normalized hourly event
+    counts best match a spike query shape, by euclidean distance.
+
+    Shape: hourly rollup (small), per-user sliding windows via ONE
+    window sort shared with the frame collect (the ewma pattern),
+    z-normalization + distance as higher-order folds over the in-row
+    array — integer counts in, so both engines do identical double
+    arithmetic in identical left-fold order. Top-10 via distributed
+    TakeOrderedAndProject; constant windows (zero variance) are excluded
+    on both sides.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy("hour").rowsBetween(0, PATTERN_L - 1)
+    framed = (
+        hourly.withColumn("vals", F.collect_list("n").over(w))
+        .where(F.size("vals") == PATTERN_L)
+        .withColumn("vals", F.col("vals").cast("array<double>"))
+    )
+    L = float(PATTERN_L)
+    mean = F.aggregate("vals", F.lit(0.0), lambda a, x: a + x) / F.lit(L)
+    framed = framed.withColumn("m", mean)
+    var = F.aggregate(
+        "vals", F.lit(0.0), lambda a, x: a + (x - F.col("m")) * (x - F.col("m"))
+    ) / F.lit(L)
+    framed = framed.withColumn("sd", F.sqrt(var)).where(F.col("sd") > 0)
+    # indexed left fold: acc carries (i, partial sum of (z_i - q_i)^2)
+    q = F.array(*[F.lit(v) for v in PATTERN_Z])
+    framed = framed.withColumn("q", q)
+
+    def _step(acc, x):
+        z = (x - F.col("m")) / F.col("sd")
+        d = z - F.element_at(F.col("q"), (acc["i"] + 1).cast("int"))
+        return F.struct((acc["i"] + 1).alias("i"), (acc["s"] + d * d).alias("s"))
+
+    init = F.struct(F.lit(0).cast("bigint").alias("i"), F.lit(0.0).alias("s"))
+    dist = F.round(
+        F.sqrt(F.aggregate("vals", init, _step, lambda a: a["s"])), 6
+    )
+    scored = framed.select(
+        "user_id", F.col("hour").alias("window_start"), dist.alias("dist")
+    )
+    finalists = scored.orderBy(F.asc("dist"), "user_id", "window_start").limit(PATTERN_TOP)
+    rk = Window.orderBy(F.asc("dist"), "user_id", "window_start")
+    return finalists.withColumn("rank", F.row_number().over(rk))
+
+
+def _pattern_sql_literal() -> str:
+    return "[" + ", ".join(repr(v) for v in PATTERN_Z) + "]"
+
+
+ORACLE["events_pattern_search"] = f"""
+WITH hourly AS (
+    SELECT user_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+framed AS (
+    SELECT user_id, hour,
+           list(n::DOUBLE) OVER (PARTITION BY user_id ORDER BY hour
+                                 ROWS BETWEEN CURRENT ROW AND {PATTERN_L - 1} FOLLOWING) AS vals
+    FROM hourly
+),
+stats AS (
+    SELECT user_id, hour, vals,
+           list_sum(vals) / {float(PATTERN_L)} AS m
+    FROM framed WHERE len(vals) = {PATTERN_L}
+),
+normed AS (
+    SELECT user_id, hour, vals, m,
+           sqrt(list_sum([(x - m) * (x - m) FOR x IN vals]) / {float(PATTERN_L)}) AS sd
+    FROM stats
+),
+scored AS (
+    SELECT user_id, hour AS window_start,
+           round(sqrt(list_sum([
+               ((vals[i] - m) / sd - ({_pattern_sql_literal()})[i])
+               * ((vals[i] - m) / sd - ({_pattern_sql_literal()})[i])
+               FOR i IN range(1, {PATTERN_L + 1})
+           ])), 6) AS dist
+    FROM normed WHERE sd > 0
+)
+SELECT user_id, window_start, dist,
+       row_number() OVER (ORDER BY dist ASC, user_id, window_start) AS rank
+FROM scored
+ORDER BY dist ASC, user_id, window_start
+LIMIT {PATTERN_TOP}
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "events_state_intervals": events_state_intervals,
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,
+    "events_pattern_search": events_pattern_search,
     "events_ewma_hourly": events_ewma_hourly,
     "events_rate_anomaly": events_rate_anomaly,
     "events_funnel": events_funnel,
