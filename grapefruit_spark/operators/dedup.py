@@ -335,34 +335,33 @@ SIMHASH_HAMMING = 3
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """56-bit SimHash per doc from token-frequency-weighted bit votes.
 
-    Entirely a NARROW map: token hashes stay an in-row array and each
-    bit's vote folds over it with F.aggregate — no explode, no groupBy,
-    no shuffle (the same per-row design as minhash_signatures; the
-    former explode + 56-conditional-sum groupBy moved every token
-    occurrence through a hash aggregate). Bit j is set iff
-    2·ones_j > n_tokens, which equals the ±1 vote sum being positive —
-    ties (vote 0) leave the bit clear, matching the aggregate form
-    exactly. 56 bits keeps every shiftleft inside a signed 64-bit long.
-    Token-less docs are dropped (they have no signature), as before.
+    explode → one groupBy(doc) with 56 conditional sums — all inside
+    whole-stage codegen. The shuffle this plans is doc-sized, not
+    token-sized: a doc's exploded rows stay in their scan partition, so
+    the map-side partial aggregate collapses them to 56 longs per doc
+    before any data moves (a per-row F.aggregate fold avoids even that,
+    but higher-order functions are CodegenFallback — measured ~35%
+    slower than the codegen'd aggregate at sf0.1). 56 bits keeps every
+    shiftleft inside a signed 64-bit long.
     """
     docs = _spread(docs)
-    th = F.transform(ws_tokens(normalize_text(F.col("text"))), lambda t: F.xxhash64(t))
-    base = docs.select("doc_id", th.alias("th")).where(F.size("th") > 0)
-    n_tok = F.size("th").cast("bigint")
-
-    def _ones_fn(j: int):
-        # closure factory: a default-arg lambda would change the arity
-        # pyspark introspects for higher-order functions
-        return lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1))
-
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens(normalize_text(F.col("text")))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = toks.groupBy("doc_id").agg(*votes)
     sim = None
     for j in range(SIMHASH_BITS):
-        ones = F.aggregate("th", F.lit(0).cast("bigint"), _ones_fn(j))
-        term = F.when(ones * 2 > n_tok, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
+        term = F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(
             F.lit(0).cast("bigint")
         )
         sim = term if sim is None else sim + term
-    return base.select("doc_id", sim.alias("simhash"))
+    return bits.select("doc_id", sim.alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
