@@ -259,12 +259,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only E adjacency-array rows move through two equi-join shuffles,
     # and orientation bounds every array at O(sqrt(E)), hub-safe.
     adj = oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-    e_adj = (
-        oriented.select("src", "dst")
-        .join(adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
-              F.col("src") == F.col("u"))
-        .join(adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
-              F.col("dst") == F.col("v"), "left")
+    # re-derive the edge rows by EXPLODING adj (each dst appears once per
+    # src) instead of joining the edge list back — the src-side adjacency
+    # arrives attached for free, so only ONE shuffle join (on dst) remains
+    pairs = adj.select("src", F.explode("nbrs").alias("dst"), F.col("nbrs").alias("nu"))
+    e_adj = pairs.join(
+        adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+        pairs.dst == F.col("v"),
+        "left",
     )
     n_tri = e_adj.agg(
         F.sum(
