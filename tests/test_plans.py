@@ -158,3 +158,26 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         F.sum("l_quantity")
     )
     assert "dynamicpruning" in executed_plan(q).lower()
+
+
+def test_domain_mix_corpus_never_shuffle_joins(spark):
+    """The per-domain rate table must broadcast into the corpus filter —
+    a sort-merge join here would shuffle the whole corpus to apply a
+    20-row rate table."""
+    from grapefruit_spark.operators.datapipe import domain_mix_sample
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(domain_mix_sample(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_weighted_sample_is_narrow(spark):
+    """The keep decision is a pure per-row function — no hash exchange
+    may appear (the only allowed exchange is the output ordering's range
+    partition)."""
+    from grapefruit_spark.operators.datapipe import quality_weighted_sample
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(quality_weighted_sample(spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
