@@ -295,6 +295,10 @@ def interval_join_binned(
     """
     bs_us = F.lit(bin_seconds * 1_000_000)
     pb = points.withColumn("_bin", F.floor(F.unix_micros(F.col(point_ts)) / bs_us))
+    # degenerate intervals (end ≤ start) can't contain any point, and an
+    # INVERTED one would make sequence() emit a huge descending bin range
+    # per row — drop them before the explode
+    intervals = intervals.where(F.col(end) > F.col(start))
     ib = intervals.withColumn(
         "_bin",
         F.explode(
