@@ -127,3 +127,47 @@ def test_interval_join_binned_matches_bruteforce(spark, pts, ivs, bin_s):
         if pu == iu and s0 <= poff < s0 + ln
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """Property: our union+window as-of join equals pandas.merge_asof
+    (backward direction) when right-side (key, time) pairs are unique —
+    most recent right row at or before each left time, per key."""
+    import pandas as pd
+
+    # dedup right (key, time) to the max payload — our tie rule
+    rd = {}
+    for k, t, p in rights:
+        rd[(k, t)] = max(rd.get((k, t), -1), p)
+    rights_u = [(k, t, p) for (k, t), p in rd.items()]
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, t long, lid long"
+    )
+    right = spark.createDataFrame(rights_u, "k long, t long, payload long")
+    got = {
+        (r["lid"], r["payload"])
+        for r in windows.asof_join(
+            left, right, left_on="k", right_on="k",
+            left_time="t", right_time="t", payload=["payload"],
+        ).collect()
+    }
+    lpd = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(lefts)], columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    rpd = pd.DataFrame(rights_u, columns=["k", "t", "payload"]).sort_values("t", kind="stable")
+    m = pd.merge_asof(lpd, rpd, on="t", by="k", direction="backward")
+    want = {
+        (int(r.lid), None if pd.isna(r.payload) else int(r.payload))
+        for r in m.itertuples()
+    }
+    assert got == want
