@@ -310,19 +310,29 @@ def batch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_file_sink(
-    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Append-mode parquet sink with a checkpoint — exactly-once file
     output; restarting with the same checkpoint resumes at the last
-    committed offset (no reprocessing, no duplicates)."""
-    q = (
+    committed offset (no reprocessing, no duplicates).
+
+    ``partition_by`` lays the landed files out hive-partitioned (the
+    ingest-side half of partition pruning: a stream partitioned by event
+    hour/date lets every downstream batch query prune to its window
+    instead of listing the whole landing zone)."""
+    writer = (
         stream_df.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    q = writer.start()
     q.awaitTermination()
 
 

@@ -348,3 +348,34 @@ def test_stateful_checkpoint_restart_continues_counts(spark, tmp_path):
             1 for i in range(50) if i % 7 == u
         )
         assert r["n_events"] == expected, (u, r["n_events"], expected)
+
+
+def test_partitioned_stream_sink_prunes(spark, tmp_path):
+    """Streaming ingest partitioned by event date: landing-zone layout
+    must be hive-partitioned and a dated batch query over it must prune
+    partitions (scan reads one date dir, not the zone)."""
+    import os
+
+    from grapefruit_spark.streaming.events import read_event_stream, run_file_sink
+
+    out = str(tmp_path / "zone")
+    ev = read_event_stream(spark, SF_DIR).withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    run_file_sink(ev, out, str(tmp_path / "ck"), partition_by=["event_date"])
+    dirs = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(dirs) > 1, f"expected hive layout, got {os.listdir(out)[:5]}"
+
+    zone = spark.read.parquet(out)
+    one_day = sorted(dirs)[0].split("=", 1)[1]
+    q = zone.where(F.col("event_date") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_date" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # row-count equivalence: pruned read returns exactly that day's rows
+    want = ev.where(F.col("event_date") == one_day)
+    from grapefruit_spark.catalog import table
+    batch = table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    assert q.count() == batch.where(F.col("event_date") == one_day).count()
