@@ -157,6 +157,62 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKOV_STATE_SCHEMA = "last_type string"
+_MARKOV_OUT_SCHEMA = "user_id bigint, prev_type string, next_type string, n bigint"
+
+
+def _markov_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Incremental per-user transition counting: chain this batch's
+    time-ordered events onto the stored last event type, emit the batch's
+    (prev, next) pair counts, store the new tail. The streaming twin of
+    the batch Markov estimator — the model updates per microbatch instead
+    of rescanning history."""
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        return
+    rows = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    rows = rows.sort_values(["ts", "event_id"])
+    types = list(rows["event_type"])
+    prev = state.get[0] if state.exists else None
+    counts: dict[tuple, int] = {}
+    for t in types:
+        if prev is not None:
+            counts[(prev, t)] = counts.get((prev, t), 0) + 1
+        prev = t
+    state.update((prev,))
+    if counts:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(counts),
+                "prev_type": [p for p, _ in counts],
+                "next_type": [n for _, n in counts],
+                "n": list(counts.values()),
+            }
+        )
+
+
+def stream_markov_transitions(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Per-user transition-count deltas over the event stream
+    (applyInPandasWithState; state = one row per user holding the last
+    seen event type). Summing emissions over time reproduces the batch
+    events_markov_transitions counts — asserted in tests, including
+    chains that span microbatch boundaries. Assumes the source delivers
+    microbatches in event-time order per user (file source ordered by
+    mod time; out-of-order WITHIN a batch is handled by the sort)."""
+    ev = _event_stream(spark, src_dir, "*.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _markov_update,
+        outputStructType=_MARKOV_OUT_SCHEMA,
+        stateStructType=_MARKOV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SESSION_TTL_GAP_MIN = 30  # inactivity gap that closes a session
 
 _TTL_STATE_SCHEMA = "n bigint, total double, start_us bigint, last_us bigint"

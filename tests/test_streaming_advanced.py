@@ -379,3 +379,66 @@ def test_partitioned_stream_sink_prunes(spark, tmp_path):
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
     assert q.count() == batch.where(F.col("event_date") == one_day).count()
+
+
+def _write_typed_chunk(spark, src_dir: str, id_offset: int, n: int) -> None:
+    """Events with rotating types so transitions are non-trivial."""
+    df = spark.range(n).select(
+        (F.col("id") + id_offset).alias("event_id"),
+        (F.lit(1704067200000000000) + (F.col("id") + id_offset) * 60_000_000_000).alias("ts"),
+        (F.col("id") % 5).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            ((F.col("id") % 3) + 1).cast("int"),
+        ).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("append").parquet(src_dir)
+
+
+def test_stream_markov_matches_batch_counts(spark, tmp_path):
+    """Summed streaming transition deltas across two checkpointed runs ==
+    batch lag-window transition counts over the union — including the
+    chains that span the microbatch boundary (held in GroupState)."""
+    import time
+
+    from pyspark.sql.window import Window
+
+    from grapefruit_spark.streaming.events import stream_markov_transitions
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    rows: list = []
+
+    def run_once():
+        q = (
+            stream_markov_transitions(spark, src)
+            .writeStream.foreachBatch(lambda b, e: rows.extend(b.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    _write_typed_chunk(spark, src, 0, 60)
+    run_once()
+    time.sleep(1.1)
+    _write_typed_chunk(spark, src, 60, 45)
+    run_once()
+
+    got: dict = {}
+    for r in rows:
+        k = (r["prev_type"], r["next_type"])
+        got[k] = got.get(k, 0) + r["n"]
+
+    ev = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r["prev_type"], r["event_type"]): r["n"] for r in batch}
+    assert got == want
