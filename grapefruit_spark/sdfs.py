@@ -100,6 +100,19 @@ class Sdfs:
         os.rename(tmp, final)
         return len(self.ls(name))
 
+    def auto_compact(self, max_files: int = 16, target_files: int = 4) -> dict[str, int]:
+        """Namespace-wide compaction policy: rewrite every dataset whose
+        part-file count exceeds ``max_files`` down to ``target_files``.
+        The periodic-maintenance loop a streaming landing zone needs —
+        small files accumulate per microbatch and every later scan pays
+        per-file open + footer read until someone compacts. Returns
+        {name: new_file_count} for the datasets it rewrote."""
+        out: dict[str, int] = {}
+        for name, n_files in self.global_().items():
+            if n_files > max_files:
+                out[name] = self.compact(name, target_files)
+        return out
+
     def merge(self, name: str, updates: DataFrame, key_cols: list[str]) -> None:
         """MERGE INTO (upsert) semantics on a stored dataset: rows in
         ``updates`` replace same-key stored rows, new keys insert — the

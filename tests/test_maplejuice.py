@@ -236,3 +236,17 @@ def test_sdfs_merge_upsert(spark, tmp_path):
     fs.merge("t", updates, ["k"])
     got = {r["k"]: (r["tag"], r["v"]) for r in fs.get("t").collect()}
     assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_sdfs_auto_compact_policy(spark, tmp_path):
+    """Only fragmented datasets get rewritten; healthy ones untouched."""
+    fs = Sdfs(spark, str(tmp_path / "wh4"))
+    frag = spark.range(100).repartition(24)
+    fs.put(frag, "fragmented")
+    fs.put(spark.range(100).repartition(2), "healthy")
+    before_healthy = fs.ls("healthy")
+    done = fs.auto_compact(max_files=16, target_files=4)
+    assert set(done) == {"fragmented"}
+    assert done["fragmented"] <= 4
+    assert fs.ls("healthy") == before_healthy
+    assert fs.get("fragmented").count() == 100
