@@ -79,11 +79,14 @@ HEADLINE = [
     "sample_k_per_group",
     "events_state_intervals",
     # round-4 additions: semantic dedup, mixture balancing, markov,
-    # binned interval join
+    # binned interval join, path/pattern mining, weighted sampling
     "semantic_dedup",
     "domain_mix_sample",
     "events_markov_transitions",
     "events_purchase_attribution",
+    "events_top_paths",
+    "events_pattern_search",
+    "quality_weighted_sample",
 ]
 
 
