@@ -247,3 +247,11 @@ def test_copurchase_kcore_matches_python_reference(spark):
     want = _py_kcore(edges, KCORE_K)
     got = {r["node"]: r["core_degree"] for r in copurchase_kcore(spark, SF_DIR).collect()}
     assert got == want
+
+
+def test_kcore_peels_everything_when_k_too_high(spark):
+    """A sparse graph with k above every degree converges to empty."""
+    from grapefruit_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    assert kcore(edges, k=5).count() == 0

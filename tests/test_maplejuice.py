@@ -250,3 +250,11 @@ def test_sdfs_auto_compact_policy(spark, tmp_path):
     assert done["fragmented"] <= 4
     assert fs.ls("healthy") == before_healthy
     assert fs.get("fragmented").count() == 100
+
+
+def test_sdfs_merge_empty_updates_is_noop(spark, tmp_path):
+    fs = Sdfs(spark, str(tmp_path / "wh5"))
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    fs.put(base, "t")
+    fs.merge("t", base.where("k < 0"), ["k"])  # empty update set
+    assert {(r["k"], r["v"]) for r in fs.get("t").collect()} == {(1, 10.0)}
