@@ -203,3 +203,42 @@ def test_hot_shingle_df_cap_bounds_candidates(spark, tmp_path, monkeypatch):
     assert (100, 101) in pairs, "rare-shingle near-dup must survive the cap"
     boiler_pairs = [p for p in pairs if p[0] < n and p[1] < n]
     assert not boiler_pairs, f"hot shingle leaked {len(boiler_pairs)} candidate pairs"
+
+
+def test_hot_shingle_cap_parity_with_oracle_when_active(spark, tmp_path, monkeypatch):
+    """The synthetic corpus never crosses SHINGLE_DF_CAP (max df 25 at
+    sf0.1), so the driver gate exercises only the cap-inactive path.
+    This pins Spark == DuckDB agreement when the cap IS active: planted
+    hot shingle, cap patched to 5 on both sides."""
+    import duckdb
+
+    import grapefruit_spark.operators.dedup as ddp
+
+    n = 12
+    rows = []
+    for i in range(n):
+        uniq = " ".join(f"u{i}w{j}" for j in range(6))
+        rows.append((i, f"common boiler plate header {uniq}", "en", "synth", 0))
+    rows.append((100, "alpha beta gamma delta epsilon zeta", "en", "synth", 0))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta", "en", "synth", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "capparity"
+    df.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    monkeypatch.setattr(ddp, "SHINGLE_DF_CAP", 5)
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"])
+        for r in ddp.ngram_jaccard_pairs(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    sql = ddp.ORACLE["ngram_jaccard_pairs"].replace(
+        f"gram_df <= {1000}", "gram_df <= 5"
+    )
+    assert "gram_df <= 5" in sql  # the patched clause actually landed
+    want = {tuple(r) for r in con.sql(sql).fetchall()}
+    assert got == want and got  # non-empty: the rare-shingle pair survives
