@@ -242,3 +242,31 @@ def test_hot_shingle_cap_parity_with_oracle_when_active(spark, tmp_path, monkeyp
     assert "gram_df <= 5" in sql  # the patched clause actually landed
     want = {tuple(r) for r in con.sql(sql).fetchall()}
     assert got == want and got  # non-empty: the rare-shingle pair survives
+
+
+def test_binaryfile_ingest_feeds_feature_extraction(spark, tmp_path):
+    """The documented at-scale ingest path: spark.read.format('binaryFile')
+    over an object-store-like directory feeds the same Arrow feature
+    extractor as the synthesized media table."""
+    import grapefruit_spark.operators.multimodal as mm
+
+    media_dir = tmp_path / "blobs"
+    media_dir.mkdir()
+    payloads = {f"img_{i}.bin": bytes([i] * (100 + i)) for i in range(5)}
+    for name, data in payloads.items():
+        (media_dir / name).write_bytes(data)
+
+    raw = spark.read.format("binaryFile").load(str(media_dir))
+    media = raw.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("media"),
+        F.lit("image").alias("kind"),
+        F.length("content").cast("int").alias("n_bytes"),
+    )
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 5
+    import zlib
+
+    want_crcs = {zlib.crc32(d) for d in payloads.values()}
+    assert {r["checksum"] for r in feats} == want_crcs
+    assert all(len(r["feat"]) == 8 for r in feats)
