@@ -181,3 +181,17 @@ def test_quality_weighted_sample_is_narrow(spark):
 
     plan = executed_plan(quality_weighted_sample(spark, SF_DIR))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_concurrent_queries_are_isolated(spark):
+    """Four different queries submitted from four threads against one
+    session return exactly their serial results — the multi-tenant
+    property a shared long-lived SparkSession must hold."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["q1_pricing_summary", "dedup_exact", "events_tumbling", "lang_id"]
+    qs = all_queries()
+    serial = {n: qs[n](spark, SF_DIR).count() for n in names}
+    with ThreadPoolExecutor(4) as ex:
+        parallel = dict(zip(names, ex.map(lambda n: qs[n](spark, SF_DIR).count(), names)))
+    assert parallel == serial
