@@ -654,12 +654,76 @@ LIMIT {PATTERN_TOP}
 """
 
 
+# ------------------------------------------------------------------ C25
+DAU_WINDOW = 7
+
+
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users per calendar day —
+    the canonical engagement report, computed EXACTLY at scale.
+
+    A naive rolling COUNT(DISTINCT) over a window recomputes the
+    distinct per frame; instead each (user, day) pair is exploded to the
+    ≤7 window-end days it contributes to, then one distinct + count per
+    window day. Shuffle volume is bounded at 7× the distinct
+    (user, day) pairs — independent of raw event volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = pairs.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    daily = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = pairs.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", DAU_WINDOW - 1))).alias("wday"),
+        "user_id",
+    )
+    rolling = (
+        contrib.join(F.broadcast(bounds))
+        .where((F.col("wday") >= F.col("mn")) & (F.col("wday") <= F.col("mx")))
+        .select("wday", "user_id")
+        .distinct()
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).alias("wau7"))
+    )
+    return (
+        daily.join(rolling, daily.day == rolling.wday)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau7",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE["events_rolling_dau"] = f"""
+WITH pairs AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM pairs),
+daily AS (SELECT day, count(*) AS dau FROM pairs GROUP BY 1),
+contrib AS (
+    SELECT day + to_days(i::INTEGER) AS wday, user_id
+    FROM pairs, range(0, {DAU_WINDOW}) r(i)
+),
+rolling AS (
+    SELECT wday, count(DISTINCT user_id) AS wau7
+    FROM contrib, bounds
+    WHERE wday BETWEEN mn AND mx
+    GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, r.wau7
+FROM daily d JOIN rolling r ON d.day = r.wday
+ORDER BY day
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "events_state_intervals": events_state_intervals,
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,
     "events_pattern_search": events_pattern_search,
+    "events_rolling_dau": events_rolling_dau,
     "events_ewma_hourly": events_ewma_hourly,
     "events_rate_anomaly": events_rate_anomaly,
     "events_funnel": events_funnel,
