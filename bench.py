@@ -87,6 +87,7 @@ HEADLINE = [
     "events_top_paths",
     "events_pattern_search",
     "quality_weighted_sample",
+    "events_rolling_dau",
 ]
 
 
