@@ -442,3 +442,58 @@ def test_stream_markov_matches_batch_counts(spark, tmp_path):
     )
     want = {(r["prev_type"], r["event_type"]): r["n"] for r in batch}
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed counts finalize when the watermark passes the
+    window end, and an event arriving AFTER its window was finalized (by
+    more than the watermark delay) is dropped — the bounded-state
+    contract that makes 100 TB/day ingest possible."""
+    import time
+
+    from grapefruit_spark.streaming.events import _event_stream
+
+    src = str(tmp_path / "src")
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01 00:00 UTC, nanos
+
+    def write_file(rows):
+        df = spark.createDataFrame(
+            [
+                (i, base_ns + int(m * 60) * 1_000_000_000, 1, "view", 1.0, "{}")
+                for i, m in rows
+            ],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: three events in [00:00, 00:10) + one at 00:20 that pushes
+    # the watermark to (20 - 5) = 00:15, past the first window's end
+    write_file([(0, 1), (1, 2), (2, 3), (3, 20)])
+    time.sleep(1.1)  # file source orders batches by mod time
+    # batch 2: 00:40 advances the watermark to 00:35 — the [00:00, 00:10)
+    # window EMITS (n=3) and its state is evicted during this batch
+    write_file([(11, 40)])
+    time.sleep(1.1)
+    # batch 3: an event 33 min behind the watermark, for a window whose
+    # state is gone. The guaranteed semantics: it is dropped — no second
+    # emission for 00:00, no count bump.
+    write_file([(10, 2)])
+
+    ev = _event_stream(spark, src, "*.parquet", max_files_per_trigger=1)
+    agg = (
+        ev.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("t_late")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_late").collect()
+    per_window: dict = {}
+    for r in rows:
+        per_window.setdefault(r["w_start"], []).append(r["n"])
+    assert per_window.get("00:00") == [3], f"late event leaked: {per_window}"
+    assert per_window.get("00:20") == [1], per_window
