@@ -4,6 +4,15 @@ The batch transforms (windows.tumbling_agg) are reused verbatim on a
 readStream DataFrame — same Catalyst plan shape, plus watermark-bounded
 state. At cluster scale the file source becomes Kafka; everything
 downstream is unchanged.
+
+Watermark semantics note (pinned by test_watermark_drops_late_events):
+the watermark computed from batch N's data takes effect in batch N+1,
+and append-mode emission/eviction of a finalized window happens in that
+later batch — so a late row arriving in the SAME batch as the eviction
+can still merge. The guarantee is one-sided: data later than the
+threshold is dropped once the window's state is evicted, never
+re-emitted as a duplicate. Size watermarks for the guarantee, not the
+best-effort filter.
 """
 
 from __future__ import annotations
