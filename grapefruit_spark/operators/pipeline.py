@@ -83,6 +83,41 @@ def _finalize_oracles() -> None:
 _finalize_oracles()
 
 
+def ingest_dedup(fs, fp_table: str, new_docs: DataFrame) -> DataFrame:
+    """Incremental exact-dedup ingest: admit only documents whose content
+    fingerprint has never been seen — across THIS batch and every prior
+    batch — and durably extend the fingerprint set.
+
+    The operational complement of the batch dedup queries: at 100 TB you
+    dedup the corpus once, then every arriving increment checks against
+    the stored fingerprint table (an anti-join against a dataset that is
+    tiny relative to the corpus — 16 bytes/doc) instead of rescanning
+    history. Within-batch duplicates resolve to the min doc_id first, so
+    a batch containing its own copies admits exactly one.
+
+    Returns the admitted documents; the fingerprint table under
+    ``fp_table`` in the Sdfs namespace is updated atomically
+    (merge = anti-join survivors ∪ updates + rename swap).
+    """
+    from ..functions import md5_fingerprint
+
+    fp = new_docs.select(
+        "doc_id", md5_fingerprint(F.col("text")).alias("fp")
+    )
+    batch_keep = (
+        fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    )
+    if fs.exists(fp_table):
+        seen = fs.get(fp_table).select("fp")
+        batch_keep = batch_keep.join(seen, "fp", "left_anti")
+    admitted_ids = batch_keep.select("doc_id", "fp")
+    # persist through the two consumers (merge write + returned join):
+    # the anti-join against the stored set must not recompute per action
+    admitted_ids = admitted_ids.localCheckpoint(eager=True)
+    fs.merge(fp_table, admitted_ids.select("fp", "doc_id"), ["fp"])
+    return new_docs.join(admitted_ids.select("doc_id"), "doc_id", "left_semi")
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus profile: doc count, token volume, vocab size, mean
     doc length — the numbers a data curator checks before training."""

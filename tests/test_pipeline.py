@@ -34,3 +34,31 @@ def test_clean_corpus_single_plan_no_python(spark):
     from grapefruit_spark.plans import assert_no_python_row_udf
 
     assert_no_python_row_udf(pipeline.clean_corpus(spark, SF_DIR))
+
+
+def test_ingest_dedup_incremental_batches(spark, tmp_path):
+    """Batch 1 with an internal duplicate admits one copy; batch 2
+    containing batch-1 dups plus new docs admits only the new ones; the
+    fingerprint table accumulates exactly the distinct set."""
+    from pyspark.sql import functions as F
+
+    from grapefruit_spark.operators.pipeline import ingest_dedup
+    from grapefruit_spark.sdfs import Sdfs
+
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")], schema
+    )
+    a1 = ingest_dedup(fs, "corpus_fps", b1)
+    assert {r["doc_id"] for r in a1.collect()} == {1, 2}  # min-id wins in-batch
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta"), (12, "epsilon zeta")], schema
+    )
+    a2 = ingest_dedup(fs, "corpus_fps", b2)
+    assert {r["doc_id"] for r in a2.collect()} == {11}  # 10 seen, 12 in-batch dup
+
+    fps = fs.get("corpus_fps")
+    assert fps.count() == 3  # alpha-beta, gamma-delta, epsilon-zeta
+    assert fps.select("fp").distinct().count() == 3
