@@ -118,6 +118,85 @@ def ingest_dedup(fs, fp_table: str, new_docs: DataFrame) -> DataFrame:
     return new_docs.join(admitted_ids.select("doc_id"), "doc_id", "left_semi")
 
 
+def ingest_neardup(fs, state: str, new_docs: DataFrame, tau: float | None = None) -> DataFrame:
+    """Incremental NEAR-dup ingest (MinHash-LSH): admit a document only if
+    no admitted document — stored from prior batches or a lower-id doc in
+    this batch — shares an LSH band and estimates Jaccard ≥ τ.
+
+    State is two Sdfs datasets: ``{state}_sigs`` (doc_id, 64-perm
+    signature) and ``{state}_bands`` (doc_id, band key) — both linear in
+    the ADMITTED corpus, and the band join touches only colliding
+    candidates, so per-batch cost is O(batch × collisions), never a
+    corpus rescan. Greedy lower-id-wins within a batch (same keeper
+    family as dedup_clusters' component-min; a chain A~B~C with no A~C
+    edge admits A only — over-rejecting relative to exact CC, never
+    under-rejecting a true near-dup).
+    """
+    from .dedup import LSH_BANDS, LSH_ROWS, MINHASH_TAU, NUM_PERM, minhash_signatures
+
+    tau = MINHASH_TAU if tau is None else tau
+    from ..functions import band_keys
+
+    sigs_new = minhash_signatures(new_docs).localCheckpoint(eager=True)
+    bands_new = sigs_new.select(
+        "doc_id", F.explode(band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk")
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(NUM_PERM)),
+        6,
+    )
+
+    def _rejections(cand, other_sigs):
+        """(doc_id, doc_b) candidates + other side's sigs → doc_ids with
+        est ≥ τ against any doc_b."""
+        return (
+            cand.join(sigs_new.select("doc_id", "sig"), "doc_id")
+            .join(other_sigs, "doc_b")
+            .where(est >= F.lit(tau))
+            .select("doc_id")
+            .distinct()
+        )
+
+    rejected = None
+    if fs.exists(f"{state}_bands"):
+        stored_sigs = fs.get(f"{state}_sigs").select(
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+        )
+        cand_stored = (
+            bands_new.join(
+                fs.get(f"{state}_bands").select(F.col("doc_id").alias("doc_b"), "bk"),
+                "bk",
+            )
+            .select("doc_id", "doc_b")
+            .distinct()
+        )
+        rejected = _rejections(cand_stored, stored_sigs)
+    # in-batch: lower-id admitted docs shadow higher ids
+    a, b = bands_new.alias("a"), bands_new.alias("b")
+    cand_batch = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") > F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    batch_sigs = sigs_new.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    rej_batch = _rejections(cand_batch, batch_sigs)
+    rejected = rej_batch if rejected is None else rejected.unionByName(rej_batch).distinct()
+
+    admitted_sigs = sigs_new.join(rejected, "doc_id", "left_anti").localCheckpoint(eager=True)
+    fs.merge(f"{state}_sigs", admitted_sigs, ["doc_id"])
+    fs.merge(
+        f"{state}_bands",
+        admitted_sigs.select(
+            "doc_id", F.explode(band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk")
+        ),
+        ["doc_id"],
+    )
+    return new_docs.join(admitted_sigs.select("doc_id"), "doc_id", "left_semi")
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus profile: doc count, token volume, vocab size, mean
     doc length — the numbers a data curator checks before training."""

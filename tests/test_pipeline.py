@@ -62,3 +62,33 @@ def test_ingest_dedup_incremental_batches(spark, tmp_path):
     fps = fs.get("corpus_fps")
     assert fps.count() == 3  # alpha-beta, gamma-delta, epsilon-zeta
     assert fps.select("fp").distinct().count() == 3
+
+
+def test_ingest_neardup_incremental_batches(spark, tmp_path):
+    """Near-dup incremental ingest: batch 1 admits one of a planted
+    near-dup pair; batch 2's near-copy of a STORED doc is rejected while
+    a genuinely new doc is admitted; state tables track admissions."""
+    from grapefruit_spark.operators.pipeline import ingest_neardup
+    from grapefruit_spark.sdfs import Sdfs
+
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d0 = base.where("doc_id = 0").first()
+    words = d0["text"].split()
+    words[len(words) // 2] = "zzedited"
+    near0 = " ".join(words)
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(0, d0["text"]), (5000, near0)], schema)
+    a1 = {r["doc_id"] for r in ingest_neardup(fs, "corp", b1).collect()}
+    assert a1 == {0}, f"near-dup of in-batch lower id must be rejected: {a1}"
+
+    words2 = d0["text"].split()
+    words2[0] = "yyedited"
+    near0_again = " ".join(words2)
+    fresh = " ".join(f"fresh{i} token{i} unique{i}" for i in range(30))
+    b2 = spark.createDataFrame([(6000, near0_again), (6001, fresh)], schema)
+    a2 = {r["doc_id"] for r in ingest_neardup(fs, "corp", b2).collect()}
+    assert a2 == {6001}, f"near-copy of STORED doc must be rejected: {a2}"
+
+    assert {r["doc_id"] for r in fs.get("corp_sigs").collect()} == {0, 6001}
