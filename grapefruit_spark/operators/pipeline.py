@@ -197,6 +197,27 @@ def ingest_neardup(fs, state: str, new_docs: DataFrame, tau: float | None = None
     return new_docs.join(admitted_sigs.select("doc_id"), "doc_id", "left_semi")
 
 
+def ingest_corpus(fs, state: str, new_docs: DataFrame) -> DataFrame:
+    """The full arrival-time curation gauntlet, one batch in → admitted
+    docs out: quality gate → PII redaction → exact dedup vs stored
+    fingerprints → near-dup rejection vs stored MinHash state. Each
+    stage is the incremental form — nothing rescans the corpus — and the
+    durable state (fingerprints, sigs, bands) extends atomically, so a
+    crashed batch can simply re-run (admission is deterministic,
+    re-merging the same keys is idempotent).
+    """
+    from ..functions import ws_tokens
+    from .datapipe import redact_text
+
+    n_tok = F.size(ws_tokens(F.col("text")))
+    passing = new_docs.where(n_tok >= 5)
+    clean = redact_text(passing).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    exact_ok = ingest_dedup(fs, f"{state}_fps", clean)
+    return ingest_neardup(fs, state, exact_ok)
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus profile: doc count, token volume, vocab size, mean
     doc length — the numbers a data curator checks before training."""

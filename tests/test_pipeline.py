@@ -92,3 +92,35 @@ def test_ingest_neardup_incremental_batches(spark, tmp_path):
     assert a2 == {6001}, f"near-copy of STORED doc must be rejected: {a2}"
 
     assert {r["doc_id"] for r in fs.get("corp_sigs").collect()} == {0, 6001}
+
+
+def test_ingest_corpus_full_gauntlet(spark, tmp_path):
+    """Quality gate, PII redaction, exact dedup, and near-dup rejection
+    compose: a short doc is gated, an email is masked in the admitted
+    text, an exact dup and a near-dup of an earlier admission are both
+    rejected; a second batch respects the durable state."""
+    from grapefruit_spark.operators.pipeline import ingest_corpus
+    from grapefruit_spark.sdfs import Sdfs
+
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+    long_a = " ".join(f"alpha{i} beta{i}" for i in range(20))
+    words = long_a.split(); words[3] = "zzedit"
+    near_a = " ".join(words)
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [
+            (1, long_a),
+            (2, "too short"),                          # quality-gated
+            (3, long_a),                               # exact dup of 1
+            (4, near_a),                               # near dup of 1
+            (5, "contact a@b.io now " + " ".join(f"w{i}" for i in range(20))),
+        ],
+        schema,
+    )
+    a1 = {r["doc_id"]: r["text"] for r in ingest_corpus(fs, "corp", b1).collect()}
+    assert set(a1) == {1, 5}
+    assert "<EMAIL>" in a1[5] and "a@b.io" not in a1[5]
+
+    b2 = spark.createDataFrame([(10, long_a), (11, " ".join(f"q{i} r{i}" for i in range(25)))], schema)
+    a2 = {r["doc_id"] for r in ingest_corpus(fs, "corp", b2).collect()}
+    assert a2 == {11}  # 10 is an exact dup of stored doc 1
