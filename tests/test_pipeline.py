@@ -124,3 +124,48 @@ def test_ingest_corpus_full_gauntlet(spark, tmp_path):
     b2 = spark.createDataFrame([(10, long_a), (11, " ".join(f"q{i} r{i}" for i in range(25)))], schema)
     a2 = {r["doc_id"] for r in ingest_corpus(fs, "corp", b2).collect()}
     assert a2 == {11}  # 10 is an exact dup of stored doc 1
+
+
+def test_ingest_corpus_from_stream(spark, tmp_path):
+    """The same gauntlet driven by a document stream: each microbatch
+    flows through ingest_corpus with shared durable state — the
+    streaming front door of the curation pipeline."""
+    import time
+
+    from grapefruit_spark.operators.pipeline import ingest_corpus
+    from grapefruit_spark.sdfs import Sdfs
+
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+    src = tmp_path / "landing"
+    src.mkdir()
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    long_a = " ".join(f"alpha{i} beta{i}" for i in range(20))
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    land([(1, long_a, "en", "s", 0)], "f1")
+    time.sleep(1.1)
+    land([(2, long_a, "en", "s", 0), (3, "fresh " + " ".join(f"x{i}" for i in range(20)), "en", "s", 0)], "f2")
+
+    admitted: list = []
+
+    def sink(batch_df, _epoch):
+        out = ingest_corpus(fs, "scorp", batch_df.select("doc_id", "text"))
+        admitted.extend(r["doc_id"] for r in out.collect())
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(admitted) == [1, 3]  # 2 is a cross-microbatch exact dup
