@@ -260,4 +260,31 @@ SELECT (SELECT count(*) FROM documents)                    AS n_docs,
 """
 
 
-QUERIES = {"clean_corpus": clean_corpus, "corpus_stats": corpus_stats}
+def ingest_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible exercise of the incremental ingest path (D35-D37):
+    feed the documents table through ingest_corpus in two batches (even
+    doc_ids, then odd) against a fresh state dir, and report the
+    admission counts plus final state size. Deterministic for a given
+    corpus (hash-based admission; the temp state dir never influences
+    results). rows-only: the near-dup layer uses our MinHash family.
+    """
+    import tempfile
+
+    from ..sdfs import Sdfs
+
+    fs = Sdfs(spark, tempfile.mkdtemp(prefix="grapefruit_ingest_sim_"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n1 = ingest_corpus(fs, "sim", docs.where(F.col("doc_id") % 2 == 0)).count()
+    n2 = ingest_corpus(fs, "sim", docs.where(F.col("doc_id") % 2 == 1)).count()
+    n_state = fs.get("sim_sigs").count()
+    return spark.createDataFrame(
+        [(n1, n2, n_state)],
+        "batch1_admitted long, batch2_admitted long, corpus_sigs long",
+    )
+
+
+QUERIES = {
+    "clean_corpus": clean_corpus,
+    "corpus_stats": corpus_stats,
+    "ingest_pipeline_sim": ingest_pipeline_sim,
+}
