@@ -269,6 +269,68 @@ ASOF LEFT JOIN dedup o
 """
 
 
+# ------------------------------------------------------------------ C26
+def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session conversion: how many of a user's gap-defined
+    sessions contain a purchase. Same single-shuffle lag + cumsum
+    sessionization as C2, then two cheap aggregates (session roll-up,
+    user roll-up) that reuse the user_id partitioning.
+    """
+    events = table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sessioned = (
+        events.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > GAP_MINUTES * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id").orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias("conv_rate"),
+    )
+
+
+ORACLE["events_session_conversion"] = f"""
+WITH marked AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_MINUTES * 60 * 1000000}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+),
+per_session AS (
+    SELECT user_id, session_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM sessions GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       sum(converted)::BIGINT AS n_converted,
+       round(sum(converted) / count(*), 6) AS conv_rate
+FROM per_session
+GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------------------ C21
 def interval_join_binned(
     points: DataFrame,
@@ -416,5 +478,6 @@ QUERIES = {
     "events_session_window": events_session_window,
     "events_asof_join": events_asof_join,
     "events_purchase_attribution": events_purchase_attribution,
+    "events_session_conversion": events_session_conversion,
     "events_props_agg": events_props_agg,
 }
