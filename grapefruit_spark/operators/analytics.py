@@ -358,7 +358,99 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 """
 
 
+# ------------------------------------------------------------------ B37
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), each
+    scored 1-5 by exact quintiles — the classic CRM slicing.
+
+    Scale-right scoring: quintile thresholds come from ONE 1-row
+    aggregate broadcast into a narrow comparison map — never a global
+    ntile/percent_rank window (which would sort every customer in a
+    single task). Thresholds rounded to 6 dp on both engines so a
+    boundary customer can't flip on float noise; recency anchors to the
+    corpus max order date (deterministic, no wall clock).
+    """
+    from ..functions import dec_sum
+
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dec_sum("o_totalprice").alias("monetary"),
+        )
+    )
+    ref = per_cust.agg(F.max("last_order").alias("ref_date"))
+    per_cust = per_cust.join(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff("ref_date", "last_order")
+    )
+    th = per_cust.agg(
+        *[
+            F.round(F.expr(f"percentile({m}, {q})"), 6).alias(f"{m[0]}q{int(q * 100)}")
+            for m in ("recency_days", "frequency", "monetary")
+            for q in _RFM_QS
+        ]
+    )
+    scored = per_cust.join(F.broadcast(th))
+    r_score = F.lit(5) - sum(
+        (F.col("recency_days") > F.col(f"rq{int(q * 100)}")).cast("int") for q in _RFM_QS
+    )
+    f_score = F.lit(1) + sum(
+        (F.col("frequency") > F.col(f"fq{int(q * 100)}")).cast("int") for q in _RFM_QS
+    )
+    m_score = F.lit(1) + sum(
+        (F.col("monetary") > F.col(f"mq{int(q * 100)}")).cast("int") for q in _RFM_QS
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+    )
+
+
+def _rfm_threshold_sql() -> str:
+    cols = []
+    for m in ("recency_days", "frequency", "monetary"):
+        for q in _RFM_QS:
+            cols.append(f"round(quantile_cont({m}, {q}), 6) AS {m[0]}q{int(q * 100)}")
+    return ", ".join(cols)
+
+
+ORACLE["customer_rfm"] = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           max(CAST(o_orderdate AS DATE)) AS last_order,
+           count(*) AS frequency,
+           round(sum((o_totalprice)::DECIMAL(38,6)), 2)::DOUBLE AS monetary
+    FROM orders GROUP BY 1
+),
+ref AS (SELECT max(last_order) AS ref_date FROM per_cust),
+pc AS (
+    SELECT p.*, date_diff('day', last_order, ref_date) AS recency_days
+    FROM per_cust p CROSS JOIN ref
+),
+th AS (SELECT {_rfm_threshold_sql()} FROM pc)
+SELECT o_custkey, recency_days, frequency, monetary,
+       5 - ((recency_days > rq20)::INT + (recency_days > rq40)::INT
+            + (recency_days > rq60)::INT + (recency_days > rq80)::INT) AS r_score,
+       1 + ((frequency > fq20)::INT + (frequency > fq40)::INT
+            + (frequency > fq60)::INT + (frequency > fq80)::INT) AS f_score,
+       1 + ((monetary > mq20)::INT + (monetary > mq40)::INT
+            + (monetary > mq60)::INT + (monetary > mq80)::INT) AS m_score
+FROM pc CROSS JOIN th
+"""
+
+
 QUERIES = {
+    "customer_rfm": customer_rfm,
     "events_quantile_sketch": events_quantile_sketch,
     "order_value_quartiles": order_value_quartiles,
     "events_zscore_outliers": events_zscore_outliers,
