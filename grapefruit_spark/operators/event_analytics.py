@@ -717,6 +717,72 @@ ORDER BY day
 """
 
 
+# ------------------------------------------------------------------ C27
+BOT_MIN_EVENTS = 20
+
+
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-traffic signal: coefficient of variation of each user's
+    inter-event gaps. Human cadence is bursty (CV ≈ 1+); scripted
+    traffic fires on a timer (CV → 0). The training-data analog of D8's
+    doc-quality scoring — filter robotic event streams before they
+    poison behavioral models.
+
+    One user_id shuffle for the lag, then exact integer moment sums
+    (gaps floored to whole seconds, so Σg and Σg² are exact BIGINTs on
+    both engines — no streaming-variance float drift); the closed-form
+    sample variance and CV round once at output.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.floor(
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w))
+        / F.lit(1_000_000)
+    )
+    gaps = ev.select("user_id", gap_s.alias("g")).where(F.col("g").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n_gaps")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_gaps")) / (F.col("n_gaps") - 1)
+    return (
+        agg.where((F.col("n_gaps") >= BOT_MIN_EVENTS) & (F.col("s") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            F.round(mean, 4).alias("mean_gap_s"),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+    )
+
+
+ORACLE["events_bot_score"] = f"""
+WITH gaps AS (
+    SELECT user_id,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+clean AS (
+    SELECT user_id, CAST(floor(gap_us / 1000000.0) AS BIGINT) AS g
+    FROM gaps WHERE gap_us IS NOT NULL
+),
+agg AS (
+    SELECT user_id, count(*) AS n_gaps, sum(g) AS s, sum(g * g) AS ss
+    FROM clean GROUP BY 1
+)
+SELECT user_id, n_gaps,
+       round(s / n_gaps, 4) AS mean_gap_s,
+       round(sqrt((ss - s * s / n_gaps) / (n_gaps - 1)) / (s / n_gaps), 6) AS cv
+FROM agg
+WHERE n_gaps >= {BOT_MIN_EVENTS} AND s > 0
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "events_state_intervals": events_state_intervals,
@@ -724,6 +790,7 @@ QUERIES = {
     "events_top_paths": events_top_paths,
     "events_pattern_search": events_pattern_search,
     "events_rolling_dau": events_rolling_dau,
+    "events_bot_score": events_bot_score,
     "events_ewma_hourly": events_ewma_hourly,
     "events_rate_anomaly": events_rate_anomaly,
     "events_funnel": events_funnel,
