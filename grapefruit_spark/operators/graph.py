@@ -98,6 +98,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT n-gram-Jaccard pair graph —
+    the oracle-checkable twin of dedup_clusters (whose MinHash pair source
+    uses our xxhash64 family, unreproducible in SQL). Same iterative
+    min-label machinery (connected_components), but the edge set is the
+    SQL-expressible ngram_jaccard_pairs, so DuckDB can replay the whole
+    thing as a recursive transitive closure and the driver hash-checks
+    the iterative loop end-to-end."""
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id")
+    )
+
+
+def _jaccard_clusters_oracle() -> str:
+    # built lazily so module import order doesn't matter
+    from .dedup import ORACLE as DEDUP_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({DEDUP_ORACLE["ngram_jaccard_pairs"]}) jp
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, walk.comp FROM walk JOIN edges e ON e.a = walk.node
+)
+SELECT node AS doc_id, min(comp) AS keep_doc_id FROM walk GROUP BY node
+"""
+
+
 PR_DAMPING = 0.85
 PR_ITERS = 10
 
@@ -509,7 +548,10 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges, KCORE_K)
 
 
+ORACLE["jaccard_clusters"] = _jaccard_clusters_oracle()
+
 QUERIES = {
+    "jaccard_clusters": jaccard_clusters,
     "dedup_clusters": dedup_clusters,
     "supplier_pagerank": supplier_pagerank,
     "copurchase_triangles": copurchase_triangles,

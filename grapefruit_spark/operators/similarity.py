@@ -73,8 +73,9 @@ def knn_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge over only partitions×Q×k finalists — replaces the full-corpus
     ranking shuffle of knn_bruteforce with an O(P·Q·k) one.
 
-    Same result contract as knn_bruteforce (pytest asserts equality);
-    rows-only at the driver gate (the oracle already covers D5 semantics).
+    Same result contract as knn_bruteforce (pytest asserts equality), so
+    it shares D5's oracle: the driver hash-checks that the partitioned
+    merge is value-identical to the exact SQL ranking.
     """
     emb = table(spark, sf_dir, "embeddings")
     qrows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
@@ -118,6 +119,11 @@ def knn_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+#: same contract as knn_bruteforce → same oracle (equality also pinned
+#: by pytest; numpy and JVM both round cos to 6 dp before ranking)
+ORACLE["knn_topk_partitioned"] = ORACLE["knn_bruteforce"]
 
 
 # ------------------------------------------------------------------ D6

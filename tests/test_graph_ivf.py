@@ -35,6 +35,18 @@ def test_dedup_clusters_on_real_pairs(spark):
         assert clusters[a] <= min(a, b)
 
 
+def test_jaccard_clusters_matches_recursive_oracle(spark, duck):
+    """The iterative min-label loop must equal DuckDB's exact recursive
+    transitive closure over the same (SQL-expressible) pair graph."""
+    from grapefruit_spark.operators.graph import ORACLE, jaccard_clusters
+
+    from .util import assert_matches_oracle
+
+    assert_matches_oracle(
+        jaccard_clusters(spark, SF_DIR), duck, ORACLE["jaccard_clusters"]
+    )
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     bf = {}
     for r in similarity.knn_bruteforce(spark, SF_DIR).collect():
