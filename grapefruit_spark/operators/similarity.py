@@ -199,35 +199,39 @@ IVF_PROBES = 3
 
 
 def _cell_ranking(vec: F.Column, centroids: list[tuple[int, list[float]]]) -> F.Column:
-    """Cells ranked nearest-first for one vector, as a NARROW map.
+    """Cells ranked nearest-first for one vector, as a NARROW map —
+    an Arrow-vectorized pandas_udf over the (tiny, fixed) centroid set.
 
-    The centroid table is tiny and fixed (IVF_CELLS rows), so it rides
-    into the plan as a literal array of (cell, centroid) structs and the
-    argmin is an array_sort over per-cell (neg_cos, cell) structs — all
-    whole-stage codegen, zero exchanges. This replaces the round-1
-    emb.join(bcent) + groupBy shape, which inflated the corpus 16× and
-    dragged every embedding payload through an avoidable full shuffle.
-    Struct ordering (neg_cos asc, cell asc) preserves the exact argmax-
-    cosine / lowest-cell-tiebreak semantics of the old F.min(struct).
+    Still zero exchanges: the ≤IVF_CELLS×dim centroid matrix travels as a
+    closure (a few KB), each scan partition ranks its own rows, and no
+    join or groupBy touches the corpus (the round-1 emb.join(bcent) shape
+    inflated the corpus 16× through a full shuffle). Versus the round-2
+    literal-expression-tree form: 16 centroids × 64 dims made a ~3k-node
+    plan whose higher-order functions are CodegenFallback — interpreted
+    per-row cosines plus seconds of py4j tree construction; one numpy
+    matmul per Arrow batch does the same math vectorized. Ranking is
+    (cos desc, cell asc): argsort(-sims, stable) preserves the exact
+    lowest-cell tiebreak of the old struct sort.
     """
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(int(i)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in v]).alias("centroid"),
-            )
-            for i, v in centroids
-        ]
-    )
-    return F.array_sort(
-        F.transform(
-            cents,
-            lambda c: F.struct(
-                (-cosine_similarity(vec, c.getField("centroid"))).alias("neg_cos"),
-                c.getField("cell").alias("cell"),
-            ),
-        )
-    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cells = np.array([int(i) for i, _ in centroids], dtype=np.int64)
+    cent = np.array([v for _, v in centroids], dtype=np.float64)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def rank_cells(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms) @ cent_n.T  # (batch, k)
+        order = np.argsort(-sims, axis=1, kind="stable")  # ties → lower cell
+        ranked = cells[order]
+        return pd.Series(list(ranked.astype("int32")))
+
+    return rank_cells(vec)
 
 
 def _ivf_knn(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
@@ -237,14 +241,14 @@ def _ivf_knn(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFr
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cvec"),
-        F.element_at(ranking, 1).getField("cell").alias("cell"),
+        F.element_at(ranking, 1).alias("cell"),
     )
     probes = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
-            F.explode(F.slice(ranking, 1, IVF_PROBES).getField("cell")).alias("cell"),
+            F.explode(F.slice(ranking, 1, IVF_PROBES)).alias("cell"),
         )
     )
     scored = (
