@@ -88,6 +88,13 @@ HEADLINE = [
     "events_pattern_search",
     "quality_weighted_sample",
     "events_rolling_dau",
+    # round-4 second wave: cohort LTV, market concentration, robust
+    # outliers, token entropy, oracle-backed CC
+    "order_cohort_ltv",
+    "supplier_hhi",
+    "events_value_mad",
+    "doc_entropy",
+    "jaccard_clusters",
 ]
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import register_views, table
+from ..functions import DEC_SUM_SQL
 
 ORACLE: dict[str, str] = {}
 
@@ -449,8 +450,173 @@ FROM pc CROSS JOIN th
 """
 
 
+# ------------------------------------------------------------------ B38
+def order_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    quarter; per (cohort, quarters-since) cell, revenue, active customers,
+    and cumulative LTV per cohort member — the B2C analytics staple behind
+    "how fast does a cohort pay back".
+
+    Scale shape: the first-order date is one groupBy on o_custkey and the
+    join back shares that key partitioning; cells aggregate to a tiny
+    (cohorts × quarters) frame, so the cumulative window runs on the
+    result, not the fact table. dec_sum keeps cell revenue exact under any
+    partitioning; the cumulative sum folds ≤ O(quarters) already-rounded
+    cells in deterministic q_index order, so both engines fold identically.
+    """
+    from ..functions import dec_sum
+
+    orders = table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_date"))
+    cohorted = orders.join(first, "o_custkey").select(
+        "o_custkey",
+        "o_totalprice",
+        F.trunc("first_date", "quarter").alias("cohort_q"),
+        (
+            F.months_between(
+                F.trunc("o_orderdate", "quarter"), F.trunc("first_date", "quarter")
+            )
+            / 3
+        )
+        .cast("int")
+        .alias("q_index"),
+    )
+    size = cohorted.groupBy("cohort_q").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    cell = cohorted.groupBy("cohort_q", "q_index").agg(
+        dec_sum("o_totalprice", 2).alias("revenue"),
+        F.countDistinct("o_custkey").alias("active_customers"),
+    )
+    w = (
+        Window.partitionBy("cohort_q")
+        .orderBy("q_index")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(F.broadcast(size), "cohort_q")
+        .select(
+            F.date_format("cohort_q", "yyyy-MM-dd").alias("cohort_q"),
+            "q_index",
+            "cohort_size",
+            "active_customers",
+            "revenue",
+            # DECIMAL window sum (DuckDB's windowed double sum uses a
+            # segment tree — different association order than a left
+            # fold), then integer cents floor-divided per member: the
+            # exact quotient can land on a .xx5 that double-rounds
+            # differently across engines, so no float touches the metric
+            (
+                (F.sum(F.col("revenue").cast("decimal(18,2)")).over(w) * 100)
+                .cast("bigint")
+            ).alias("cum_cents"),
+        )
+        .select(
+            "cohort_q",
+            "q_index",
+            "cohort_size",
+            "active_customers",
+            "revenue",
+            F.expr("cum_cents div cohort_size").alias("cum_ltv_cents"),
+        )
+    )
+
+
+ORACLE["order_cohort_ltv"] = f"""
+WITH first AS (
+    SELECT o_custkey, min(o_orderdate) AS first_date FROM orders GROUP BY 1
+),
+cohorted AS (
+    SELECT o.o_custkey, o.o_totalprice,
+           date_trunc('quarter', f.first_date) AS cohort_q,
+           date_diff('quarter', date_trunc('quarter', f.first_date),
+                     date_trunc('quarter', o.o_orderdate)) AS q_index
+    FROM orders o JOIN first f USING (o_custkey)
+),
+sizes AS (
+    SELECT cohort_q, count(DISTINCT o_custkey) AS cohort_size
+    FROM cohorted GROUP BY 1
+),
+cells AS (
+    SELECT cohort_q, q_index,
+           {DEC_SUM_SQL.format(expr="o_totalprice", scale=2)} AS revenue,
+           count(DISTINCT o_custkey) AS active_customers
+    FROM cohorted GROUP BY 1, 2
+)
+SELECT strftime(cells.cohort_q, '%Y-%m-%d') AS cohort_q, q_index,
+       cohort_size, active_customers, revenue,
+       (sum(revenue::DECIMAL(18,2)) OVER (PARTITION BY cells.cohort_q ORDER BY q_index
+                                          ROWS UNBOUNDED PRECEDING) * 100)::BIGINT
+           // cohort_size AS cum_ltv_cents
+FROM cells JOIN sizes USING (cohort_q)
+"""
+
+
+# ------------------------------------------------------------------ B39
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration per nation: Herfindahl-Hirschman index over
+    supplier revenue shares (Σ share² × 10⁴) — the antitrust-style
+    concentration report.
+
+    Per-supplier revenue reduces the fact table in one hash aggregate;
+    the per-nation Σrev and Σrev² fold exactly in DECIMAL (a 2-dp double
+    casts to DECIMAL(18,2) losslessly, and the (37,4) product is exact),
+    so the one final double division can't flip with partitioning.
+    """
+    from ..functions import dec_sum
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    srev = li.groupBy("l_suppkey").agg(dec_sum("rev", 2).alias("supp_rev"))
+    # 19,2: wide enough that the product type (19+19 = 38 digits) holds
+    # the square exactly in BOTH engines (DuckDB errors on a DECIMAL(18)
+    # multiply overflow instead of widening)
+    dec = F.col("supp_rev").cast("decimal(19,2)")
+    return (
+        srev.join(F.broadcast(sup), srev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(dec).cast("double").alias("total_rev_raw"),
+            F.sum(dec * dec).cast("double").alias("sq_sum"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.round("total_rev_raw", 2).alias("total_rev"),
+            F.round(F.lit(10_000.0) * F.col("sq_sum") / (F.col("total_rev_raw") * F.col("total_rev_raw")), 4).alias("hhi"),
+        )
+    )
+
+
+ORACLE["supplier_hhi"] = f"""
+WITH srev AS (
+    SELECT l_suppkey,
+           {DEC_SUM_SQL.format(expr="l_extendedprice * (1.0 - l_discount)", scale=2)} AS supp_rev
+    FROM lineitem GROUP BY 1
+)
+SELECT n_name,
+       count(*) AS n_suppliers,
+       round(sum(supp_rev::DECIMAL(19,2))::DOUBLE, 2) AS total_rev,
+       round(10000.0 * sum(supp_rev::DECIMAL(19,2) * supp_rev::DECIMAL(19,2))::DOUBLE
+             / (sum(supp_rev::DECIMAL(19,2))::DOUBLE * sum(supp_rev::DECIMAL(19,2))::DOUBLE),
+             4) AS hhi
+FROM srev
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "customer_rfm": customer_rfm,
+    "order_cohort_ltv": order_cohort_ltv,
+    "supplier_hhi": supplier_hhi,
     "events_quantile_sketch": events_quantile_sketch,
     "order_value_quartiles": order_value_quartiles,
     "events_zscore_outliers": events_zscore_outliers,

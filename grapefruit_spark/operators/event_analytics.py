@@ -783,8 +783,66 @@ WHERE n_gaps >= {BOT_MIN_EVENTS} AND s > 0
 """
 
 
+# ------------------------------------------------------------------ C28
+MAD_K = 1.4826  # consistency constant: MAD × k estimates σ for normal data
+MAD_TAU = 3.5
+
+
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers per event_type: |value − median| > τ·(1.4826·MAD)
+    — the median/MAD twin of events_zscore_outliers. Mean/stddev gates
+    move when a burst of anomalies drags the moments; median and MAD
+    don't, so this is the detector that still fires during an incident.
+
+    Two small aggregates (median, then MAD) broadcast back onto the scan;
+    every per-row score is a deterministic scalar op on interpolated
+    percentiles that Spark `percentile` and DuckDB `quantile_cont` define
+    identically — no order-dependent float sums anywhere.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    scored = dev.join(F.broadcast(mad), "event_type").where(F.col("mad") > 0)
+    robust_z = F.round(
+        (F.col("value") - F.col("med")) / (F.lit(MAD_K) * F.col("mad")), 4
+    )
+    return (
+        scored.withColumn("robust_z", robust_z)
+        .where(F.abs("robust_z") >= MAD_TAU)
+        .select("event_type", "event_id", "value", "robust_z")
+    )
+
+
+ORACLE["events_value_mad"] = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY 1
+),
+dev AS (
+    SELECT e.event_type, e.event_id, e.value, m.med,
+           abs(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.event_id, d.value,
+       round((d.value - d.med) / ({MAD_K} * m.mad), 4) AS robust_z
+FROM dev d JOIN mad m USING (event_type)
+WHERE m.mad > 0
+  AND abs(round((d.value - d.med) / ({MAD_K} * m.mad), 4)) >= {MAD_TAU}
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
+    "events_value_mad": events_value_mad,
     "events_state_intervals": events_state_intervals,
     "events_markov_transitions": events_markov_transitions,
     "events_top_paths": events_top_paths,

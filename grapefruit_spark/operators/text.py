@@ -198,8 +198,58 @@ FROM norm
 """
 
 
+# ------------------------------------------------------------------ D38
+def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the token distribution — the
+    quality/diversity signal that separates natural text (high entropy)
+    from boilerplate and keyword-stuffed spam (low): H = ln n − Σc·ln c ⁄ n.
+
+    One explode + per-(doc, token) count, then one per-doc aggregate —
+    both map-side-combinable; the c·ln c sum folds integer counts through
+    ln, the same per-addend doubles in both engines (same tolerance class
+    as doc_unigram_logprob, which hash-matches at 10× this scale).
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(ws_tokens(normalize_text(F.col("text")))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.alias("n_tok"),
+        F.countDistinct("tok").alias("vocab"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("entropy"),
+    )
+
+
+_DUCK_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+ORACLE["doc_entropy"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                              t -> length(t) > 0)) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(c) AS n_tok,
+       count(DISTINCT tok) AS vocab,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM tf GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
+    "doc_entropy": doc_entropy,
     "doc_quality": doc_quality,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
