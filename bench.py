@@ -95,6 +95,8 @@ HEADLINE = [
     "events_value_mad",
     "doc_entropy",
     "jaccard_clusters",
+    "dup_span_docs",
+    "vocab_coverage",
 ]
 
 

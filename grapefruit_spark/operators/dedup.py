@@ -511,8 +511,68 @@ WHERE levenshtein(name_a, name_b) = 1
 """
 
 
+# ------------------------------------------------------------------ D39
+SPAN_W = 8
+
+
+def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-duplicate detection: every 8-token span occurring
+    in ≥2 documents, with its document frequency and total occurrences —
+    the cross-document substring-duplication report behind exact-substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": repeated spans, not just whole docs, drive memorization).
+
+    One explode + one hash aggregate on the span fingerprint: partial
+    (map-side) counts make the hot boilerplate span — the exact row this
+    query exists to find — a cheap skewed KEY, never a skewed TASK. The
+    16-byte md5 replaces the raw span text in the shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            word_ngrams(ws_tokens(normalize_text(F.col("text"))), SPAN_W)
+        ).alias("span"),
+    ).select("doc_id", F.md5("span").alias("span_fp"))
+    return (
+        spans.groupBy("span_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occur"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+ORACLE["dup_span_docs"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                       t -> length(t) > 0) AS toks
+    FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           md5(array_to_string(toks[i:i+{SPAN_W - 1}], ' ')) AS span_fp
+    FROM (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - {SPAN_W - 2})) AS i
+        FROM toks WHERE len(toks) >= {SPAN_W}
+    )
+)
+SELECT span_fp,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occur,
+       min(doc_id) AS first_doc
+FROM spans
+GROUP BY span_fp
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dup_span_docs": dup_span_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "dedup_minhash": dedup_minhash,

@@ -246,8 +246,67 @@ GROUP BY doc_id
 """
 
 
+# ------------------------------------------------------- vocab coverage
+VOCAB_KS = (100, 1_000, 10_000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary planning: what fraction of corpus token
+    occurrences do the top-K most frequent types cover, for K ∈ {100, 1k,
+    10k}? The curve that sizes a vocab / flags heavy-tail corpora.
+
+    Term counts are one skew-proof hash aggregate; each K's finalists
+    come from a distributed TakeOrderedAndProject (orderBy().limit(K) —
+    never a global rank window over the whole vocabulary), and the
+    coverage ratio is one integer-exact division per row.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = tf.agg(F.sum("c").alias("total"))
+    parts = []
+    for k in VOCAB_KS:
+        topk = tf.orderBy(F.desc("c"), F.asc("term")).limit(k)
+        parts.append(
+            topk.agg(
+                F.lit(k).alias("k"),
+                F.count(F.lit(1)).alias("vocab_used"),
+                F.sum("c").alias("covered"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.join(F.broadcast(total)).select(
+        "k",
+        "vocab_used",
+        "covered",
+        F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
+    )
+
+
+def _vocab_coverage_oracle() -> str:
+    one = """
+SELECT {k} AS k, count(*) AS vocab_used, sum(c) AS covered,
+       round(sum(c) / (SELECT sum(c) FROM tf), 6) AS coverage
+FROM (SELECT c FROM tf ORDER BY c DESC, term ASC LIMIT {k})
+"""
+    return (
+        f"WITH tf AS (SELECT term, count(*) AS c FROM "
+        f"(SELECT unnest({_DUCK_TOKENS}) AS term FROM documents) GROUP BY 1)\n"
+        + "\nUNION ALL\n".join(one.format(k=k) for k in VOCAB_KS)
+    )
+
+
+ORACLE["vocab_coverage"] = _vocab_coverage_oracle()
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "vocab_coverage": vocab_coverage,
 }
