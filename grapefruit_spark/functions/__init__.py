@@ -182,3 +182,33 @@ def dec_avg(col: Column | str, scale: int = 4) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     dc = c.cast("decimal(38,6)")
     return F.round(F.sum(dc).cast("double") / F.count(dc), scale)
+
+
+def spark_percentile_sql(q: str, v: str = "v", i: str = "i", n: str = "n") -> str:
+    """DuckDB aggregate fragment that reproduces Spark ``percentile``
+    BIT-EXACTLY over a ranked CTE with columns ``{i}`` (0-based
+    row_number ordered by the value), ``{n}`` (partition count) and
+    ``{v}`` (the value, DOUBLE).
+
+    DuckDB's ``quantile_cont`` uses a different interpolation expression
+    (``lo + (hi-lo)*frac``) than Spark's ``Percentile``
+    (``(ceil(pos)-pos)*lo + (pos-floor(pos))*hi``, Percentile.scala
+    ``getPercentile``); the two can differ in the last ulp, which is
+    enough to flip a rounded emission or a threshold comparison on
+    richer data. Mirroring Spark's exact op sequence makes both engines
+    produce the same IEEE double: the SUM folds the (at most two)
+    non-zero weighted terms plus exact ``0.0``s, and IEEE addition with
+    zero and two-term commutativity keep it identical to Spark's
+    ``a*w1 + b*w2``.
+    """
+    # DuckDB parses a bare numeric literal as DECIMAL — cast to DOUBLE so
+    # position arithmetic is the same IEEE sequence Spark runs
+    pos = f"(CAST({q} AS DOUBLE) * ({n} - 1))"
+    return (
+        f"sum(CASE "
+        f"WHEN CAST(floor({pos}) AS BIGINT) = CAST(ceil({pos}) AS BIGINT) "
+        f"THEN CASE WHEN {i} = CAST(floor({pos}) AS BIGINT) THEN {v} ELSE 0.0 END "
+        f"WHEN {i} = CAST(floor({pos}) AS BIGINT) THEN (ceil({pos}) - {pos}) * {v} "
+        f"WHEN {i} = CAST(ceil({pos}) AS BIGINT) THEN ({pos} - floor({pos})) * {v} "
+        f"ELSE 0.0 END)"
+    )

@@ -34,14 +34,47 @@ def all_queries() -> dict[str, QueryFn]:
         for item in chain.from_iterable(zip_longest(*per_module))
         if item is not None
     ]
-    # Rotate the interleaved order by a deterministic per-round offset so a
-    # checker that samples only a prefix covers DIFFERENT operators each
-    # round — over successive rounds every entry earns an externally
-    # verified row. Rotation preserves the interleave, so any 50-prefix
-    # still touches every module block.
-    off = (_round_number() * 50) % len(items) if items else 0
-    items = items[off:] + items[:off]
+    # Queries that have never earned a green row in any driver-written
+    # CORRECTNESS_r*.json go FIRST (preserving the interleaved order), so
+    # a checker sampling a prefix verifies exactly the never-proven set.
+    # The remainder rotates by a per-round offset so repeat coverage still
+    # cycles over successive rounds.
+    unproven = _never_green()
+    head = [it for it in items if it[0] in unproven]
+    tail = [it for it in items if it[0] not in unproven]
+    off = (_round_number() * 50) % len(tail) if tail else 0
+    items = head + tail[off:] + tail[:off]
     return dict(items)
+
+
+def _never_green() -> set[str]:
+    """Query names with no passing driver CORRECTNESS row in any prior
+    round (never sampled, or sampled but errored / hash-mismatched).
+    Deterministic within a round; empty when no driver files exist."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    sampled: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            sampled.add(name)
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") is None and row.get("hash_match") is True:
+                green.add(name)  # oracle-backed, hash-verified
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                green.add(name)  # rows-only by design, ran clean
+    if not sampled:
+        return set()
+    all_names = {n for mod in _modules() for n in mod.QUERIES}
+    return all_names - green
 
 
 def _round_number() -> int:

@@ -70,25 +70,42 @@ FROM orders
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of order totals per priority.
 
-    Spark `percentile` and DuckDB `quantile_cont` share the linear-
-    interpolation definition; median/p90/p99 rounded to 4 dp.
+    Emitted as floor(x·10⁴) integers: the oracle mirrors Spark's exact
+    interpolation op sequence (spark_percentile_sql), so both engines
+    hold the identical double and floor-scaling is deterministic —
+    unlike round(), whose half-rule implementation differs cross-engine.
     """
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        *[
+            F.floor(F.expr(f"percentile(o_totalprice, {q})") * 10000).alias(
+                f"p{int(q * 100)}_e4"
+            )
+            for q in (0.5, 0.9, 0.99)
+        ]
     )
 
 
-ORACLE["price_percentiles"] = """
-SELECT o_orderpriority,
-       round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
-       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
-       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-FROM orders
-GROUP BY o_orderpriority
+def _price_percentiles_oracle() -> str:
+    from ..functions import spark_percentile_sql
+
+    cols = ", ".join(
+        f"CAST(floor({spark_percentile_sql(str(q))} * 10000) AS BIGINT) AS p{int(q * 100)}_e4"
+        for q in (0.5, 0.9, 0.99)
+    )
+    return f"""
+WITH ranked AS (
+    SELECT o_orderpriority, o_totalprice AS v,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) - 1 AS i,
+           count(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+)
+SELECT o_orderpriority, {cols}
+FROM ranked GROUP BY o_orderpriority
 """
+
+
+ORACLE["price_percentiles"] = _price_percentiles_oracle()
 
 
 # ------------------------------------------------------------------ B16
@@ -389,9 +406,14 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = per_cust.join(F.broadcast(ref)).withColumn(
         "recency_days", F.datediff("ref_date", "last_order")
     )
+    # raw (unrounded) thresholds: the oracle mirrors Spark's exact
+    # percentile op sequence (spark_percentile_sql), so both engines hold
+    # the identical threshold double and boundary customers compare the
+    # same way — rounding the threshold would re-open the cross-engine
+    # round() half-rule gap it was meant to close
     th = per_cust.agg(
         *[
-            F.round(F.expr(f"percentile({m}, {q})"), 6).alias(f"{m[0]}q{int(q * 100)}")
+            F.expr(f"percentile({m}, {q})").alias(f"{m[0]}q{int(q * 100)}")
             for m in ("recency_days", "frequency", "monetary")
             for q in _RFM_QS
         ]
@@ -418,11 +440,23 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rfm_threshold_sql() -> str:
-    cols = []
+    """Per-metric ranked CTEs + Spark-exact percentile mirrors (see
+    functions.spark_percentile_sql), cross-joined into one 1-row th."""
+    from ..functions import spark_percentile_sql
+
+    ctes, tables = [], []
     for m in ("recency_days", "frequency", "monetary"):
-        for q in _RFM_QS:
-            cols.append(f"round(quantile_cont({m}, {q}), 6) AS {m[0]}q{int(q * 100)}")
-    return ", ".join(cols)
+        a = m[0]
+        ctes.append(
+            f"r_{a} AS (SELECT {m}::DOUBLE AS v, "
+            f"row_number() OVER (ORDER BY {m}) - 1 AS i, count(*) OVER () AS n FROM pc)"
+        )
+        cols = ", ".join(
+            f"{spark_percentile_sql(str(q))} AS {a}q{int(q * 100)}" for q in _RFM_QS
+        )
+        ctes.append(f"th_{a} AS (SELECT {cols} FROM r_{a})")
+        tables.append(f"th_{a}")
+    return ",\n".join(ctes) + f",\nth AS (SELECT * FROM {' CROSS JOIN '.join(tables)})"
 
 
 ORACLE["customer_rfm"] = f"""
@@ -438,7 +472,7 @@ pc AS (
     SELECT p.*, date_diff('day', last_order, ref_date) AS recency_days
     FROM per_cust p CROSS JOIN ref
 ),
-th AS (SELECT {_rfm_threshold_sql()} FROM pc)
+{_rfm_threshold_sql()}
 SELECT o_custkey, recency_days, frequency, monetary,
        5 - ((recency_days > rq20)::INT + (recency_days > rq40)::INT
             + (recency_days > rq60)::INT + (recency_days > rq80)::INT) AS r_score,
@@ -576,6 +610,10 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the square exactly in BOTH engines (DuckDB errors on a DECIMAL(18)
     # multiply overflow instead of widening)
     dec = F.col("supp_rev").cast("decimal(19,2)")
+    # integer cents: HHI×10⁴ (4 implied decimals) is exact bigint/decimal
+    # arithmetic end-to-end — the cents scale cancels in Σc²/（Σc)², so no
+    # double round() whose last ulp could differ cross-engine
+    cents = F.expr("CAST(supp_rev * 100 AS DECIMAL(18,0))")
     return (
         srev.join(F.broadcast(sup), srev.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
@@ -583,13 +621,14 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
             F.sum(dec).cast("double").alias("total_rev_raw"),
-            F.sum(dec * dec).cast("double").alias("sq_sum"),
+            F.sum(cents).alias("t_cents"),
+            F.sum(cents * cents).alias("sq_cents"),
         )
         .select(
             "n_name",
             "n_suppliers",
             F.round("total_rev_raw", 2).alias("total_rev"),
-            F.round(F.lit(10_000.0) * F.col("sq_sum") / (F.col("total_rev_raw") * F.col("total_rev_raw")), 4).alias("hhi"),
+            F.expr("(sq_cents * 100000000L) div (t_cents * t_cents)").alias("hhi_e4"),
         )
     )
 
@@ -603,9 +642,9 @@ WITH srev AS (
 SELECT n_name,
        count(*) AS n_suppliers,
        round(sum(supp_rev::DECIMAL(19,2))::DOUBLE, 2) AS total_rev,
-       round(10000.0 * sum(supp_rev::DECIMAL(19,2) * supp_rev::DECIMAL(19,2))::DOUBLE
-             / (sum(supp_rev::DECIMAL(19,2))::DOUBLE * sum(supp_rev::DECIMAL(19,2))::DOUBLE),
-             4) AS hhi
+       CAST((sum(CAST(supp_rev * 100 AS HUGEINT) * CAST(supp_rev * 100 AS HUGEINT)) * 100000000)
+            // (sum(CAST(supp_rev * 100 AS HUGEINT)) * sum(CAST(supp_rev * 100 AS HUGEINT)))
+            AS BIGINT) AS hhi_e4
 FROM srev
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey

@@ -200,7 +200,6 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = F.col("words")
     nw = F.size(words)
-    dup_frac = F.round(1.0 - F.size(F.array_distinct(words)) / nw, 6)
     # bigram list = zip_with(words[:-1], words[1:]) joined with '\x01'
     bigrams = F.zip_with(
         F.slice(words, 1, nw - 1),
@@ -223,13 +222,22 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top_bigram = F.aggregate(F.array_sort(bigrams), init, _step, lambda acc: acc["best"])
     n_bigrams = F.size(bigrams)
-    top_frac = F.round(
-        F.nullif(top_bigram, F.lit(0)) / F.nullif(n_bigrams.cast("double"), F.lit(0.0)), 6
+    # integer ppm ratios: exact bigint `div` on both engines, immune to
+    # the cross-engine double-round() last-ulp drift a driver-side value
+    # distribution could expose
+    staged = staged.select(
+        "doc_id",
+        (nw - F.size(F.array_distinct(words))).cast("bigint").alias("n_dup"),
+        nw.cast("bigint").alias("nw"),
+        top_bigram.cast("bigint").alias("top_bg"),
+        n_bigrams.cast("bigint").alias("n_bg"),
     )
     return staged.select(
         "doc_id",
-        dup_frac.alias("dup_word_frac"),
-        top_frac.alias("top_bigram_frac"),
+        F.expr("(n_dup * 1000000L) div nw").alias("dup_word_ppm"),
+        F.expr("(nullif(top_bg, 0L) * 1000000L) div nullif(n_bg, 0L)").alias(
+            "top_bigram_ppm"
+        ),
     )
 
 
@@ -242,9 +250,9 @@ WITH w AS (
   FROM w
 )
 SELECT doc_id,
-       round(1.0 - len(list_distinct(words)) / len(words), 6) AS dup_word_frac,
-       round(list_max([len(list_filter(bigrams, x -> x = bg)) FOR bg IN list_distinct(bigrams)])
-             / nullif(len(bigrams), 0)::DOUBLE, 6) AS top_bigram_frac
+       ((len(words) - len(list_distinct(words))) * 1000000) // len(words) AS dup_word_ppm,
+       (nullif(list_max([len(list_filter(bigrams, x -> x = bg)) FOR bg IN list_distinct(bigrams)]), 0) * 1000000)
+             // nullif(len(bigrams), 0) AS top_bigram_ppm
 FROM b
 """
 
@@ -286,7 +294,8 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("pack_tokens"),
-            F.round(F.sum("n_tok") / F.lit(float(PACK_BUDGET)), 4).alias("fill_ratio"),
+            # fill in basis points: exact bigint div on both engines
+            F.expr(f"(sum(n_tok) * 10000L) div {PACK_BUDGET}L").alias("fill_bp"),
         )
         .orderBy("shard", "pack_id")
     )
@@ -307,7 +316,7 @@ packed AS (
 SELECT shard, ((cum - n_tok) // {PACK_BUDGET})::BIGINT AS pack_id,
        count(*) AS n_docs,
        sum(n_tok)::BIGINT AS pack_tokens,
-       round(sum(n_tok) / {float(PACK_BUDGET)}, 4) AS fill_ratio
+       (sum(n_tok) * 10000) // {PACK_BUDGET} AS fill_bp
 FROM packed
 GROUP BY 1, 2
 ORDER BY shard, pack_id

@@ -150,7 +150,9 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+            # integer ppm: exact bigint math on both engines (no double
+            # round() whose last ulp can differ cross-engine)
+            F.expr("(n_events * 1000000L) div total").alias("share_ppm"),
         )
         .orderBy(F.desc("n_events"), "user_id")
         .limit(10)
@@ -162,7 +164,7 @@ WITH per_user AS (
   SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
 )
 SELECT user_id, n_events,
-       round(n_events / (SELECT sum(n_events) FROM per_user), 6) AS share
+       (n_events * 1000000) // (SELECT sum(n_events) FROM per_user) AS share_ppm
 FROM per_user
 ORDER BY n_events DESC, user_id
 LIMIT 10
@@ -270,7 +272,9 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns in one select, filters strictly after). Zero-variance
     # windows are excluded on BOTH sides: under ANSI x/0 throws here,
     # DuckDB would yield inf — and a flat baseline has no σ to score by.
-    z = F.round((F.col("n") - F.col("trail_mean")) / F.sqrt(F.col("trail_var")), 3)
+    # filter on the UNROUNDED z (identical double both engines) and emit
+    # floor(z·10³) — deterministic where round()'s half-rule isn't
+    z = (F.col("n") - F.col("trail_mean")) / F.sqrt(F.col("trail_var"))
     return (
         hourly.select(
             "event_type",
@@ -281,8 +285,11 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             var.alias("trail_var"),
         )
         .where((F.col("trail_n") >= 12) & (F.col("trail_var") > 0))
-        .select("event_type", "hour", "n", z.alias("zscore"))
-        .where(F.abs(F.col("zscore")) >= ANOM_Z)
+        .select("event_type", "hour", "n", z.alias("z"))
+        .where(F.abs(F.col("z")) >= ANOM_Z)
+        .select(
+            "event_type", "hour", "n", F.floor(F.col("z") * 1000).alias("zscore_e3")
+        )
     )
 
 
@@ -304,10 +311,10 @@ scored AS (
                  ROWS BETWEEN {ANOM_TRAIL} PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, hour, n,
-       round((n - trail_mean) / sqrt(trail_var), 3) AS zscore
+       CAST(floor((n - trail_mean) / sqrt(trail_var) * 1000) AS BIGINT) AS zscore_e3
 FROM scored
 WHERE trail_n >= 12 AND trail_var > 0
-  AND abs(round((n - trail_mean) / sqrt(trail_var), 3)) >= {ANOM_Z}
+  AND abs((n - trail_mean) / sqrt(trail_var)) >= {ANOM_Z}
 """
 
 
@@ -463,7 +470,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_type",
             "next_type",
             "n",
-            F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+            F.expr("(n * 1000000L) div n_from").alias("p_ppm"),
         )
     )
 
@@ -482,7 +489,7 @@ WITH steps AS (
 totals AS (
     SELECT prev_type, sum(n) AS n_from FROM steps GROUP BY 1
 )
-SELECT s.prev_type, s.next_type, s.n, round(s.n / t.n_from, 6) AS p
+SELECT s.prev_type, s.next_type, s.n, (s.n * 1000000) // t.n_from AS p_ppm
 FROM steps s JOIN totals t USING (prev_type)
 """
 
@@ -749,13 +756,16 @@ def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s") / F.col("n_gaps")
     var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n_gaps")) / (F.col("n_gaps") - 1)
+    # mean as exact bigint e4; cv (has a sqrt, irreducibly real) as
+    # floor(cv·10⁶) of the identical double both engines derive from the
+    # same integer moment sums
     return (
         agg.where((F.col("n_gaps") >= BOT_MIN_EVENTS) & (F.col("s") > 0))
         .select(
             "user_id",
             "n_gaps",
-            F.round(mean, 4).alias("mean_gap_s"),
-            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+            F.expr("(s * 10000L) div n_gaps").alias("mean_gap_e4"),
+            F.floor((F.sqrt(var) / mean) * 1000000).alias("cv_e6"),
         )
     )
 
@@ -776,8 +786,9 @@ agg AS (
     FROM clean GROUP BY 1
 )
 SELECT user_id, n_gaps,
-       round(s / n_gaps, 4) AS mean_gap_s,
-       round(sqrt((ss - s * s / n_gaps) / (n_gaps - 1)) / (s / n_gaps), 6) AS cv
+       (s * 10000) // n_gaps AS mean_gap_e4,
+       CAST(floor((sqrt((ss - s * s / n_gaps) / (n_gaps - 1)) / (s / n_gaps)) * 1000000)
+            AS BIGINT) AS cv_e6
 FROM agg
 WHERE n_gaps >= {BOT_MIN_EVENTS} AND s > 0
 """
@@ -808,36 +819,57 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
     scored = dev.join(F.broadcast(mad), "event_type").where(F.col("mad") > 0)
-    robust_z = F.round(
-        (F.col("value") - F.col("med")) / (F.lit(MAD_K) * F.col("mad")), 4
-    )
+    # filter on the UNROUNDED score (identical double both engines — the
+    # oracle mirrors Spark's percentile op sequence) and emit
+    # floor(z·10⁴): floor of identical doubles is deterministic where
+    # round()'s half-rule is engine-specific
+    robust_z = (F.col("value") - F.col("med")) / (F.lit(MAD_K) * F.col("mad"))
     return (
-        scored.withColumn("robust_z", robust_z)
-        .where(F.abs("robust_z") >= MAD_TAU)
-        .select("event_type", "event_id", "value", "robust_z")
+        scored.withColumn("rz", robust_z)
+        .where(F.abs("rz") >= MAD_TAU)
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.floor(F.col("rz") * 10000).alias("robust_z_e4"),
+        )
     )
 
 
-ORACLE["events_value_mad"] = f"""
-WITH med AS (
-    SELECT event_type, quantile_cont(value, 0.5) AS med
-    FROM events GROUP BY 1
+def _events_value_mad_oracle() -> str:
+    from ..functions import spark_percentile_sql
+
+    p50v = spark_percentile_sql("0.5")
+    p50a = spark_percentile_sql("0.5", v="adev")
+    return f"""
+WITH rankedv AS (
+    SELECT event_type, value AS v,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
 ),
+med AS (SELECT event_type, {p50v} AS med FROM rankedv GROUP BY 1),
 dev AS (
     SELECT e.event_type, e.event_id, e.value, m.med,
            abs(e.value - m.med) AS adev
     FROM events e JOIN med m USING (event_type)
 ),
-mad AS (
-    SELECT event_type, quantile_cont(adev, 0.5) AS mad
-    FROM dev GROUP BY 1
-)
+rankeda AS (
+    SELECT event_type, adev,
+           row_number() OVER (PARTITION BY event_type ORDER BY adev) - 1 AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+),
+mad AS (SELECT event_type, {p50a} AS mad FROM rankeda GROUP BY 1)
 SELECT d.event_type, d.event_id, d.value,
-       round((d.value - d.med) / ({MAD_K} * m.mad), 4) AS robust_z
+       CAST(floor((d.value - d.med) / ({MAD_K} * m.mad) * 10000) AS BIGINT) AS robust_z_e4
 FROM dev d JOIN mad m USING (event_type)
 WHERE m.mad > 0
-  AND abs(round((d.value - d.med) / ({MAD_K} * m.mad), 4)) >= {MAD_TAU}
+  AND abs((d.value - d.med) / ({MAD_K} * m.mad)) >= {MAD_TAU}
 """
+
+
+ORACLE["events_value_mad"] = _events_value_mad_oracle()
 
 
 QUERIES = {

@@ -280,18 +280,23 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # coverage as integer parts-per-million: (covered * 1e6) div total is
+    # exact bigint math on both engines, immune to the cross-engine
+    # last-ulp divergence a double `round(covered/total, 6)` carries
+    # (same device as order_cohort_ltv's integer cents). Both operands are
+    # non-negative, so Spark's truncating `div` == DuckDB's floor `//`.
     return out.join(F.broadcast(total)).select(
         "k",
         "vocab_used",
         "covered",
-        F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
+        F.expr("(covered * 1000000L) div total").alias("coverage_ppm"),
     )
 
 
 def _vocab_coverage_oracle() -> str:
     one = """
 SELECT {k} AS k, count(*) AS vocab_used, sum(c) AS covered,
-       round(sum(c) / (SELECT sum(c) FROM tf), 6) AS coverage
+       (sum(c) * 1000000) // (SELECT sum(c) FROM tf) AS coverage_ppm
 FROM (SELECT c FROM tf ORDER BY c DESC, term ASC LIMIT {k})
 """
     return (
