@@ -84,7 +84,10 @@ GROUP BY 1
 """
 
 
+#: containment threshold as an exact rational (1/2): the τ filter and the
+#: prefix bound are pure integer comparisons — no doubles anywhere in D4.
 CONTAIN_TAU = 0.5
+CONTAIN_NUM, CONTAIN_DEN = 1, 2
 
 
 def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,33 +95,57 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches documents swallowed by a larger one, which symmetric Jaccard
     misses (a quote inside a long page scores low J but high C).
 
-    Same inverted-index self-join as Jaccard (shared df-capped shingle
-    postings); emits the ordered pair once with containment in both
-    directions.
+    Prefix-filtered (Bayardo et al., WWW'07): candidates come from
+    joining each doc's df-ascending PREFIX shingles against the full
+    capped postings (the pair's smaller side carries the pigeonhole
+    guarantee, and its partner may be any size, so the probe side is the
+    prefix and the index side is full) — then exact verify by array
+    intersection on the candidates only. τ = 1/2 exactly, so both the
+    prune bound and the filter are integer comparisons.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("grams").alias("n_grams")).where(F.col("n_grams") > 0)
-    posting = _capped_posting(sh)
-    a, b = posting.alias("a"), posting.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    idx = _gram_index(spark, sf_dir)
+    pp = _prefix_posting(idx, CONTAIN_NUM, CONTAIN_DEN)
+    fp = idx.select("doc_id", "n_grams", F.explode("rare_grams").alias("gram"))
+    # positional filter on the prefix side: the pair needs overlap
+    # t = ⌈τ·min(na,nb)⌉ and the first collision at pos bounds it by
+    # n_rare − pos (suffix of the prefix side).
+    t_pair = F.expr(
+        f"({CONTAIN_NUM} * least(p.n_grams, f.n_grams) + {CONTAIN_DEN - 1})"
+        f" div {CONTAIN_DEN}"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
-    c_ab = F.round(F.col("n_inter") / F.col("na"), 6)
-    c_ba = F.round(F.col("n_inter") / F.col("nb"), 6)
+    cands = (
+        pp.alias("p")
+        .join(
+            fp.alias("f"),
+            (F.col("p.gram") == F.col("f.gram"))
+            & (F.col("p.doc_id") != F.col("f.doc_id"))
+            & (F.col("p.n_rare") - F.col("p.pos") >= t_pair),
+        )
+        .select(
+            F.least(F.col("p.doc_id"), F.col("f.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("f.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    scored = _verify_candidates(cands, idx)
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", "n_inter", c_ab.alias("contain_ab"), c_ba.alias("contain_ba"))
-        .where((F.col("contain_ab") >= CONTAIN_TAU) | (F.col("contain_ba") >= CONTAIN_TAU))
+        scored.where(
+            (F.lit(CONTAIN_DEN) * F.col("n_inter") >= F.lit(CONTAIN_NUM) * F.col("na"))
+            | (F.lit(CONTAIN_DEN) * F.col("n_inter") >= F.lit(CONTAIN_NUM) * F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.expr("(n_inter * 1000000L) div na").alias("contain_ab_ppm"),
+            F.expr("(n_inter * 1000000L) div nb").alias("contain_ba_ppm"),
+        )
     )
 
 
 # ------------------------------------------------------------------ D4
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _spread(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.array_distinct(
@@ -127,30 +154,127 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _capped_posting(sh: DataFrame) -> DataFrame:
-    """Exploded (doc_id, gram) postings with hot shingles removed.
+def _gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc D4 index: full shingle count + the doc's df-CAPPED grams
+    sorted by the global (df ASC, gram ASC) order — the canonical prefix-
+    filtering order (rarest first), shared by the Jaccard and containment
+    joins AND their verify stage.
 
-    groupBy(gram) is skew-proof (map-side partial counts); the join back
-    keeps only grams with df ≤ SHINGLE_DF_CAP, so the downstream
-    self-join's worst bucket is CAP² rows instead of unbounded.
+    groupBy(gram) is skew-proof (map-side partial counts); hot grams
+    (df > SHINGLE_DF_CAP) are dropped from the intersection sets while
+    full sizes still feed the denominators. Pinned (one materialization)
+    because candidate generation and verification both read it.
     """
-    posting = sh.select("doc_id", F.explode("grams").alias("gram"))
-    rare = (
-        posting.groupBy("gram")
+    from ..reliability import pin
+
+    # materialize hashed shingles ONCE: project-collapse otherwise
+    # inlines the (regex+ngram) expression into every downstream branch —
+    # and into Generate, which re-evaluates it per EXPLODED row (~50× per
+    # doc). A pin is the only reliable barrier; at cluster scale this is
+    # the "write the shingle table" step of a dedup pipeline. Grams are
+    # xxhash64'd inside the array so no 40-byte gram string ever shuffles
+    # — df counting, the prefix join, and the verify intersection all run
+    # on 8-byte longs. |A∩B| over injective-w.h.p. hashes equals the
+    # string intersection (collision odds ~|grams|²/2⁶⁴ ≈ 1e-11 at sf0.1,
+    # re-hashable with a different seed if ever hit), so the DuckDB
+    # oracle keeps the plain string-set semantics.
+    sh = _doc_shingles(spark, sf_dir)
+    base = pin(
+        sh.select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.transform("grams", lambda g: F.xxhash64(g)).alias("hs"),
+        ).where(F.col("n_grams") > 0)
+    )
+    posting = base.select("doc_id", F.explode("hs").alias("h"))
+    rare_df = (
+        posting.groupBy("h")
         .agg(F.count(F.lit(1)).alias("gram_df"))
         .where(F.col("gram_df") <= SHINGLE_DF_CAP)
-        .select("gram")
     )
-    return posting.join(rare, "gram").select("doc_id", "gram")
+    arrays = (
+        posting.join(rare_df, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("gram_df", "h"))).alias("o"))
+        .select("doc_id", F.col("o.h").alias("rare_grams"))
+    )
+    idx = base.select("doc_id", "n_grams").join(arrays, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("rare_grams", F.array().cast("array<bigint>")).alias("rare_grams"),
+    )
+    return pin(idx)
 
 
-#: SQL mirror of _capped_posting (expects a CTE named `posting`)
-_DUCK_CAPPED = f"""
+def _prefix_posting(idx: DataFrame, num: int, den: int) -> DataFrame:
+    """Prefix postings for overlap threshold τ = num/den (exact rational).
+
+    A qualifying pair must share t = ⌈τ·n⌉ grams with τ anchored to this
+    doc's own full size n, so a collision is guaranteed inside the first
+    |rare| − t + 1 grams under the global df-ascending order (pigeonhole)
+    — the hottest grams land in the suffix and never generate candidates.
+    ⌈num·n/den⌉ = (num·n + den−1) div den keeps the bound integer-exact.
+
+    Carries (pos, n_rare, n_grams) per posting for the PPJoin positional
+    filter: the pair's FIRST (global-order) collision bounds the overlap
+    by 1 + min(remaining_a, remaining_b), so collisions too close to both
+    suffix ends can be dropped before the pair ever materializes.
+    """
+    t = F.expr(f"({num} * n_grams + {den - 1}) div {den}")
+    plen = F.greatest(F.lit(0).cast("long"), F.size("rare_grams") - t + F.lit(1))
+    return idx.select(
+        "doc_id",
+        "n_grams",
+        F.size("rare_grams").alias("n_rare"),
+        F.posexplode(F.slice("rare_grams", F.lit(1), plen)).alias("pos", "gram"),
+    )
+
+
+def _verify_candidates(cands: DataFrame, idx: DataFrame) -> DataFrame:
+    """Exact |A∩B| for candidate pairs via array intersection of the two
+    docs' capped gram sets — O(candidates), replacing the old posting
+    count-join whose cost was Σdf² over every surviving gram."""
+    ia = idx.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_grams").alias("na"),
+        F.col("rare_grams").alias("ga"),
+    )
+    ib = idx.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_grams").alias("nb"),
+        F.col("rare_grams").alias("gb"),
+    )
+    return (
+        cands.join(ia, "doc_a")
+        .join(ib, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
+        .where(F.col("n_inter") > 0)
+    )
+
+
+#: shared oracle CTEs: the SEMANTIC definition of the capped pair space —
+#: the prefix filter is an equivalence-preserving Spark-side optimization
+#: (any global order yields the same verified pairs), so the oracle stays
+#: the plain inverted-index join DuckDB handles trivially at oracle scale.
+_DUCK_PAIR_CTES = f"""shingles AS ({{shingles}}),
+posting AS (
+    SELECT doc_id, unnest(grams) AS gram FROM shingles
+),
+capped AS (
     SELECT doc_id, gram FROM (
         SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS gram_df
         FROM posting
     ) WHERE gram_df <= {SHINGLE_DF_CAP}
-"""
+),
+sizes AS (
+    SELECT doc_id, len(grams) AS n_grams FROM shingles WHERE len(grams) > 0
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM capped a JOIN capped b
+      ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)"""
 
 
 _DUCK_SHINGLES = f"""
@@ -168,56 +292,71 @@ _DUCK_SHINGLES = f"""
 """
 
 
+#: Jaccard threshold as an exact rational (2/25 = 0.08): J ≥ τ becomes
+#: 25·|∩| ≥ 2·(na+nb−|∩|) — pure bigint comparison, identical on any
+#: engine, no round()/double anywhere in the operator.
+JACCARD_NUM, JACCARD_DEN = 2, 25
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the verify-stage primitive).
 
-    Inverted-index self-join on df-capped shingle postings (never a cross
-    join): pairs only materialize for docs sharing ≥1 rare shingle, then
-    J = |∩| / |∪| ≥ τ.
+    Prefix-filtered (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07): J ≥ τ ⟹ |A∩B| ≥ τ·|A| (and ≥ τ·|B|), so a pair
+    must collide within each side's first |rare| − ⌈τ·n⌉ + 1 grams under
+    the global df-ascending order. The self-join runs on those PREFIX
+    postings only — the hottest surviving grams sit in suffixes and
+    never generate candidates — and the exact intersection is computed
+    per candidate from the two docs' gram arrays, so total cost is
+    O(candidates), not Σdf² over every df≤CAP gram.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("grams").alias("n_grams")).where(F.col("n_grams") > 0)
-    posting = _capped_posting(sh)
-    a, b = posting.alias("a"), posting.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    idx = _gram_index(spark, sf_dir)
+    pp = _prefix_posting(idx, JACCARD_NUM, JACCARD_DEN)
+    a, b = pp.alias("a"), pp.alias("b")
+    # positional filter (PPJoin): a qualifying pair's overlap must reach
+    # t = ⌈τ(na+nb)/(1+τ)⌉ = ⌈2(na+nb)/27⌉, and its FIRST collision at
+    # (pa, pb) bounds it by 1 + min(n_rare−pos−1, …) — safe to apply per
+    # collision because the first collision of any qualifying pair passes.
+    t_pair = F.expr(
+        f"(({JACCARD_NUM} * (a.n_grams + b.n_grams)) + {JACCARD_NUM + JACCARD_DEN - 1})"
+        f" div {JACCARD_NUM + JACCARD_DEN}"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+    ubound = 1 + F.least(
+        F.col("a.n_rare") - F.col("a.pos") - 1, F.col("b.n_rare") - F.col("b.pos") - 1
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ubound >= t_pair),
         )
-        .where(F.col("jaccard") >= JACCARD_TAU)
-        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    scored = _verify_candidates(cands, idx)
+    return (
+        scored.where(
+            F.lit(JACCARD_DEN) * F.col("n_inter")
+            >= F.lit(JACCARD_NUM) * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.expr("(n_inter * 1000000L) div (na + nb - n_inter)").alias("jaccard_ppm"),
+        )
     )
 
 
 ORACLE["ngram_jaccard_pairs"] = f"""
-WITH shingles AS ({_DUCK_SHINGLES}),
-posting AS (
-    SELECT doc_id, unnest(grams) AS gram FROM shingles
-),
-capped AS ({_DUCK_CAPPED}),
-sizes AS (
-    SELECT doc_id, len(grams) AS n_grams FROM shingles WHERE len(grams) > 0
-),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-    FROM capped a JOIN capped b
-      ON a.gram = b.gram AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
+WITH {_DUCK_PAIR_CTES.format(shingles=_DUCK_SHINGLES)}
 SELECT doc_a, doc_b, n_inter,
-       round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) AS jaccard
+       (n_inter * 1000000) // (sa.n_grams + sb.n_grams - n_inter) AS jaccard_ppm
 FROM inter
 JOIN sizes sa ON inter.doc_a = sa.doc_id
 JOIN sizes sb ON inter.doc_b = sb.doc_id
-WHERE round(n_inter / (sa.n_grams + sb.n_grams - n_inter), 6) >= {JACCARD_TAU}
+WHERE {JACCARD_DEN} * n_inter >= {JACCARD_NUM} * (sa.n_grams + sb.n_grams - n_inter)
 """
 
 
@@ -404,28 +543,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["ngram_containment_pairs"] = f"""
-WITH shingles AS ({_DUCK_SHINGLES}),
-posting AS (
-    SELECT doc_id, unnest(grams) AS gram FROM shingles
-),
-capped AS ({_DUCK_CAPPED}),
-sizes AS (
-    SELECT doc_id, len(grams) AS n_grams FROM shingles WHERE len(grams) > 0
-),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-    FROM capped a JOIN capped b
-      ON a.gram = b.gram AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
+WITH {_DUCK_PAIR_CTES.format(shingles=_DUCK_SHINGLES)}
 SELECT doc_a, doc_b, n_inter,
-       round(n_inter / sa.n_grams, 6) AS contain_ab,
-       round(n_inter / sb.n_grams, 6) AS contain_ba
+       (n_inter * 1000000) // sa.n_grams AS contain_ab_ppm,
+       (n_inter * 1000000) // sb.n_grams AS contain_ba_ppm
 FROM inter
 JOIN sizes sa ON inter.doc_a = sa.doc_id
 JOIN sizes sb ON inter.doc_b = sb.doc_id
-WHERE round(n_inter / sa.n_grams, 6) >= {CONTAIN_TAU}
-   OR round(n_inter / sb.n_grams, 6) >= {CONTAIN_TAU}
+WHERE {CONTAIN_DEN} * n_inter >= {CONTAIN_NUM} * sa.n_grams
+   OR {CONTAIN_DEN} * n_inter >= {CONTAIN_NUM} * sb.n_grams
 """
 
 # ------------------------------------------------------------------ D31
@@ -527,18 +653,32 @@ def dup_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     query exists to find — a cheap skewed KEY, never a skewed TASK. The
     16-byte md5 replaces the raw span text in the shuffle.
     """
-    docs = table(spark, sf_dir, "documents")
-    spans = docs.select(
-        "doc_id",
-        F.explode(
-            word_ngrams(ws_tokens(normalize_text(F.col("text"))), SPAN_W)
-        ).alias("span"),
-    ).select("doc_id", F.md5("span").alias("span_fp"))
+    from ..reliability import pin
+
+    docs = _spread(table(spark, sf_dir, "documents"))
+    # fingerprint INSIDE the array, then pin before exploding: without
+    # the barrier, project-collapse inlines the span expression into
+    # Generate, which re-evaluates it per exploded row (~tokens× per doc)
+    arr = pin(
+        docs.select(
+            "doc_id",
+            F.transform(
+                word_ngrams(ws_tokens(normalize_text(F.col("text"))), SPAN_W),
+                lambda s: F.md5(s),
+            ).alias("fps"),
+        )
+    )
+    spans = arr.select("doc_id", F.explode("fps").alias("span_fp"))
+    # two-level agg instead of countDistinct+count in one pass: the mixed
+    # distinct/non-distinct agg plans an Expand (row duplication before
+    # the shuffle); pre-reducing on (span_fp, doc_id) keeps every stage
+    # map-side combinable with no Expand.
+    per_doc = spans.groupBy("span_fp", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
     return (
-        spans.groupBy("span_fp")
+        per_doc.groupBy("span_fp")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occur"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occur"),
             F.min("doc_id").alias("first_doc"),
         )
         .where(F.col("n_docs") >= 2)

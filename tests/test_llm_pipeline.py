@@ -72,7 +72,7 @@ def test_minhash_est_tracks_true_jaccard(spark, dup_dir):
         for r in dedup.dedup_minhash(spark, dup_dir).collect()
     }
     true = {
-        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"] / 1e6
         for r in dedup.ngram_jaccard_pairs(spark, dup_dir).collect()
     }
     both = set(est) & set(true)
@@ -229,7 +229,7 @@ def test_hot_shingle_cap_parity_with_oracle_when_active(spark, tmp_path, monkeyp
 
     monkeypatch.setattr(ddp, "SHINGLE_DF_CAP", 5)
     got = {
-        (r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"])
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard_ppm"])
         for r in ddp.ngram_jaccard_pairs(spark, str(d)).collect()
     }
     con = duckdb.connect()

@@ -195,3 +195,14 @@ def test_concurrent_queries_are_isolated(spark):
     with ThreadPoolExecutor(4) as ex:
         parallel = dict(zip(names, ex.map(lambda n: qs[n](spark, SF_DIR).count(), names)))
     assert parallel == serial
+
+
+def test_dup_span_docs_has_no_expand(spark):
+    """The span rollup must stay map-side combinable: a countDistinct
+    mixed into the same agg plans an Expand (row duplication before the
+    shuffle); the two-level (span_fp, doc_id) pre-aggregate avoids it."""
+    from grapefruit_spark.operators.dedup import dup_span_docs
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(dup_span_docs(spark, SF_DIR))
+    assert "Expand" not in plan, plan
