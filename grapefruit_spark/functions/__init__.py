@@ -150,7 +150,7 @@ def rolling_hash(col: Column, window: int = 16, base: int = 257, mod: int = (1 <
 
 #: Oracle-side twin of :func:`dec_sum` — format with the summand expression
 #: and round scale: DEC_SUM_SQL.format(expr="l_extendedprice * (1-l_discount)", scale=2)
-DEC_SUM_SQL = "round(sum(({expr})::DECIMAL(38,6)), {scale})::DOUBLE"
+DEC_SUM_SQL = "round(sum(({expr})::DECIMAL(18,6)), {scale})::DOUBLE"
 
 
 def dec_sum(col: Column | str, scale: int = 2) -> Column:
@@ -166,7 +166,13 @@ def dec_sum(col: Column | str, scale: int = 2) -> Column:
     sides must cast identically or parity breaks by construction.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast("decimal(38,6)")), scale).cast("double")
+    # (18,6) not (38,6): per-addend decimals with precision ≤ 18 stay
+    # LONG-backed inside codegen (a 128-bit BigDecimal add per row costs
+    # ~2× on wide aggregates like Q1); 18,6 still holds any per-row
+    # monetary value up to 10¹², and the sum's buffer type (28,6) only
+    # widens the accumulator, not the per-row fast path. Values are
+    # identical to the (38,6) cast — same nearest-6dp rounding per addend.
+    return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
 
 
 #: Oracle-side twin of :func:`dec_avg`.
@@ -184,7 +190,7 @@ def dec_avg(col: Column | str, scale: int = 4) -> Column:
     scales for decimal division.)
     """
     c = F.col(col) if isinstance(col, str) else col
-    dc = c.cast("decimal(38,6)")
+    dc = c.cast("decimal(18,6)")  # long-backed per-row path; see dec_sum
     return F.round(F.sum(dc).cast("double") / F.count(dc), scale)
 
 

@@ -287,9 +287,9 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sum(
                     F.when(F.col("p_type") == "ECONOMY", rev)
                     .otherwise(0.0)
-                    .cast("decimal(38,6)")
+                    .cast("decimal(18,6)")
                 ).cast("double")
-                / F.sum(rev.cast("decimal(38,6)")).cast("double"),
+                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )

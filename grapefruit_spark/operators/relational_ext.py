@@ -195,8 +195,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(target.cast("decimal(38,6)")).cast("double")
-                / F.nullif(F.sum(vol.cast("decimal(38,6)")).cast("double"), F.lit(0.0)),
+                F.sum(target.cast("decimal(18,6)")).cast("double")
+                / F.nullif(F.sum(vol.cast("decimal(18,6)")).cast("double"), F.lit(0.0)),
                 6,
             ).alias("mkt_share")
         )
@@ -282,7 +282,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("l_extendedprice").alias("part_value")
     )
     total = base.agg(
-        (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") * 0.001)
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") * 0.001)
         .alias("threshold")
     )
     return (
@@ -425,7 +425,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0,
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0,
                 2,
             ).alias("avg_yearly")
         )
