@@ -143,6 +143,13 @@ def main() -> None:
             # don't evict each other's storage memory as the session grows —
             # each query is measured cold-cache / warm-codegen
             spark.catalog.clearCache()
+            # also release localCheckpoint blocks (reliability.pin) —
+            # clearCache only covers the DF cache, and pinned RDDs from
+            # the dedup/graph operators would otherwise accumulate across
+            # the 60-query session
+            jsc = spark.sparkContext._jsc
+            for rid in list(jsc.getPersistentRDDs().keySet().toArray()):
+                jsc.sc().unpersistRDD(rid, False)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -152,9 +159,41 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    prev = _common_prev_summary(timings)
+    if prev:
+        out.update(prev)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+
+def _common_prev_summary(timings: dict[str, float]) -> dict:
+    """Headline totals stop being comparable as the suite grows, so also
+    report the total over the query set SHARED with the latest recorded
+    round (BENCH_r*.json beside the repo) — the like-for-like number."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            if isinstance(d.get("parsed"), dict):
+                d = d["parsed"]
+            pq = d["queries"]
+        except Exception:  # noqa: BLE001 — crashed round, look further back
+            continue
+        shared = sorted(set(pq) & set(timings))
+        if not shared:
+            continue
+        return {
+            "common_prev_round": os.path.basename(path),
+            "common_prev_n": len(shared),
+            "common_prev_total": round(sum(pq[n] for n in shared), 3),
+            "common_now_total": round(sum(timings[n] for n in shared), 3),
+        }
+    return {}
 
 
 if __name__ == "__main__":

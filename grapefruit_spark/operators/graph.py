@@ -216,15 +216,16 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
     return ranks
 
 
-def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the supplier co-purchase graph: edge s1→s2 when s1's
-    line precedes s2's in the same order. Per-order fan-out is bounded
-    (≤7 lines), so edge construction is a bounded self-join on o_orderkey.
-    Top-20 by rank (rows-only: iterative; pytest checks vs a pure-python
-    reference and that ranks sum to 1)."""
+def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed supplier co-purchase edges: s1→s2 when s1's line precedes
+    s2's in the same order (per-order fan-out bounded ≤7 lines, so this
+    is a bounded self-join on o_orderkey). Shared by supplier_pagerank
+    and the cross-SF invariant tests."""
     from ..catalog import table
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_linenumber")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
     a = li.select(
         F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("src"),
         F.col("l_linenumber").alias("ln_a"),
@@ -233,12 +234,20 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("dst"),
         F.col("l_linenumber").alias("ln_b"),
     )
-    edges = (
+    return (
         a.join(b, "k")
         .where((F.col("ln_a") < F.col("ln_b")) & (F.col("src") != F.col("dst")))
         .select("src", "dst")
     )
-    ranks = pagerank(edges)
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier co-purchase graph: edge s1→s2 when s1's
+    line precedes s2's in the same order. Per-order fan-out is bounded
+    (≤7 lines), so edge construction is a bounded self-join on o_orderkey.
+    Top-20 by rank (rows-only: iterative; pytest checks vs a pure-python
+    reference and that ranks sum to 1)."""
+    ranks = pagerank(supplier_edges(spark, sf_dir))
     return (
         ranks.select("node", F.round("rank", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), F.asc("node"))
@@ -535,17 +544,22 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the part co-purchase graph: parts that remain after
     iteratively peeling weakly-connected parts — the dense center of
     the basket graph (rows-only + python-reference pytest)."""
+    return kcore(copurchase_edges(spark, sf_dir), KCORE_K)
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-purchase edges (u < v, distinct). Shared by
+    copurchase_kcore and the cross-SF invariant tests."""
     from ..catalog import table
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    edges = (
+    return (
         a.join(b, "k").where(F.col("u") < F.col("v")).select(
             F.col("u").alias("src"), F.col("v").alias("dst")
         ).distinct()
     )
-    return kcore(edges, KCORE_K)
 
 
 ORACLE["jaccard_clusters"] = _jaccard_clusters_oracle()

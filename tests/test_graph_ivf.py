@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from grapefruit_spark.operators import similarity
@@ -267,3 +268,53 @@ def test_kcore_peels_everything_when_k_too_high(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
     assert kcore(edges, k=5).count() == 0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_pagerank_mass_conserved_cross_sf(spark, sf_dir):
+    """Output-invariant bound for the rows-only driver gate: the FULL
+    rank vector sums to 1 (probability mass conserved through dangling
+    redistribution) at every SF, and every rank is positive."""
+    from pyspark.sql import functions as F
+
+    from grapefruit_spark.operators.graph import pagerank, supplier_edges
+
+    ranks = pagerank(supplier_edges(spark, sf_dir))
+    row = ranks.agg(
+        F.sum("rank").alias("s"),
+        F.min("rank").alias("mn"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert row["n"] > 0
+    assert abs(row["s"] - 1.0) < 1e-9, row["s"]
+    assert row["mn"] > 0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_kcore_min_degree_invariant_cross_sf(spark, sf_dir):
+    """Output-invariant bound for the rows-only driver gate: within the
+    returned core, every node's degree over the surviving induced
+    subgraph is >= k — checked independently against the edge set, not
+    the operator's own core_degree column."""
+    from pyspark.sql import functions as F
+
+    from grapefruit_spark.operators.graph import KCORE_K, copurchase_edges, kcore
+
+    edges = copurchase_edges(spark, sf_dir)
+    core = kcore(edges, KCORE_K).select("node")
+    surv = (
+        edges.join(core.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(core.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    )
+    deg = (
+        surv.select(F.col("src").alias("n"))
+        .union(surv.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # every core node appears in the induced degree table with d >= k
+    n_core = core.count()
+    if n_core == 0:
+        return  # empty core is a legal fixed point at tiny SF
+    ok = deg.where(F.col("d") >= KCORE_K).count()
+    assert ok == deg.count() == n_core
