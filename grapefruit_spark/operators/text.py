@@ -217,13 +217,29 @@ def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n = F.sum("c")
-    return tf.groupBy("doc_id").agg(
-        n.alias("n_tok"),
-        F.countDistinct("tok").alias("vocab"),
-        F.round(
-            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
-        ).alias("entropy"),
+    # Σ c·ln c folded through DECIMAL(28,12): each addend is a
+    # deterministic scalar on integer counts, and the decimal sum is
+    # exact under ANY partitioning/merge order (a raw double sum is
+    # order-dependent — the one nondeterminism a driver-side shuffle
+    # layout could expose). vocab is count(*) — tf rows are already
+    # distinct per (doc, tok), so countDistinct would only buy an Expand.
+    # Emission is floor(H·10⁶) of the identical double, never round().
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum((F.col("c") * F.log("c")).cast("decimal(28,12)")).alias("sclogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "vocab",
+            F.floor(
+                (F.log("n_tok") - F.col("sclogc").cast("double") / F.col("n_tok"))
+                * 1000000
+            ).alias("entropy_e6"),
+        )
     )
 
 
@@ -241,8 +257,10 @@ tf AS (
 )
 SELECT doc_id,
        sum(c) AS n_tok,
-       count(DISTINCT tok) AS vocab,
-       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+       count(*) AS vocab,
+       CAST(floor((ln(sum(c))
+                   - sum(CAST(c * ln(c) AS DECIMAL(28,12)))::DOUBLE / sum(c))
+                  * 1000000) AS BIGINT) AS entropy_e6
 FROM tf GROUP BY doc_id
 """
 
