@@ -1,0 +1,124 @@
+"""Spark↔DuckDB parity on a RICH synthetic corpus.
+
+The driver-generated documents table is degenerate for text analysis —
+a ~31-type vocabulary means coverage/entropy/tf-idf style operators sit
+on constant or saturated values (vocab_coverage's coverage was exactly
+1.0 at every K locally, which hid a real cross-engine hash divergence
+for four rounds until richer driver-side data exposed it). This file
+replays the driver's exact row/schema/hash gate for every documents-only
+oracle-backed operator over a corpus with:
+
+- a ~2,500-type Zipfian vocabulary (long tail of rare tokens),
+- doc lengths from 5 to 300 tokens,
+- planted exact duplicates, near-duplicates, and a shared boilerplate
+  span across 30 docs (so dedup/span operators emit non-trivial rows),
+- mixed languages/sources for the grouping operators.
+
+Everything is seeded — the corpus is byte-identical across runs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from .util import assert_matches_oracle
+
+#: documents-only, oracle-backed registry entries (explicit list: a query
+#: that silently started needing another table should FAIL here, loudly)
+RICH_QUERIES = [
+    ("text", "lang_id"),
+    ("text", "doc_entropy"),
+    ("text", "doc_quality"),
+    ("text", "token_count"),
+    ("text", "doc_fingerprint"),
+    ("text", "doc_rolling_fingerprint"),
+    ("search", "tfidf_top_terms"),
+    ("search", "bm25_search"),
+    ("search", "doc_unigram_logprob"),
+    ("search", "vocab_coverage"),
+    ("dedup", "dedup_exact"),
+    ("dedup", "dup_span_docs"),
+    ("dedup", "ngram_jaccard_pairs"),
+    ("dedup", "ngram_containment_pairs"),
+    ("datapipe", "quality_repetition"),
+    ("datapipe", "doc_chunking"),
+    ("datapipe", "seq_packing"),
+    ("graph", "jaccard_clusters"),
+]
+
+
+def _build_corpus(path: str) -> None:
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(2500)]
+    weights = [1.0 / (i + 10) ** 1.1 for i in range(2500)]
+    boiler = " ".join(rng.choices(vocab, weights, k=12))
+    rows = []
+    for i in range(400):
+        n = rng.randint(5, 300)
+        toks = rng.choices(vocab, weights, k=n)
+        text = " ".join(toks)
+        if i % 13 == 0:
+            text = boiler + " " + text  # shared span across ~30 docs
+        lang = rng.choice(["en", "de", "fr"])
+        src = rng.choice(["web", "wiki", "code"])
+        rows.append((i, text, lang, src, len(text)))
+    # exact duplicates
+    for j, src_id in enumerate((0, 7, 42)):
+        rows.append((1000 + j, rows[src_id][1], rows[src_id][2], "dupe", rows[src_id][4]))
+    # near-duplicates: copy + mutate a few tokens
+    for j, src_id in enumerate(range(10)):
+        toks = rows[src_id][1].split(" ")
+        for _ in range(max(1, len(toks) // 30)):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        text = " ".join(toks)
+        rows.append((2000 + j, text, rows[src_id][2], "neardupe", len(text)))
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    df.to_parquet(path, index=False)
+
+
+@pytest.fixture(scope="module")
+def rich_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rich")
+    (d / "documents.parquet").mkdir()
+    _build_corpus(str(d / "documents.parquet" / "part-0.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def rich_duck(rich_dir):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{rich_dir}/documents.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("mod_name,qname", RICH_QUERIES, ids=[q for _, q in RICH_QUERIES])
+def test_rich_corpus_matches_oracle(spark, rich_dir, rich_duck, mod_name, qname):
+    import importlib
+
+    mod = importlib.import_module(f"grapefruit_spark.operators.{mod_name}")
+    assert_matches_oracle(
+        mod.QUERIES[qname](spark, rich_dir), rich_duck, mod.ORACLE[qname]
+    )
+
+
+def test_rich_corpus_is_actually_rich(spark, rich_dir, rich_duck):
+    """Guard the guard: the corpus must exercise the regimes the driver
+    data exposed — unsaturated coverage, non-trivial dup pairs/spans."""
+    from grapefruit_spark.operators.dedup import dup_span_docs, ngram_jaccard_pairs
+    from grapefruit_spark.operators.search import vocab_coverage
+
+    cov = {r["k"]: r["coverage_ppm"] for r in vocab_coverage(spark, rich_dir).collect()}
+    assert cov[100] < 1_000_000, "top-100 coverage must be UNsaturated"
+    assert cov[10_000] == 1_000_000
+    assert ngram_jaccard_pairs(spark, rich_dir).count() >= 10
+    assert dup_span_docs(spark, rich_dir).count() >= 1
