@@ -206,3 +206,19 @@ def test_dup_span_docs_has_no_expand(spark):
 
     plan = executed_plan(dup_span_docs(spark, SF_DIR))
     assert "Expand" not in plan, plan
+
+
+def test_ngram_pair_joins_are_hash_not_nested_loop(spark):
+    """The prefix-filtered candidate joins carry an equi key (gram hash)
+    plus inequality residuals — they must plan as hash/sort-merge joins,
+    never BroadcastNestedLoop or CartesianProduct."""
+    from grapefruit_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from grapefruit_spark.plans import executed_plan
+
+    for fn in (ngram_jaccard_pairs, ngram_containment_pairs):
+        plan = executed_plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
