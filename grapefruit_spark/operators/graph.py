@@ -543,8 +543,38 @@ def kcore(edges: DataFrame, k: int = KCORE_K, src: str = "src", dst: str = "dst"
 def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the part co-purchase graph: parts that remain after
     iteratively peeling weakly-connected parts — the dense center of
-    the basket graph (rows-only + python-reference pytest)."""
+    the basket graph. The peel is pure integer math with a fixed
+    iteration cap, so (unlike the float-iterating PageRank) it carries a
+    full DuckDB oracle: the same KCORE_MAX_ITERS peel rounds unrolled as
+    SQL CTE levels — peeling a fixed point is the identity, so the
+    unrolled depth matches the loop whether it converges early or hits
+    the cap. Upgraded from rows-only in round 5."""
     return kcore(copurchase_edges(spark, sf_dir), KCORE_K)
+
+
+def _kcore_oracle() -> str:
+    lvls = [
+        """edges AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM edges UNION SELECT v, u FROM edges)"""
+    ]
+    for i in range(KCORE_MAX_ITERS):
+        lvls.append(
+            f"k{i} AS MATERIALIZED (SELECT a FROM e{i} GROUP BY a HAVING count(*) >= {KCORE_K}),\n"
+            f"e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e\n"
+            f"  WHERE e.a IN (SELECT a FROM k{i}) AND e.b IN (SELECT a FROM k{i}))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(lvls)
+        + f"\nSELECT a AS node, count(*) AS core_degree FROM e{KCORE_MAX_ITERS} GROUP BY a"
+    )
+
+
+ORACLE["copurchase_kcore"] = _kcore_oracle()
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
