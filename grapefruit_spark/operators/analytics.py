@@ -317,32 +317,41 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     full event set.
     """
     ev = table(spark, sf_dir, "events")
+    # moment sums folded through exact decimals: a raw double sum is
+    # partial-agg-order-dependent (the one nondeterminism a driver-side
+    # shuffle layout could expose); the decimal sums are exact under any
+    # partitioning and their ::double casts are the same value on both
+    # engines. Filter on the unrounded z, emit floor(z·10³).
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("s"),
-        F.sum(F.col("value") * F.col("value")).alias("ss"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("ss"),
     )
     mean = F.col("s") / F.col("n")
     var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
-    z = F.round((F.col("value") - mean) / F.sqrt(var), 3)
+    z = (F.col("value") - mean) / F.sqrt(var)
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .select("event_type", "event_id", z.alias("zscore"))
-        .where(F.abs(F.col("zscore")) >= 3.0)
+        .select("event_type", "event_id", z.alias("z"))
+        .where(F.abs(F.col("z")) >= 3.0)
+        .select("event_type", "event_id", F.floor(F.col("z") * 1000).alias("zscore_e3"))
     )
 
 
 ORACLE["events_zscore_outliers"] = """
 WITH stats AS (
-    SELECT event_type, count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+    SELECT event_type, count(*) AS n,
+           sum((value)::DECIMAL(18,6))::DOUBLE AS s,
+           sum((value * value)::DECIMAL(28,12))::DOUBLE AS ss
     FROM events GROUP BY event_type
 )
-SELECT event_type, event_id, zscore FROM (
-    SELECT e.event_type, e.event_id,
-           round((e.value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 3) AS zscore
-    FROM events e JOIN stats USING (event_type)
-)
-WHERE abs(zscore) >= 3.0
+SELECT event_type, event_id,
+       CAST(floor((value - s / n) / sqrt((ss - s * s / n) / (n - 1)) * 1000) AS BIGINT)
+           AS zscore_e3
+FROM events e JOIN stats USING (event_type)
+WHERE abs((value - s / n) / sqrt((ss - s * s / n) / (n - 1))) >= 3.0
 """
 
 
@@ -353,26 +362,49 @@ def customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.first("o_totalprice").over(wf), 2).alias("first_price"),
-        F.round(F.last("o_totalprice").over(wf), 2).alias("last_price"),
+    # the ordering key includes the unique o_orderkey, so there are no
+    # ties: percent_rank ≡ (rn−1)/(n−1) and cume_dist ≡ rn/n — emitted
+    # as exact integer ppm (the engine-native double versions round
+    # differently in the last ulp across engines)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wf).alias("npart"),
+            F.round(F.first("o_totalprice").over(wf), 2).alias("first_price"),
+            F.round(F.last("o_totalprice").over(wf), 2).alias("last_price"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr(
+                "coalesce(((rn - 1) * 1000000L) div nullif(npart - 1, 0L), 0L)"
+            ).alias("pr_ppm"),
+            F.expr("(rn * 1000000L) div npart").alias("cd_ppm"),
+            "first_price",
+            "last_price",
+        )
     )
 
 
 ORACLE["customer_order_windows"] = """
 SELECT o_custkey, o_orderkey,
-       round(percent_rank() OVER w, 6) AS pr,
-       round(cume_dist() OVER w, 6) AS cd,
-       round(first_value(o_totalprice) OVER wf, 2) AS first_price,
-       round(last_value(o_totalprice) OVER wf, 2) AS last_price
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       coalesce(((rn - 1) * 1000000) // nullif(npart - 1, 0), 0) AS pr_ppm,
+       (rn * 1000000) // npart AS cd_ppm,
+       first_price, last_price
+FROM (
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           count(*) OVER wp AS npart,
+           round(first_value(o_totalprice) OVER wf, 2) AS first_price,
+           round(last_value(o_totalprice) OVER wf, 2) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wp AS (PARTITION BY o_custkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
 """
 
 

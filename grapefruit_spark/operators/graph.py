@@ -338,8 +338,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "n_edges",
             "n_triangles",
-            F.round(3.0 * F.col("n_triangles") / F.greatest("n_wedges", F.lit(1)), 6)
-            .alias("clustering_coeff"),
+            # exact integer ppm: all-int inputs, bigint div both engines
+            F.expr(
+                "(3 * n_triangles * 1000000L) div greatest(n_wedges, 1L)"
+            ).alias("clustering_ppm"),
         )
     )
 
@@ -380,7 +382,7 @@ stats AS (
 ),
 ne AS (SELECT count(*) AS n_edges FROM edges)
 SELECT n_nodes, n_edges, n_triangles,
-       round(3.0 * n_triangles / greatest(n_wedges, 1), 6) AS clustering_coeff
+       (3 * n_triangles * 1000000) // greatest(n_wedges, 1) AS clustering_ppm
 FROM stats, ne, tri
 """
 
@@ -430,10 +432,14 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_n.join(su, "u")
         .join(sv, "v")
         .join(F.broadcast(total))
+        # integer ppm, used for ordering AND emission: all-int inputs
+        # through a widening decimal so the product can't overflow at
+        # corpus scale; bigint div is engine-independent
         .withColumn(
-            "lift",
-            F.round(
-                F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            "lift_ppm",
+            F.expr(
+                "(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
             ),
         )
     )
@@ -443,15 +449,15 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (per-partition heap + tiny driver merge), so no task ever sorts the
     # full pair set. Only the LIFT_TOP finalists see the rank window — a
     # single partition of 20 rows, not a single partition of everything.
-    finalists = scored.orderBy(F.desc("lift"), F.asc("u"), F.asc("v")).limit(LIFT_TOP)
-    w = Window.orderBy(F.desc("lift"), F.asc("u"), F.asc("v"))
+    finalists = scored.orderBy(F.desc("lift_ppm"), F.asc("u"), F.asc("v")).limit(LIFT_TOP)
+    w = Window.orderBy(F.desc("lift_ppm"), F.asc("u"), F.asc("v"))
     return (
         finalists.withColumn("rank", F.row_number().over(w))
         .select(
             F.col("u").alias("part_a"),
             F.col("v").alias("part_b"),
             "n_ab",
-            "lift",
+            "lift_ppm",
             "rank",
         )
     )
@@ -472,11 +478,13 @@ item_n AS (
     SELECT l_partkey AS item, count(*) AS n_item FROM basket GROUP BY 1
 ),
 total AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket)
-SELECT part_a, part_b, n_ab, lift, rank FROM (
+SELECT part_a, part_b, n_ab, lift_ppm, rank FROM (
     SELECT p.u AS part_a, p.v AS part_b, p.n_ab,
-           round(p.n_ab * t.n_orders / (ia.n_item * ib.n_item), 6) AS lift,
+           (CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000)
+               // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS lift_ppm,
            row_number() OVER (
-               ORDER BY round(p.n_ab * t.n_orders / (ia.n_item * ib.n_item), 6) DESC,
+               ORDER BY (CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000)
+                        // (CAST(ia.n_item AS HUGEINT) * ib.n_item) DESC,
                         p.u ASC, p.v ASC
            ) AS rank
     FROM pair_n p

@@ -231,7 +231,8 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            # exact integer e4 means: (Σ · 10⁴) div n — no double round()
+            F.expr("(sum(n_chars) * 10000L) div count(1)").alias("avg_chars_e4"),
         )
         .crossJoin(
             toks.agg(
@@ -239,7 +240,9 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("tok").alias("vocab_size"),
             )
         )
-        .crossJoin(per_doc.agg(F.round(F.avg("n_tok"), 4).alias("avg_tokens")))
+        .crossJoin(
+            per_doc.agg(F.expr("(sum(n_tok) * 10000L) div count(1)").alias("avg_tokens_e4"))
+        )
     )
 
 
@@ -252,11 +255,11 @@ WITH toks AS (
 per_doc AS (
     SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
 )
-SELECT (SELECT count(*) FROM documents)                    AS n_docs,
-       (SELECT round(avg(n_chars), 4) FROM documents)      AS avg_chars,
-       (SELECT count(*) FROM toks)                         AS total_tokens,
-       (SELECT count(DISTINCT tok) FROM toks)              AS vocab_size,
-       (SELECT round(avg(n_tok), 4) FROM per_doc)          AS avg_tokens
+SELECT (SELECT count(*) FROM documents)                            AS n_docs,
+       (SELECT (sum(n_chars) * 10000) // count(*) FROM documents)  AS avg_chars_e4,
+       (SELECT count(*) FROM toks)                                 AS total_tokens,
+       (SELECT count(DISTINCT tok) FROM toks)                      AS vocab_size,
+       (SELECT (sum(n_tok) * 10000) // count(*) FROM per_doc)      AS avg_tokens_e4
 """
 
 

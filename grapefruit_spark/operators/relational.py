@@ -282,24 +282,31 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(
-                    F.when(F.col("p_type") == "ECONOMY", rev)
-                    .otherwise(0.0)
-                    .cast("decimal(18,6)")
-                ).cast("double")
-                / F.sum(rev.cast("decimal(18,6)")).cast("double"),
-                4,
-            ).alias("promo_revenue_pct")
+            F.sum(
+                F.when(F.col("p_type") == "ECONOMY", rev)
+                .otherwise(0.0)
+                .cast("decimal(18,6)")
+            ).alias("pdec"),
+            F.sum(rev.cast("decimal(18,6)")).alias("tdec"),
+        )
+        # 100·a/b to 4 dp ≡ the ratio in ppm — computed as exact integer
+        # micro-unit division (the decimal sums are exact, so scaling by
+        # 10⁶ yields integers and bigint div is engine-independent)
+        .select(
+            F.expr(
+                "(CAST(pdec * 1000000 AS DECIMAL(38,0)) * 1000000L)"
+                " div CAST(tdec * 1000000 AS DECIMAL(38,0))"
+            ).alias("promo_pct_e4")
         )
     )
 
 
 ORACLE["q14_promo_effect"] = """
-SELECT round(100.0 * sum((CASE WHEN p_type = 'ECONOMY'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)::DECIMAL(38,6))::DOUBLE
-             / sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6))::DOUBLE, 4) AS promo_revenue_pct
+SELECT (CAST(sum((CASE WHEN p_type = 'ECONOMY'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)::DECIMAL(18,6))
+             * 1000000 AS HUGEINT) * 1000000)
+       // CAST(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) * 1000000 AS HUGEINT)
+       AS promo_pct_e4
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'

@@ -194,20 +194,27 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(region), F.col("c_regionkey") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(target.cast("decimal(18,6)")).cast("double")
-                / F.nullif(F.sum(vol.cast("decimal(18,6)")).cast("double"), F.lit(0.0)),
-                6,
-            ).alias("mkt_share")
+            F.sum(target.cast("decimal(18,6)")).alias("tdec"),
+            F.sum(vol.cast("decimal(18,6)")).alias("vdec"),
+        )
+        # exact integer micro-unit division (ppm) — no double round()
+        .select(
+            "o_year",
+            F.expr(
+                "(CAST(tdec * 1000000 AS DECIMAL(38,0)) * 1000000L)"
+                " div nullif(CAST(vdec * 1000000 AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)))"
+            ).alias("mkt_share_ppm"),
         )
     )
 
 
 ORACLE["q8_market_share"] = """
 SELECT year(o_orderdate) AS o_year,
-       round(sum((CASE WHEN n1.n_name = 'NATION_9'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)::DECIMAL(38,6))::DOUBLE
-             / nullif(sum((l_extendedprice * (1 - l_discount))::DECIMAL(38,6))::DOUBLE, 0), 6) AS mkt_share
+       (CAST(sum((CASE WHEN n1.n_name = 'NATION_9'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)::DECIMAL(18,6))
+             * 1000000 AS HUGEINT) * 1000000)
+       // nullif(CAST(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) * 1000000 AS HUGEINT), 0)
+       AS mkt_share_ppm
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey = p_partkey
@@ -423,17 +430,18 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0,
-                2,
-            ).alias("avg_yearly")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("sdec"))
+        # sum/7 in cents, exact integer: micro-units div (7·10⁴)
+        .select(
+            F.expr("CAST(sdec * 1000000 AS DECIMAL(38,0)) div 70000L").alias(
+                "avg_yearly_e2"
+            )
         )
     )
 
 
 ORACLE["q17_small_qty_revenue"] = """
-SELECT round(sum((l_extendedprice)::DECIMAL(38,6))::DOUBLE / 7.0, 2) AS avg_yearly
+SELECT CAST(sum((l_extendedprice)::DECIMAL(18,6)) * 1000000 AS HUGEINT) // 70000 AS avg_yearly_e2
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#13'

@@ -53,15 +53,21 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfs = tfreq.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dfreq = tfreq.join(dfs, "term")
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # floor-scaled integer score used for BOTH ranking and emission:
+    # floor of the identical double is deterministic cross-engine where
+    # round()'s half-rule is not, and ranking on the integer keeps tie
+    # resolution (term ASC) identical on both sides
     scored = dfreq.join(F.broadcast(total)).withColumn(
-        "score",
-        F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6),
+        "score_e6",
+        F.floor(
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) * 1000000
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_TERMS)
-        .select("doc_id", "term", "tf", "df", "score", "rank")
+        .select("doc_id", "term", "tf", "df", "score_e6", "rank")
     )
 
 
@@ -76,12 +82,12 @@ dfreq AS (
     SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tfreq
 ),
 n AS (SELECT count(*) AS n_docs FROM documents)
-SELECT doc_id, term, tf, df, score, rank FROM (
+SELECT doc_id, term, tf, df, score_e6, rank FROM (
     SELECT doc_id, term, tf, df,
-           round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score,
+           CAST(floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000000) AS BIGINT) AS score_e6,
            row_number() OVER (
                PARTITION BY doc_id
-               ORDER BY round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) DESC, term ASC
+               ORDER BY floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1000000) DESC, term ASC
            ) AS rank
     FROM dfreq, n
 )
@@ -137,16 +143,18 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(len(BM25_QUERY))
     )
+    # floor-scaled integer score for selection, ranking AND emission —
+    # deterministic cross-engine where round()'s half-rule is not
     top = (
         base.join(F.broadcast(stats))
-        .select("doc_id", F.round(score, 6).alias("bm25"))
-        .where(F.col("bm25") > 0)
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .select("doc_id", F.floor(score * 1000000).alias("bm25_e6"))
+        .where(F.col("bm25_e6") > 0)
+        .orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )
     # rank the 20 finalists only — TakeOrdered did the global selection, so
     # the single-partition window never sees more than BM25_TOP rows
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w = Window.orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w))
 
 
@@ -173,15 +181,15 @@ WITH base AS (
 stats AS (
     SELECT count(*) AS n_docs, avg(dl) AS avgdl, {_df_cols} FROM base
 )
-SELECT doc_id, bm25, rank FROM (
-    SELECT doc_id, bm25,
-           row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+SELECT doc_id, bm25_e6, rank FROM (
+    SELECT doc_id, bm25_e6,
+           row_number() OVER (ORDER BY bm25_e6 DESC, doc_id ASC) AS rank
     FROM (
         SELECT doc_id,
-               round({_score_sum}, 6) AS bm25
+               CAST(floor(({_score_sum}) * 1000000) AS BIGINT) AS bm25_e6
         FROM base, stats
     )
-    WHERE bm25 > 0
+    WHERE bm25_e6 > 0
 )
 WHERE rank <= {BM25_TOP}
 """
@@ -214,15 +222,25 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_corpus"))
     )
     scored = cfreq.join(F.broadcast(total))
+    # each addend folds through DECIMAL(28,12): exact (order-independent)
+    # per-doc sums under any partitioning; emission is floor(x·10⁶) of
+    # the identical double (same device as doc_entropy)
     return (
         scored.groupBy("doc_id")
         .agg(
             F.sum("tf").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("tf") * -F.log(F.col("cf") / F.col("n_corpus")))
-                / F.sum("tf"),
-                6,
-            ).alias("avg_neg_logp"),
+            F.sum(
+                (F.col("tf") * -F.log(F.col("cf") / F.col("n_corpus"))).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("snl"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("snl").cast("double") / F.col("n_tokens") * 1000000).alias(
+                "avg_neg_logp_e6"
+            ),
         )
     )
 
@@ -240,7 +258,8 @@ cfreq AS (
 n AS (SELECT count(*) AS n_corpus FROM toks)
 SELECT doc_id,
        sum(tf)::BIGINT AS n_tokens,
-       round(sum(tf * -ln(cf / n_corpus)) / sum(tf), 6) AS avg_neg_logp
+       CAST(floor(sum(CAST(tf * -ln(cf / n_corpus) AS DECIMAL(28,12)))::DOUBLE
+                  / sum(tf) * 1000000) AS BIGINT) AS avg_neg_logp_e6
 FROM cfreq, n
 GROUP BY doc_id
 """

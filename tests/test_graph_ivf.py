@@ -180,7 +180,7 @@ def test_copurchase_triangles_matches_bruteforce(spark):
     assert row["n_edges"] == len(edges)
     assert row["n_nodes"] == len(adj)
     assert row["n_triangles"] == n_tri
-    assert 0.0 <= row["clustering_coeff"] <= 1.0
+    assert 0 <= row["clustering_ppm"] <= 1_000_000
 
 
 def test_reliable_checkpoint_path(spark, tmp_path):

@@ -27,7 +27,7 @@ def test_clean_corpus_filters_compose(spark):
 def test_corpus_stats_consistency(spark):
     r = pipeline.corpus_stats(spark, SF_DIR).first()
     assert r["vocab_size"] <= r["total_tokens"]
-    assert abs(r["avg_tokens"] - r["total_tokens"] / r["n_docs"]) < 0.01
+    assert abs(r["avg_tokens_e4"] / 1e4 - r["total_tokens"] / r["n_docs"]) < 0.01
 
 
 def test_clean_corpus_single_plan_no_python(spark):

@@ -25,14 +25,14 @@ def test_tfidf_ranks_are_dense_per_doc(spark):
         ranks = sorted(r["rank"] for r in doc_rows)
         assert ranks == list(range(1, len(ranks) + 1))
         by_rank = sorted(doc_rows, key=lambda r: r["rank"])
-        scores = [r["score"] for r in by_rank]
+        scores = [r["score_e6"] for r in by_rank]
         assert scores == sorted(scores, reverse=True)
 
 
 def test_bm25_scores_positive_and_ordered(spark):
     rows = search.bm25_search(spark, SF_DIR).collect()
     assert 0 < len(rows) <= search.BM25_TOP
-    scores = [r["bm25"] for r in sorted(rows, key=lambda r: r["rank"])]
+    scores = [r["bm25_e6"] for r in sorted(rows, key=lambda r: r["rank"])]
     assert all(s > 0 for s in scores)
     assert scores == sorted(scores, reverse=True)
 
@@ -41,5 +41,5 @@ def test_unigram_logprob_bounds(spark):
     """-ln p is positive, and hapax-heavy docs score above the corpus
     floor -ln(max_cf/N); token counts match the tokenizer."""
     rows = search.doc_unigram_logprob(spark, SF_DIR).collect()
-    assert rows and all(r["avg_neg_logp"] > 0 for r in rows)
+    assert rows and all(r["avg_neg_logp_e6"] > 0 for r in rows)
     assert all(r["n_tokens"] >= 1 for r in rows)
