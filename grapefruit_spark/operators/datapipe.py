@@ -687,9 +687,11 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .text import doc_quality
 
-    q = doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    # keep threshold from the e6-scaled integer score: (q_e6 * 2^32) div
+    # 10^6 is exact bigint math, so membership can never flip on a float
+    q = doc_quality(spark, sf_dir).select("doc_id", "quality_e6")
     return (
-        q.where(_bucket(F.col("doc_id")) < F.floor(F.col("quality_score") * _U32))
+        q.where(_bucket(F.col("doc_id")) < F.expr(f"(quality_e6 * {_U32}L) div 1000000L"))
         .orderBy("doc_id")
     )
 
@@ -702,9 +704,9 @@ def _quality_cte() -> str:
 
 ORACLE["quality_weighted_sample"] = f"""
 WITH q AS ({{QUALITY_SQL}})
-SELECT doc_id, quality_score
+SELECT doc_id, quality_e6
 FROM q
-WHERE {_duck_bucket('doc_id')} < floor(quality_score * {_U32})
+WHERE {_duck_bucket('doc_id')} < (quality_e6 * {_U32}) // 1000000
 ORDER BY doc_id
 """
 

@@ -34,9 +34,10 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    quality = doc_quality(spark, sf_dir).where(F.col("quality_score") >= QUALITY_TAU).select(
-        "doc_id", "quality_score"
-    )
+    # integer threshold on the e6-scaled score: exact on both engines
+    quality = doc_quality(spark, sf_dir).where(
+        F.col("quality_e6") >= int(QUALITY_TAU * 1_000_000)
+    ).select("doc_id", "quality_e6")
     lang = lang_id(spark, sf_dir).where(F.col("pred_lang") != "und").select(
         "doc_id", "pred_lang"
     )
@@ -64,10 +65,10 @@ keepers AS (
 lang_pred AS (
     SELECT * FROM ({{LANG_SQL}})
 )
-SELECT d.doc_id, d.source, d.n_chars, q.quality_score, l.pred_lang
+SELECT d.doc_id, d.source, d.n_chars, q.quality_e6, l.pred_lang
 FROM documents d
 JOIN keepers k ON d.doc_id = k.doc_id
-JOIN q ON d.doc_id = q.doc_id AND q.quality_score >= {QUALITY_TAU}
+JOIN q ON d.doc_id = q.doc_id AND q.quality_e6 >= {int(QUALITY_TAU * 1_000_000)}
 JOIN lang_pred l ON d.doc_id = l.doc_id AND l.pred_lang != 'und'
 """
 

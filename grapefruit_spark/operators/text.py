@@ -94,20 +94,32 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     char_len = F.length("text")
     punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
     en_hits = _stop_hits(ws_tokens(F.lower(F.col("text"))), STOPWORDS["en"])
-    punct_ratio = punct / F.greatest(char_len, F.lit(1))
-    stop_ratio = en_hits / F.greatest(n_tok, F.lit(1))
+    # stage the integer measures once, then emit exact-integer ratios
+    # (bigint div) and the composite score as floor(score·10⁶) of the
+    # identical double chain — no round() half-rule exposure anywhere.
+    # Downstream consumers (clean_corpus, quality_weighted_sample)
+    # threshold on quality_e6 with pure integer comparisons.
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        char_len.alias("char_len"),
+        punct.alias("punct"),
+        en_hits.alias("en_hits"),
+    )
+    punct_ratio = F.col("punct") / F.greatest("char_len", F.lit(1))
+    stop_ratio = F.col("en_hits") / F.greatest("n_tok", F.lit(1))
     score = (
-        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        F.lit(0.4) * F.least(F.col("n_tok") / F.lit(100.0), F.lit(1.0))
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * F.least(F.lit(4.0) * stop_ratio, F.lit(1.0))
     )
-    return docs.select(
+    return base.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        F.round(char_len / F.greatest(n_tok, F.lit(1)), 4).alias("avg_token_span"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        F.col("n_tok").alias("n_tokens"),
+        F.expr("(char_len * 10000L) div greatest(n_tok, 1)").alias("span_e4"),
+        F.expr("(punct * 1000000L) div greatest(char_len, 1)").alias("punct_ppm"),
+        F.expr("(en_hits * 1000000L) div greatest(n_tok, 1)").alias("stop_ppm"),
+        F.floor(score * 1000000).alias("quality_e6"),
     )
 
 
@@ -122,12 +134,13 @@ WITH base AS (
 )
 SELECT doc_id,
        n_tok AS n_tokens,
-       round(char_len / greatest(n_tok, 1), 4) AS avg_token_span,
-       round(punct / greatest(char_len, 1), 6) AS punct_ratio,
-       round(en_hits / greatest(n_tok, 1), 6)  AS stop_ratio,
-       round(0.4 * least(n_tok / 100.0, 1.0)
-           + 0.3 * (1.0 - punct / greatest(char_len, 1))
-           + 0.3 * least(4.0 * en_hits / greatest(n_tok, 1), 1.0), 6) AS quality_score
+       (char_len * 10000) // greatest(n_tok, 1) AS span_e4,
+       (punct * 1000000) // greatest(char_len, 1) AS punct_ppm,
+       (en_hits * 1000000) // greatest(n_tok, 1) AS stop_ppm,
+       CAST(floor((CAST(0.4 AS DOUBLE) * least(n_tok / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+           + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct / greatest(char_len, 1))
+           + CAST(0.3 AS DOUBLE) * least(CAST(4.0 AS DOUBLE) * (en_hits / greatest(n_tok, 1)), CAST(1.0 AS DOUBLE)))
+           * 1000000) AS BIGINT) AS quality_e6
 FROM base
 """
 

@@ -299,7 +299,7 @@ def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("converted").alias("n_converted"),
-        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias("conv_rate"),
+        F.expr("(sum(converted) * 1000000L) div count(1)").alias("conv_ppm"),
     )
 
 
@@ -325,7 +325,7 @@ per_session AS (
 SELECT user_id,
        count(*) AS n_sessions,
        sum(converted)::BIGINT AS n_converted,
-       round(sum(converted) / count(*), 6) AS conv_rate
+       (sum(converted) * 1000000) // count(*) AS conv_ppm
 FROM per_session
 GROUP BY user_id
 """
@@ -455,7 +455,9 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("k", k)
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            # exact integer e4 mean: avg() of ints is a double whose
+            # round() half-rule differs cross-engine
+            F.expr("(sum(k) * 10000L) div nullif(count(k), 0L)").alias("avg_k_e4"),
             F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -464,7 +466,7 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["events_props_agg"] = """
 SELECT event_type,
-       round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+       (sum(CAST(props->>'$.k' AS INT)) * 10000) // nullif(count(CAST(props->>'$.k' AS INT)), 0) AS avg_k_e4,
        sum(CASE WHEN CAST(props->>'$.k' AS INT) IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_k,
        count(*) AS n
 FROM events

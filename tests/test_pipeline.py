@@ -18,7 +18,7 @@ def test_clean_corpus_filters_compose(spark):
     out = pipeline.clean_corpus(spark, SF_DIR)
     rows = out.collect()
     assert rows
-    assert all(r["quality_score"] >= pipeline.QUALITY_TAU for r in rows)
+    assert all(r["quality_e6"] >= pipeline.QUALITY_TAU * 1_000_000 for r in rows)
     assert all(r["pred_lang"] != "und" for r in rows)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(rows) < n_docs  # it actually filtered something
