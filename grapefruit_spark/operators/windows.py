@@ -154,12 +154,16 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(table(spark, sf_dir, "events"))
 
 
-# session_window end = last event + gap; new session when delta >= gap
+# session_window end = last event + gap. Spark's native session_window
+# MERGES an event landing exactly on the previous window end (sessions
+# merge when next.start <= prev.end), so a new session starts only when
+# delta STRICTLY exceeds the gap — caught by the exact-boundary case in
+# tests/test_rich_events_parity.py (a >= here over-splits).
 ORACLE["events_session_window"] = f"""
 WITH marked AS (
     SELECT user_id, ts, value,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {GAP_MINUTES * 60 * 1000000}
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {GAP_MINUTES * 60 * 1000000}
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -466,10 +470,17 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["events_props_agg"] = """
 SELECT event_type,
-       (sum(CAST(props->>'$.k' AS INT)) * 10000) // nullif(count(CAST(props->>'$.k' AS INT)), 0) AS avg_k_e4,
-       sum(CASE WHEN CAST(props->>'$.k' AS INT) IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_k,
+       (sum(k) * 10000) // nullif(count(k), 0) AS avg_k_e4,
+       sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_k,
        count(*) AS n
-FROM events
+FROM (
+    -- malformed-tolerant extraction: Spark's get_json_object yields NULL
+    -- on invalid JSON / missing keys; DuckDB's ->> ERRORS on bad JSON,
+    -- so gate through json_valid and TRY_CAST
+    SELECT event_type,
+           TRY_CAST((CASE WHEN json_valid(props) THEN props END)->>'$.k' AS INT) AS k
+    FROM events
+)
 GROUP BY event_type
 """
 

@@ -1,0 +1,181 @@
+"""Spark↔DuckDB parity on an ADVERSARIAL synthetic events table.
+
+The C-block operators have only ever been parity-checked against the
+driver-generated events stream, whose timestamps are well-spread and
+whose values are benign. This file replays the driver's exact
+row/schema/hash gate over an events table engineered to hit the edges a
+different generator could produce:
+
+- duplicate (user, ts) pairs — exercises every tie-break-by-event_id,
+- inter-event gaps landing EXACTLY on the 1800 s session boundary,
+- events exactly on hour / 30-min window starts (tumbling/sliding edges),
+- metronome users (constant gaps → CV 0) and single-event users,
+- negative / zero / heavy-tailed values (MAD + z-score filters),
+- malformed and missing-key JSON props,
+- a multi-week span with empty days (rolling DAU, retention).
+
+Seeded — byte-identical across runs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from .util import assert_matches_oracle
+
+RICH_EVENT_QUERIES = [
+    ("windows", "events_tumbling"),
+    ("windows", "events_sessionize"),
+    ("windows", "events_session_window"),
+    ("windows", "events_session_conversion"),
+    ("windows", "events_props_agg"),
+    ("windows", "events_purchase_attribution"),
+    ("analytics", "events_sliding"),
+    ("analytics", "events_zscore_outliers"),
+    ("event_analytics", "events_funnel"),
+    ("event_analytics", "events_retention"),
+    ("event_analytics", "events_heavy_hitters"),
+    ("event_analytics", "events_histogram"),
+    ("event_analytics", "events_user_lifetime"),
+    ("event_analytics", "events_rate_anomaly"),
+    ("event_analytics", "events_state_intervals"),
+    ("event_analytics", "events_markov_transitions"),
+    ("event_analytics", "events_top_paths"),
+    ("event_analytics", "events_pattern_search"),
+    ("event_analytics", "events_rolling_dau"),
+    ("event_analytics", "events_bot_score"),
+    ("event_analytics", "events_ewma_hourly"),
+    ("event_analytics", "events_value_mad"),
+]
+
+_TYPES = ["view", "click", "purchase", "signup", "error"]
+_BASE_US = 1_709_251_200_000_000  # 2024-03-01 00:00:00 UTC in micros
+
+
+def _build_events(path: str) -> None:
+    rng = random.Random(20260814)
+    rows = []  # (event_id, ts_us, user_id, event_type, value, props)
+    eid = 0
+
+    def emit(ts_us, user, etype, value, props):
+        nonlocal eid
+        rows.append((eid, ts_us, user, etype, value, props))
+        eid += 1
+
+    def props_for(i):
+        r = i % 7
+        if r == 0:
+            return None
+        if r == 1:
+            return "not json {"
+        if r == 2:
+            return '{"other": 1}'
+        return f'{{"k": {rng.randint(-50, 150)}}}'
+
+    def value_for():
+        r = rng.random()
+        if r < 0.05:
+            return 0.0
+        if r < 0.10:
+            return round(-rng.uniform(0.001, 50), 3)
+        if r < 0.15:
+            return round(rng.uniform(500, 5000), 3)  # heavy tail
+        return round(rng.uniform(0.001, 100), 3)
+
+    hour = 3_600_000_000
+    for user in range(1, 41):
+        t = _BASE_US + rng.randint(0, 10) * 86_400_000_000 + rng.randint(0, hour)
+        for _ in range(rng.randint(2, 60)):
+            emit(t, user, rng.choice(_TYPES), value_for(), props_for(eid))
+            gap_kind = rng.random()
+            if gap_kind < 0.1:
+                gap = 1_800_000_000  # EXACT session boundary (1800 s)
+            elif gap_kind < 0.2:
+                gap = 0  # duplicate timestamp, distinct event_id
+            elif gap_kind < 0.3:
+                gap = hour - (t % hour)  # land exactly on the next hour
+            else:
+                gap = rng.randint(1, 2 * hour)
+            t += gap
+    # metronome bot: constant 60 s gaps (CV exactly 0)
+    t = _BASE_US
+    for _ in range(30):
+        emit(t, 777, "view", 1.0, '{"k": 1}')
+        t += 60_000_000
+    # single-event users (no gaps, no lag rows)
+    for user in range(900, 905):
+        emit(_BASE_US + user * 1_000_000, user, "signup", value_for(), None)
+    # funnel chain user: view -> click -> purchase strictly ordered
+    t = _BASE_US + 20 * 86_400_000_000
+    for etype in ("view", "click", "purchase"):
+        emit(t, 555, etype, 10.0, '{"k": 5}')
+        t += 1_000_000
+
+    import pandas as pd
+
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    df.to_parquet(path, index=False)
+
+
+@pytest.fixture(scope="module")
+def rich_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("richev")
+    (d / "events.parquet").mkdir()
+    _build_events(str(d / "events.parquet" / "part-0.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def rich_events_duck(rich_events_dir):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{rich_events_dir}/events.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize(
+    "mod_name,qname", RICH_EVENT_QUERIES, ids=[q for _, q in RICH_EVENT_QUERIES]
+)
+def test_rich_events_match_oracle(spark, rich_events_dir, rich_events_duck, mod_name, qname):
+    import importlib
+
+    mod = importlib.import_module(f"grapefruit_spark.operators.{mod_name}")
+    assert_matches_oracle(
+        mod.QUERIES[qname](spark, rich_events_dir),
+        rich_events_duck,
+        mod.ORACLE[qname],
+    )
+
+
+def test_rich_events_hit_the_edges(spark, rich_events_dir):
+    """Guard the guard: the generator must actually produce the regimes
+    this file exists to test."""
+    import duckdb
+
+    con = duckdb.connect()
+    rel = f"'{rich_events_dir}/events.parquet/*.parquet'"
+    dup_ts = con.sql(
+        f"SELECT count(*) FROM (SELECT user_id, ts FROM {rel} "
+        f"GROUP BY 1, 2 HAVING count(*) > 1)"
+    ).fetchone()[0]
+    assert dup_ts > 0, "need duplicate (user, ts) pairs"
+    on_hour = con.sql(
+        f"SELECT count(*) FROM {rel} WHERE date_trunc('hour', ts) = ts"
+    ).fetchone()[0]
+    assert on_hour > 0, "need events exactly on hour boundaries"
+    neg = con.sql(f"SELECT count(*) FROM {rel} WHERE value < 0").fetchone()[0]
+    assert neg > 0, "need negative values"
+    bad_json = con.sql(
+        f"SELECT count(*) FROM {rel} WHERE props = 'not json {{'"
+    ).fetchone()[0]
+    assert bad_json > 0, "need malformed props"
