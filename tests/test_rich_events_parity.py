@@ -179,3 +179,69 @@ def test_rich_events_hit_the_edges(spark, rich_events_dir):
         f"SELECT count(*) FROM {rel} WHERE props = 'not json {{'"
     ).fetchone()[0]
     assert bad_json > 0, "need malformed props"
+
+
+# ---------------------------------------------------------------- embeddings
+def _build_embeddings(path: str) -> None:
+    """Small-integer coordinates make every dot product / norm exact in
+    float64, so planted structures produce EXACT cosine ties: duplicate
+    vectors (cos 1 with each other), negated vectors (cos −1), and
+    axis-aligned one-hots (cos 0) — the regimes where top-k tie-breaking
+    either works on both engines or silently diverges."""
+    rng = random.Random(7)
+    import pandas as pd
+
+    rows = []
+    for vid in range(60):
+        if vid % 10 == 3 and vid > 10:
+            vec = list(rows[vid - 1][1])  # exact duplicate of previous
+        elif vid % 10 == 4 and vid > 10:
+            vec = [-x for x in rows[vid - 2][1]]  # exact negation
+        elif vid % 10 == 5:
+            vec = [0.0] * 64
+            vec[vid % 64] = 1.0  # one-hot
+        else:
+            vec = [float(rng.randint(-3, 3)) for _ in range(64)]
+            if not any(vec):
+                vec[0] = 1.0
+        rows.append((vid, vec, vid % 4))
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    df["vec_id"] = df["vec_id"].astype("int64")
+    df["label"] = df["label"].astype("int32")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(df, schema=schema), path)
+
+
+@pytest.fixture(scope="module")
+def rich_emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("richemb")
+    (d / "embeddings.parquet").mkdir()
+    _build_embeddings(str(d / "embeddings.parquet" / "part-0.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname", ["knn_bruteforce", "knn_topk_partitioned", "embedding_neardup"]
+)
+def test_rich_embeddings_match_oracle(spark, rich_emb_dir, qname):
+    from grapefruit_spark.operators import similarity
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{rich_emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    assert_matches_oracle(
+        similarity.QUERIES[qname](spark, rich_emb_dir),
+        con,
+        similarity.ORACLE[qname],
+    )
