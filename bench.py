@@ -97,6 +97,8 @@ HEADLINE = [
     "jaccard_clusters",
     "dup_span_docs",
     "vocab_coverage",
+    # round-5 addition: exact-substring dedup APPLY step
+    "dedup_spans_apply",
 ]
 
 

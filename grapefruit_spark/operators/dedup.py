@@ -710,9 +710,114 @@ HAVING count(DISTINCT doc_id) >= 2
 """
 
 
+def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLY step (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): remove every token
+    covered by an 8-token span that occurs in ≥2 documents, emitting the
+    cleaned text — the transform a training pipeline actually ships,
+    where dup_span_docs is the report.
+
+    Scale shape: span fingerprints computed inside the array and pinned
+    (the Generate re-eval barrier), duplicated-span detection is the
+    same two-level map-side-combinable aggregate as dup_span_docs, and
+    the removal is a per-doc array filter against that doc's (small)
+    sorted duplicate-start list — no shuffle ever carries text except
+    the final join back to the token arrays.
+    """
+    from ..reliability import pin
+
+    docs = _spread(table(spark, sf_dir, "documents"))
+    arr = pin(
+        docs.select(
+            "doc_id",
+            ws_tokens(normalize_text(F.col("text"))).alias("toks"),
+            F.transform(
+                word_ngrams(ws_tokens(normalize_text(F.col("text"))), SPAN_W),
+                lambda s: F.md5(s),
+            ).alias("fps"),
+        )
+    )
+    pos_fp = arr.select("doc_id", F.posexplode("fps").alias("pos", "fp"))
+    dup_fps = (
+        pos_fp.groupBy("fp", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    starts = (
+        pos_fp.join(dup_fps, "fp")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ss"))
+    )
+    joined = arr.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("ss", F.array().cast("array<int>")).alias("ss"),
+    )
+    # token i survives unless a duplicated span starting at s covers it
+    # (s ≤ i ≤ s+W−1); both sides use the identical 0-based positions
+    clean = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("ss"), lambda s: (s <= i) & (i <= s + F.lit(SPAN_W - 1))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(clean)).alias("n_removed"),
+        F.array_join(clean, " ").alias("clean_text"),
+    )
+
+
+ORACLE["dedup_spans_apply"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                       t -> length(t) > 0) AS toks
+    FROM documents
+),
+fps AS (
+    SELECT doc_id,
+           [md5(array_to_string(toks[i:i+{SPAN_W - 1}], ' '))
+            FOR i IN range(1, len(toks) - {SPAN_W - 2})] AS fps
+    FROM toks WHERE len(toks) >= {SPAN_W}
+),
+pos_fp AS (
+    SELECT doc_id, pos, fps[pos] AS fp
+    FROM (SELECT doc_id, fps, unnest(range(1, len(fps) + 1)) AS pos FROM fps)
+),
+dup AS (
+    SELECT fp FROM (SELECT fp, doc_id FROM pos_fp GROUP BY 1, 2)
+    GROUP BY fp HAVING count(*) >= 2
+),
+starts AS (
+    SELECT doc_id, list(pos ORDER BY pos) AS ss
+    FROM pos_fp JOIN dup USING (fp) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.toks) AS n_tokens,
+       len(t.toks) - len(clean) AS n_removed,
+       -- DuckDB's array_to_string of an EMPTY list is NULL; Spark's
+       -- array_join is '' — coalesce to match the fully-removed-doc case
+       coalesce(array_to_string(clean, ' '), '') AS clean_text
+FROM (
+    SELECT t.doc_id, t.toks,
+           list_filter(t.toks,
+               (x, i) -> len(list_filter(coalesce(s.ss, CAST([] AS BIGINT[])),
+                                         y -> y <= i AND i <= y + {SPAN_W - 1})) = 0
+           ) AS clean
+    FROM toks t LEFT JOIN starts s USING (doc_id)
+) t
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dup_span_docs": dup_span_docs,
+    "dedup_spans_apply": dedup_spans_apply,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "dedup_minhash": dedup_minhash,

@@ -39,6 +39,7 @@ _COVERED = (
         "doc_rolling_fingerprint", "tfidf_top_terms", "bm25_search",
         "doc_unigram_logprob", "vocab_coverage", "dedup_exact", "dup_span_docs",
         "ngram_jaccard_pairs", "ngram_containment_pairs", "quality_repetition",
+        "dedup_spans_apply",
         "doc_chunking", "seq_packing", "jaccard_clusters",
         "knn_bruteforce", "knn_topk_partitioned", "embedding_neardup",
     }

@@ -270,3 +270,31 @@ def test_binaryfile_ingest_feeds_feature_extraction(spark, tmp_path):
     want_crcs = {zlib.crc32(d) for d in payloads.values()}
     assert {r["checksum"] for r in feats} == want_crcs
     assert all(len(r["feat"]) == 8 for r in feats)
+
+
+def test_dedup_spans_apply_removes_planted_span(spark, tmp_path):
+    """A 10-token boilerplate block shared by two docs must vanish from
+    both; unique text survives untouched; a doc with no duplicated span
+    is the identity."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(6))
+    uniq_b = " ".join(f"c{i}" for i in range(6))
+    uniq_c = " ".join(f"d{i}" for i in range(12))
+    rows = [
+        (1, f"{boiler} {uniq_a}", "en", "t", 0),
+        (2, f"{uniq_b} {boiler}", "en", "t", 0),
+        (3, uniq_c, "en", "t", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path / "spansapply"
+    df.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in dedup.dedup_spans_apply(spark, str(d)).collect()}
+    assert got[1]["clean_text"] == uniq_a
+    assert got[1]["n_removed"] == 10
+    assert got[2]["clean_text"] == uniq_b
+    assert got[2]["n_removed"] == 10
+    assert got[3]["clean_text"] == uniq_c
+    assert got[3]["n_removed"] == 0

@@ -41,6 +41,7 @@ RICH_QUERIES = [
     ("search", "vocab_coverage"),
     ("dedup", "dedup_exact"),
     ("dedup", "dup_span_docs"),
+    ("dedup", "dedup_spans_apply"),
     ("dedup", "ngram_jaccard_pairs"),
     ("dedup", "ngram_containment_pairs"),
     ("datapipe", "quality_repetition"),
