@@ -124,9 +124,11 @@ GROUP BY user_id, session_id
 
 def session_window_agg(events: DataFrame) -> DataFrame:
     """Gap sessionization via the NATIVE session_window operator — the
-    streaming-capable twin of sessionize (same gap, same sessions;
-    a delta of exactly the gap starts a new session: windows are
-    half-open, touching windows don't merge).
+    streaming-capable twin of sessionize. Boundary semantics (verified
+    empirically by the exact-gap case in tests/test_rich_events_parity):
+    an event landing EXACTLY on the previous window end MERGES — sessions
+    merge when next.start <= prev.end — so a new session starts only
+    when the delta STRICTLY exceeds the gap.
 
     One shuffle on (user_id, merged session); Catalyst's
     UpdatingSessionsIterator merges in-partition — no lag/cumsum pass.
