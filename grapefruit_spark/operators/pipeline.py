@@ -198,6 +198,80 @@ def ingest_neardup(fs, state: str, new_docs: DataFrame, tau: float | None = None
     return new_docs.join(admitted_sigs.select("doc_id"), "doc_id", "left_semi")
 
 
+def ingest_span_dedup(fs, state: str, new_docs: DataFrame) -> DataFrame:
+    """Incremental exact-substring dedup (the arrival-time form of
+    dedup_spans_apply): strip every 8-token span that duplicates a span
+    STORED from prior batches or appears in ≥2 docs of this batch, then
+    durably extend the span-fingerprint state with this batch's spans.
+
+    The 100 TB shape: state is one 16-byte-keyed dataset linear in the
+    corpus' distinct spans; an arriving batch joins it (never rescans
+    history), within-batch dups reduce map-side, and removal is a per-doc
+    array filter. Re-running a crashed batch is idempotent — admission
+    is deterministic and merge re-writes the same keys.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text).
+    """
+    from ..functions import normalize_text, word_ngrams, ws_tokens
+    from ..reliability import pin
+    from .dedup import SPAN_W
+
+    arr = pin(
+        new_docs.select(
+            "doc_id",
+            ws_tokens(normalize_text(F.col("text"))).alias("toks"),
+            F.transform(
+                word_ngrams(ws_tokens(normalize_text(F.col("text"))), SPAN_W),
+                lambda s: F.md5(s),
+            ).alias("fps"),
+        )
+    )
+    pos_fp = arr.select("doc_id", F.posexplode("fps").alias("pos", "fp"))
+    batch_dups = (
+        pos_fp.groupBy("fp", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    dup_fps = batch_dups
+    if fs.exists(state):
+        seen = fs.get(state).select("fp")
+        # spans of this batch that history already contains
+        dup_fps = (
+            dup_fps.unionByName(
+                pos_fp.select("fp").join(seen, "fp", "left_semi")
+            ).distinct()
+        )
+    starts = (
+        pos_fp.join(dup_fps, "fp")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ss"))
+    )
+    joined = arr.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("ss", F.array().cast("array<int>")).alias("ss"),
+    )
+    clean = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("ss"), lambda s: (s <= i) & (i <= s + F.lit(SPAN_W - 1))
+        ),
+    )
+    out = joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(clean)).alias("n_removed"),
+        F.array_join(clean, " ").alias("clean_text"),
+    ).localCheckpoint(eager=True)
+    # extend durable state with THIS batch's distinct spans (post-arrival
+    # occurrences of them are duplicates by definition)
+    fs.merge(state, pos_fp.select("fp").distinct(), ["fp"])
+    return out
+
+
 def ingest_corpus(fs, state: str, new_docs: DataFrame) -> DataFrame:
     """The full arrival-time curation gauntlet, one batch in → admitted
     docs out: quality gate → PII redaction → exact dedup vs stored

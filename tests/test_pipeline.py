@@ -169,3 +169,35 @@ def test_ingest_corpus_from_stream(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(admitted) == [1, 3]  # 2 is a cross-microbatch exact dup
+
+
+def test_ingest_span_dedup_incremental_batches(spark, tmp_path):
+    """Batch 1: a span shared by two docs is stripped from both; unique
+    text survives. Batch 2: a doc repeating batch-1's boilerplate gets
+    it stripped against the DURABLE state even though nothing in batch 2
+    duplicates it; the span state accumulates batch 2's spans too."""
+    from grapefruit_spark.operators.pipeline import ingest_span_dedup
+    from grapefruit_spark.sdfs import Sdfs
+
+    fs = Sdfs(spark, str(tmp_path / "wh"))
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq1 = " ".join(f"u{i}" for i in range(6))
+    uniq2 = " ".join(f"v{i}" for i in range(6))
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, f"{boiler} {uniq1}"), (2, f"{uniq2} {boiler}")], schema
+    )
+    a1 = {r["doc_id"]: r for r in ingest_span_dedup(fs, "span_fps", b1).collect()}
+    assert a1[1]["clean_text"] == uniq1 and a1[1]["n_removed"] == 10
+    assert a1[2]["clean_text"] == uniq2 and a1[2]["n_removed"] == 10
+
+    fresh = " ".join(f"w{i}" for i in range(9))
+    b2 = spark.createDataFrame([(10, f"{fresh} {boiler}")], schema)
+    a2 = {r["doc_id"]: r for r in ingest_span_dedup(fs, "span_fps", b2).collect()}
+    assert a2[10]["clean_text"] == fresh, "stored boilerplate must be stripped"
+    assert a2[10]["n_removed"] == 10
+
+    # batch 2's fresh spans entered the state: a batch-3 repeat is stripped
+    b3 = spark.createDataFrame([(20, f"{fresh} solo extra")], schema)
+    a3 = {r["doc_id"]: r for r in ingest_span_dedup(fs, "span_fps", b3).collect()}
+    assert a3[20]["n_removed"] == 9 and "w0" not in a3[20]["clean_text"]
