@@ -461,9 +461,14 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("k", k)
         .groupBy("event_type")
         .agg(
-            # exact integer e4 mean: avg() of ints is a double whose
-            # round() half-rule differs cross-engine
-            F.expr("(sum(k) * 10000L) div nullif(count(k), 0L)").alias("avg_k_e4"),
+            # exact integer e4 mean. Spark `div` truncates toward zero but
+            # DuckDB `//` floors, so a NEGATIVE sum would diverge; the
+            # 2^31 shift (k is INT, so sum+shift*count > 0 always) makes
+            # both compute the same floor division, then shifts back.
+            F.expr(
+                "((sum(k) + 2147483648L * count(k)) * 10000L)"
+                " div nullif(count(k), 0L) - 21474836480000L"
+            ).alias("avg_k_e4"),
             F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -472,7 +477,8 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["events_props_agg"] = """
 SELECT event_type,
-       (sum(k) * 10000) // nullif(count(k), 0) AS avg_k_e4,
+       ((sum(k) + 2147483648 * count(k)) * 10000) // nullif(count(k), 0)
+           - 21474836480000 AS avg_k_e4,
        sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_k,
        count(*) AS n
 FROM (

@@ -245,3 +245,40 @@ def test_rich_embeddings_match_oracle(spark, rich_emb_dir, qname):
         con,
         similarity.ORACLE[qname],
     )
+
+
+def test_props_agg_negative_sum_division(spark, tmp_path):
+    """Spark `div` truncates toward zero; DuckDB `//` floors — a NEGATIVE
+    per-type k-sum would diverge without the 2^31 positivity shift. Pin
+    the aligned floor semantics on a forced-negative group."""
+    import pandas as pd
+
+    from grapefruit_spark.operators import windows
+
+    d = tmp_path / "negk"
+    (d / "events.parquet").mkdir(parents=True)
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                [_BASE_US + i for i in range(4)], unit="us"
+            ).astype("datetime64[us]"),
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["a", "a", "b", "b"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ['{"k": -7}', '{"k": -8}', '{"k": 3}', None],
+        }
+    )
+    df.to_parquet(str(d / "events.parquet" / "p.parquet"), index=False)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    assert_matches_oracle(
+        windows.QUERIES["events_props_agg"](spark, str(d)),
+        con,
+        windows.ORACLE["events_props_agg"],
+    )
+    got = {
+        r["event_type"]: r["avg_k_e4"]
+        for r in windows.QUERIES["events_props_agg"](spark, str(d)).collect()
+    }
+    assert got["a"] == -75000  # exact: (-15 * 1e4) / 2
