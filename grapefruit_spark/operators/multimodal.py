@@ -3,17 +3,28 @@
 Images/audio/video ride as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 mapInPandas feature extraction, partition-friendly layout — is real and
-tested; the actual media decode is STUBBED (no image/audio libs in this
-container): ``decode_stub`` derives deterministic fake features from the
-bytes, and ``decode_real`` raises NotImplementedError where a codec call
-would go.
+tested. Decode status by format:
+
+- **image: REAL** for uncompressed 24-bit BMP (header parse + numpy
+  pixel stats — no image library needed); synthesize_media emits real
+  BMP payloads, and extract_features genuinely decodes them.
+- **audio: REAL** for PCM WAV via the stdlib ``wave`` module (rate /
+  channels / int16 sample stats).
+- **video: STUBBED** — no pure-python codec exists; ``decode_real``
+  raises NotImplementedError for video and the pipeline falls back to
+  ``decode_stub``'s deterministic fake features, keeping the plumbing
+  testable.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 import zlib
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,29 +40,110 @@ FEATURE_SCHEMA = (
 )
 
 
-def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a media table from documents: the utf-8 bytes stand in for an
-    encoded image payload. At scale this would be `spark.read.format
-    ("binaryFile")` over an object store; the downstream plumbing is
-    identical."""
-    docs = table(spark, sf_dir, "documents")
-    media = F.encode(F.col("text"), "utf-8")
-    return docs.select(
-        "doc_id",
-        media.alias("media"),
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("kind"),
-        F.length(media).alias("n_bytes"),
+def encode_bmp(width: int, height: int, seed: int) -> bytes:
+    """A REAL uncompressed 24-bit BMP payload with deterministic pixels
+    (LCG over the seed) — what an object store would hand binaryFile."""
+    row_bytes = (width * 3 + 3) & ~3
+    img_size = row_bytes * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    # vectorized deterministic pixels (multiplicative-hash per position):
+    # a per-byte python LCG here cost ~4 s at sf0.1 across the corpus
+    idx = np.arange(img_size, dtype=np.uint64)
+    vals = ((idx * np.uint64(2654435761) + np.uint64(seed * 97 + 13)) % np.uint64(251)).astype(
+        np.uint8
     )
+    return header + vals.tobytes()
 
 
-def decode_real(payload: bytes, kind: str):
-    """Where PIL / torchaudio / pyav decode would run. STUB — the
-    container has no media libraries."""
+def encode_wav(n_samples: int, seed: int, rate: int = 8000) -> bytes:
+    """A REAL PCM WAV payload (16-bit mono) with deterministic integer
+    samples — decodable by the stdlib ``wave`` module anywhere."""
+    samples = ((np.arange(n_samples, dtype=np.int64) * (seed % 97 + 3)) % 2001 - 1000) * 16
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media table from documents: image rows carry REAL BMP
+    payloads, audio rows REAL WAV payloads (both deterministic from
+    doc_id), video rows opaque bytes (no pure-python codec). At scale
+    this would be `spark.read.format("binaryFile")` over an object
+    store; the downstream plumbing is identical."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                k = doc_id % 3
+                if k == 0:
+                    payload = encode_bmp(16 + doc_id % 16, 16 + doc_id % 8, doc_id)
+                    kind = "image"
+                elif k == 1:
+                    payload = encode_wav(400 + doc_id % 200, doc_id)
+                    kind = "audio"
+                else:
+                    payload = text.encode("utf-8")
+                    kind = "video"
+                out.append(
+                    {"doc_id": doc_id, "media": payload, "kind": kind,
+                     "n_bytes": len(payload)}
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_real(payload: bytes, kind: str) -> dict:
+    """REAL decode for the formats stdlib+numpy can handle.
+
+    image: 24-bit uncompressed BMP — header parse + per-channel pixel
+    means as the feature vector. audio: PCM WAV via ``wave`` — rate /
+    sample stats. video: no pure-python codec exists → NotImplementedError
+    (callers fall back to decode_stub; the gate stays honest).
+    """
+    if kind == "image":
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if bpp != 24:
+            raise ValueError(f"unsupported BMP bpp {bpp}")
+        row_bytes = (width * 3 + 3) & ~3
+        px = np.frombuffer(payload, dtype=np.uint8, offset=data_off,
+                           count=row_bytes * abs(height))
+        rows = px.reshape(abs(height), row_bytes)[:, : width * 3]
+        bgr = rows.reshape(abs(height), width, 3).astype(np.float64) / 255.0
+        means = bgr.mean(axis=(0, 1))          # B, G, R channel means
+        stds = bgr.std(axis=(0, 1))
+        feat = [*means, *stds, float(bgr.min()), float(bgr.max())]
+        return {"checksum": zlib.crc32(payload), "width": int(width),
+                "height": int(abs(height)), "feat": [float(f) for f in feat]}
+    if kind == "audio":
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate, nch, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
+            raw = w.readframes(nframes)
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        rms = float(np.sqrt((s * s).mean())) if len(s) else 0.0
+        peak = float(np.abs(s).max()) if len(s) else 0.0
+        zcr = float((np.diff(np.signbit(s)) != 0).mean()) if len(s) > 1 else 0.0
+        feat = [rms, peak, zcr, float(s.mean() * 0.5 + 0.5),
+                min(len(s) / 65536.0, 1.0), min(rate / 48000.0, 1.0),
+                float(nch / 2.0), 0.0]
+        return {"checksum": zlib.crc32(payload), "width": int(rate),
+                "height": int(nch), "feat": [float(f) for f in feat]}
     raise NotImplementedError(
-        "media decode requires image/audio libs not present in this container"
+        "video decode requires a codec library not present in this container"
     )
 
 
@@ -63,6 +155,19 @@ def decode_stub(payload: bytes, kind: str) -> dict:
     height = 16 + ((crc >> 8) & 0xFF)
     feat = [((crc >> (4 * i)) & 0xF) / 15.0 for i in range(8)]
     return {"checksum": crc, "width": width, "height": height, "feat": feat}
+
+
+def _decode(payload: bytes, kind: str) -> dict:
+    """Real decode where a pure-python codec exists (BMP, WAV); honest
+    deterministic stub for video. A malformed/unknown container falls
+    back to the stub instead of killing the batch — the corrupt-record
+    tolerance a 100 TB ingest needs (quarantine, don't crash)."""
+    if kind in ("image", "audio"):
+        try:
+            return decode_real(payload, kind)
+        except (ValueError, EOFError, struct.error, wave.Error):
+            return decode_stub(payload, kind)
+    return decode_stub(payload, kind)
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -77,7 +182,7 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            feats = [decode_stub(m, k) for m, k in zip(pdf["media"], pdf["kind"])]
+            feats = [_decode(m, k) for m, k in zip(pdf["media"], pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -116,7 +221,7 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
                 continue
             medias = batch.column("media").to_pylist()
             kinds = batch.column("kind").to_pylist()
-            feats = [decode_stub(m, k) for m, k in zip(medias, kinds)]
+            feats = [_decode(m, k) for m, k in zip(medias, kinds)]
             yield pa.RecordBatch.from_pydict(
                 {
                     "doc_id": batch.column("doc_id"),

@@ -116,7 +116,12 @@ def test_multimodal_pipeline_shape(spark):
     for r in rows:
         assert r["kind"] in ("image", "audio", "video")
         assert len(r["feat"]) == 8 and all(0.0 <= x <= 1.0 for x in r["feat"])
-        assert r["checksum"] >= 0 and r["width"] >= 16 and r["height"] >= 16
+        if r["kind"] == "audio":
+            # real WAV decode: width=sample rate, height=channel count
+            assert r["width"] == 8000 and r["height"] == 1
+        else:
+            assert r["width"] >= 16 and r["height"] >= 16
+        assert r["checksum"] >= 0
 
 
 def test_multimodal_decode_is_deterministic():
@@ -125,9 +130,18 @@ def test_multimodal_decode_is_deterministic():
     assert a == b
 
 
-def test_multimodal_real_decode_is_stubbed():
+def test_multimodal_real_decode_formats():
+    """BMP and WAV decode are REAL (round-trip through our encoders);
+    video remains an honest NotImplementedError."""
+    d = multimodal.decode_real(multimodal.encode_bmp(20, 18, 7), "image")
+    assert (d["width"], d["height"]) == (20, 18)
+    assert len(d["feat"]) == 8 and all(0.0 <= x <= 1.0 for x in d["feat"])
+    a = multimodal.decode_real(multimodal.encode_wav(500, 7), "audio")
+    assert a["width"] == 8000 and a["height"] == 1
     with pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"x", "image")
+        multimodal.decode_real(b"x", "video")
+    with pytest.raises(ValueError):
+        multimodal.decode_real(b"not a bmp", "image")
 
 
 def test_multimodal_summary(spark):
