@@ -208,7 +208,12 @@ def adv_dir(tmp_path_factory):
     (d / "documents.parquet").mkdir()
     _build_corpus(str(d / "documents.parquet" / "part-0.parquet"))
     (d / "events.parquet").mkdir()
-    _build_events(str(d / "events.parquet" / "part-0.parquet"))
+    # events INSIDE the orders' 1995-2001 span so events_asof_join and
+    # purchase attribution exercise real matches, not all-miss rows
+    _build_events(
+        str(d / "events.parquet" / "part-0.parquet"),
+        base_us=820_454_400_000_000,  # 1996-01-01 UTC
+    )
     (d / "embeddings.parquet").mkdir()
     _build_embeddings(str(d / "embeddings.parquet" / "part-0.parquet"))
     return str(d)

@@ -55,7 +55,7 @@ _TYPES = ["view", "click", "purchase", "signup", "error"]
 _BASE_US = 1_709_251_200_000_000  # 2024-03-01 00:00:00 UTC in micros
 
 
-def _build_events(path: str) -> None:
+def _build_events(path: str, base_us: int = _BASE_US) -> None:
     rng = random.Random(20260814)
     rows = []  # (event_id, ts_us, user_id, event_type, value, props)
     eid = 0
@@ -87,7 +87,7 @@ def _build_events(path: str) -> None:
 
     hour = 3_600_000_000
     for user in range(1, 41):
-        t = _BASE_US + rng.randint(0, 10) * 86_400_000_000 + rng.randint(0, hour)
+        t = base_us + rng.randint(0, 10) * 86_400_000_000 + rng.randint(0, hour)
         for _ in range(rng.randint(2, 60)):
             emit(t, user, rng.choice(_TYPES), value_for(), props_for(eid))
             gap_kind = rng.random()
@@ -101,15 +101,15 @@ def _build_events(path: str) -> None:
                 gap = rng.randint(1, 2 * hour)
             t += gap
     # metronome bot: constant 60 s gaps (CV exactly 0)
-    t = _BASE_US
+    t = base_us
     for _ in range(30):
         emit(t, 777, "view", 1.0, '{"k": 1}')
         t += 60_000_000
     # single-event users (no gaps, no lag rows)
     for user in range(900, 905):
-        emit(_BASE_US + user * 1_000_000, user, "signup", value_for(), None)
+        emit(base_us + user * 1_000_000, user, "signup", value_for(), None)
     # funnel chain user: view -> click -> purchase strictly ordered
-    t = _BASE_US + 20 * 86_400_000_000
+    t = base_us + 20 * 86_400_000_000
     for etype in ("view", "click", "purchase"):
         emit(t, 555, etype, 10.0, '{"k": 5}')
         t += 1_000_000
