@@ -30,10 +30,16 @@ def mj_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("text")
 
     def wc_maple(pdf: pd.DataFrame) -> pd.DataFrame:
-        words = pdf["text"].str.lower().str.split()
-        flat = words.explode().dropna()
-        flat = flat[flat.str.len() > 0]
-        return pd.DataFrame({"key": flat, "value": 1})
+        # per-batch COMBINER (the reference's own WebGraph maple pre-sums
+        # counts before the shuffle): emit (word, partial_count) instead
+        # of (word, 1) — the summing juice is unchanged, the shuffle
+        # carries |vocab| rows per batch instead of |tokens|
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in pdf["text"]:
+            c.update(t.lower().split())
+        return pd.DataFrame({"key": list(c.keys()), "value": list(c.values())})
 
     def wc_juice(key, grp: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"word": [key], "cnt": [int(grp["value"].sum())]})
