@@ -183,13 +183,18 @@ def condorcet_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts + the is_condorcet flag (SQL-expressible, unlike the
     reference's free-text verdict line).
     """
-    pairs = condorcet_pairs(spark, sf_dir)
+    from ..reliability import pin
+
+    # pin the pair matrix: it is C(candidates, 2) rows — tiny — but its
+    # SUBTREE is the full ballots shuffle, and the three consumers below
+    # (cands, wins, n_cand) would otherwise each recompute it (measured
+    # ~2× the stage-1 time at the 100 MB baseline scale without this)
+    pairs = pin(condorcet_pairs(spark, sf_dir))
     cands = pairs.select(F.col("cand_lo").alias("cand")).union(
         pairs.select(F.col("cand_hi").alias("cand"))
     ).distinct()
     # candidate count stays IN the plan (1-row agg broadcast): no driver
-    # action, and the pairs subtree sits in one query where AQE can reuse
-    # its exchanges instead of recomputing per action
+    # action
     n1 = cands.agg(F.count(F.lit(1)).alias("n_cand"))
     wins = pairs.groupBy(F.col("pair_winner").alias("cand")).agg(
         F.count(F.lit(1)).alias("wins")
