@@ -497,3 +497,31 @@ def test_watermark_drops_late_events(spark, tmp_path):
         per_window.setdefault(r["w_start"], []).append(r["n"])
     assert per_window.get("00:00") == [3], f"late event leaked: {per_window}"
     assert per_window.get("00:20") == [1], per_window
+
+
+def test_stream_session_window_matches_batch_on_adversarial_events(
+    spark, tmp_path_factory
+):
+    """Batch↔stream session parity on the ADVERSARIAL stream — duplicate
+    timestamps and gaps landing exactly on the 1800 s boundary exercise
+    the merge-at-boundary semantics through the STREAMING merge iterator,
+    which the stock driver events never hit."""
+    from grapefruit_spark.operators.windows import events_session_window
+    from grapefruit_spark.streaming.events import (
+        run_to_memory,
+        stream_session_window,
+    )
+
+    from .test_rich_events_parity import _build_events
+
+    d = tmp_path_factory.mktemp("adv_stream")
+    # single FILE named events.parquet: the stream's pathGlobFilter
+    # matches the file name, like the stock testdata layout
+    _build_events(str(d / "events.parquet"))
+
+    got = run_to_memory(
+        stream_session_window(spark, str(d)), "t_adv_sessionw", output_mode="complete"
+    )
+    want = events_session_window(spark, str(d))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert want.count() > 0
