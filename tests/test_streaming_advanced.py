@@ -525,3 +525,56 @@ def test_stream_session_window_matches_batch_on_adversarial_events(
     want = events_session_window(spark, str(d))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
     assert want.count() > 0
+
+
+def test_stream_markov_ties_on_duplicate_timestamps(spark, tmp_path):
+    """Events sharing one timestamp must chain in event_id order on BOTH
+    sides — pins the (ts, event_id) tie-break inside the GroupState
+    update against the batch lag window."""
+    import time
+
+    from pyspark.sql.window import Window
+
+    from grapefruit_spark.streaming.events import stream_markov_transitions
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    # every user gets 6 events ALL at the same instant: ordering is
+    # carried entirely by event_id
+    df = spark.range(30).select(
+        F.col("id").alias("event_id"),
+        F.lit(1704067200000000000).alias("ts"),
+        (F.col("id") % 5).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            ((F.col("id") % 3) + 1).cast("int"),
+        ).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    rows: list = []
+    q = (
+        stream_markov_transitions(spark, src)
+        .writeStream.foreachBatch(lambda b, e: rows.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    got: dict = {}
+    for r in rows:
+        k = (r["prev_type"], r["next_type"])
+        got[k] = got.get(k, 0) + r["n"]
+    ev = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = {(r["prev_type"], r["event_type"]): r["n"] for r in batch}
+    assert got == want and got
