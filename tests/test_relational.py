@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from grapefruit_spark.operators import relational
 
@@ -16,9 +17,24 @@ def test_matches_duckdb_oracle(spark, duck, name):
     assert_matches_oracle(sdf, duck, relational.ORACLE[name])
 
 
-def test_distinct_approx_sane(spark):
-    rows = relational.distinct_approx(spark, SF_DIR).collect()
-    assert rows and all(r["approx_custs"] > 0 for r in rows)
+def test_distinct_approx_within_hll_error_bound(spark):
+    """approx_count_distinct at rsd 2% must land within a generous
+    ±10% band of the exact per-priority distinct customer counts."""
+    approx = {
+        r["o_orderpriority"]: r["approx_custs"]
+        for r in relational.distinct_approx(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for k, a in approx.items():
+        e = exact[k]
+        assert e > 0 and abs(a - e) <= max(2, 0.10 * e), (k, a, e)
 
 
 def test_q6_pushdown_and_pruning(spark):
