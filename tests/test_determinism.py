@@ -66,3 +66,30 @@ def test_sessionize_stable_under_input_repartition(spark):
     a = canon_rows([tuple(r) for r in base.collect()], base.columns)
     b = canon_rows([tuple(r) for r in shuffled.collect()], shuffled.columns)
     assert a == b
+
+
+@pytest.mark.parametrize(
+    "modname,qname",
+    [
+        ("dedup", "ngram_jaccard_pairs"),
+        ("dedup", "dedup_spans_apply"),
+        ("text", "doc_entropy"),
+        ("search", "doc_unigram_logprob"),
+        ("search", "vocab_coverage"),
+        ("analytics", "events_zscore_outliers"),
+        ("event_analytics", "events_bot_score"),
+        ("graph", "jaccard_clusters"),
+    ],
+    ids=lambda x: x if isinstance(x, str) else "",
+)
+def test_round5_ops_partition_independent(spark, modname, qname):
+    """The round-5 exact-emission program (integer ppm, decimal-exact
+    sums, prefix-filtered pairs, pinned shingle arrays) must hold under
+    a hostile shuffle layout, not just the default one."""
+    import importlib
+
+    mod = importlib.import_module(f"grapefruit_spark.operators.{modname}")
+    fn = mod.QUERIES[qname]
+    a = _rows_under_partitions(spark, fn, 3)
+    b = _rows_under_partitions(spark, fn, 32)
+    assert a == b and a
