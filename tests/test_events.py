@@ -84,7 +84,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=12, deadline=None, derandomize=True)
 @given(
     pts=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 7200)), min_size=1, max_size=15
@@ -129,7 +129,7 @@ def test_interval_join_binned_matches_bruteforce(spark, pts, ivs, bin_s):
     assert got == want
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     lefts=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=12

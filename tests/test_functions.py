@@ -31,7 +31,7 @@ def run_expr(spark):
     return _run
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(TEXTS)
 def test_normalize_matches_python(run_expr, s):
     got = run_expr(gf.normalize_text(F.col("t")), t=s)
@@ -41,7 +41,7 @@ def test_normalize_matches_python(run_expr, s):
     assert got == want
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25, deadline=None, derandomize=True)
 @given(TEXTS)
 def test_md5_fingerprint_matches_hashlib(run_expr, s):
     import re
@@ -64,7 +64,7 @@ def test_word_ngrams_count_and_content(run_expr):
     assert run_expr(gf.word_ngrams(toks, 3), t="a b") == []
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(st.lists(st.floats(-10, 10, allow_nan=False), min_size=4, max_size=16),
        st.lists(st.floats(-10, 10, allow_nan=False), min_size=4, max_size=16))
 def test_cosine_matches_numpy(run_expr, a, b):

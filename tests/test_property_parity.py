@@ -48,7 +48,7 @@ def _event_streams(draw):
     return rows
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(rows=_event_streams())
 def test_native_session_window_matches_oracle_on_random_streams(
     spark, tmp_path_factory, rows
@@ -90,7 +90,7 @@ def _tiny_corpora(draw):
     return docs
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(docs=_tiny_corpora())
 def test_prefix_filtered_pairs_match_semantic_oracle(spark, tmp_path_factory, docs):
     from grapefruit_spark.operators import dedup
