@@ -138,5 +138,11 @@ class Sdfs:
         tmp = self._path(f"{name}__merging")
         merged.write.mode("overwrite").parquet(tmp)
         final = self._path(name)
-        shutil.rmtree(final)
+        # two renames, not rmtree-then-rename: the table path is never
+        # ABSENT — a reader either sees the old generation or the new one
+        old = self._path(f"{name}__retired")
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(final, old)
         os.rename(tmp, final)
+        shutil.rmtree(old)

@@ -449,13 +449,21 @@ def maintain_event_rollup(spark: SparkSession, src_dir: str, fs, name: str, chec
             )
         else:
             merged = delta
-        # write beside, swap atomically — never overwrite a table mid-read
+        # write beside, then two renames — the table path is never ABSENT
+        # (an rmtree-then-rename swap leaves a window where a reader finds
+        # no table at all)
         tmp = fs._path(f"{name}__delta")
         merged.write.mode("overwrite").parquet(tmp)
         final = fs._path(name)
         if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+            old = fs._path(f"{name}__retired")
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, final)
 
     run_foreach_batch(ev, sink, checkpoint_dir)
 
