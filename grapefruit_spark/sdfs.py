@@ -33,11 +33,30 @@ class Sdfs:
     # -- file ops (SdfsServer.java put/get/delete) ----------------------
     def put(self, df: DataFrame, name: str, mode: str = "overwrite",
             partition_by: list[str] | None = None) -> None:
-        """Insert/update a dataset (reference: ``put local sdfsname``)."""
+        """Insert/update a dataset (reference: ``put local sdfsname``).
+
+        An overwrite of an EXISTING dataset writes beside and swaps via
+        two renames, so (a) the path is never absent for a concurrent
+        reader and (b) a ``df`` derived from this same dataset can't be
+        clobbered mid-plan by Spark's delete-then-write overwrite."""
+        final = self._path(name)
+        if mode == "overwrite" and os.path.isdir(final):
+            tmp = self._path(f"{name}__putting")
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(tmp)
+            old = self._path(f"{name}__retired")
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old)
+            return
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._path(name))
+        writer.parquet(final)
 
     def get(self, name: str) -> DataFrame:
         """Fetch a dataset (reference: ``get sdfsname local``)."""
