@@ -361,8 +361,34 @@ def ingest_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ingest_spans_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible exercise of incremental exact-substring dedup
+    (D42): run the documents table through ingest_span_dedup in two
+    batches (even doc_ids, then odd) against a fresh state dir and
+    report tokens removed per batch plus the final span-state size.
+    Deterministic for a given corpus. rows-only: multi-batch stateful.
+    """
+    import tempfile
+
+    from ..sdfs import Sdfs
+
+    fs = Sdfs(spark, tempfile.mkdtemp(prefix="grapefruit_spans_sim_"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = ingest_span_dedup(fs, "spanstate", docs.where(F.col("doc_id") % 2 == 0))
+    r1 = b1.agg(F.count(F.lit(1)), F.sum("n_removed")).collect()[0]
+    b2 = ingest_span_dedup(fs, "spanstate", docs.where(F.col("doc_id") % 2 == 1))
+    r2 = b2.agg(F.count(F.lit(1)), F.sum("n_removed")).collect()[0]
+    n_state = fs.get("spanstate").count()
+    return spark.createDataFrame(
+        [(int(r1[0]), int(r1[1] or 0), int(r2[0]), int(r2[1] or 0), n_state)],
+        "batch1_docs long, batch1_removed long, batch2_docs long, "
+        "batch2_removed long, span_state long",
+    )
+
+
 QUERIES = {
     "clean_corpus": clean_corpus,
     "corpus_stats": corpus_stats,
     "ingest_pipeline_sim": ingest_pipeline_sim,
+    "ingest_spans_sim": ingest_spans_sim,
 }
