@@ -316,7 +316,7 @@ packed AS (
 SELECT shard, ((cum - n_tok) // {PACK_BUDGET})::BIGINT AS pack_id,
        count(*) AS n_docs,
        sum(n_tok)::BIGINT AS pack_tokens,
-       (sum(n_tok) * 10000) // {PACK_BUDGET} AS fill_bp
+       CAST((sum(n_tok) * 10000) // {PACK_BUDGET} AS BIGINT) AS fill_bp
 FROM packed
 GROUP BY 1, 2
 ORDER BY shard, pack_id

@@ -164,7 +164,8 @@ WITH per_user AS (
   SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
 )
 SELECT user_id, n_events,
-       (n_events * 1000000) // (SELECT sum(n_events) FROM per_user) AS share_ppm
+       CAST((n_events * 1000000) // (SELECT sum(n_events) FROM per_user)
+            AS BIGINT) AS share_ppm
 FROM per_user
 ORDER BY n_events DESC, user_id
 LIMIT 10
@@ -489,7 +490,8 @@ WITH steps AS (
 totals AS (
     SELECT prev_type, sum(n) AS n_from FROM steps GROUP BY 1
 )
-SELECT s.prev_type, s.next_type, s.n, (s.n * 1000000) // t.n_from AS p_ppm
+SELECT s.prev_type, s.next_type, s.n,
+       CAST((s.n * 1000000) // t.n_from AS BIGINT) AS p_ppm
 FROM steps s JOIN totals t USING (prev_type)
 """
 
@@ -786,7 +788,7 @@ agg AS (
     FROM clean GROUP BY 1
 )
 SELECT user_id, n_gaps,
-       (s * 10000) // n_gaps AS mean_gap_e4,
+       CAST((s * 10000) // n_gaps AS BIGINT) AS mean_gap_e4,
        CAST(floor((sqrt((ss - s * s / n_gaps) / (n_gaps - 1)) / (s / n_gaps)) * 1000000)
             AS BIGINT) AS cv_e6
 FROM agg

@@ -480,8 +480,8 @@ item_n AS (
 total AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket)
 SELECT part_a, part_b, n_ab, lift_ppm, rank FROM (
     SELECT p.u AS part_a, p.v AS part_b, p.n_ab,
-           (CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000)
-               // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS lift_ppm,
+           CAST((CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000)
+               // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_ppm,
            row_number() OVER (
                ORDER BY (CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000)
                         // (CAST(ia.n_item AS HUGEINT) * ib.n_item) DESC,

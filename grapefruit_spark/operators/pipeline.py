@@ -331,10 +331,12 @@ per_doc AS (
     SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
 )
 SELECT (SELECT count(*) FROM documents)                            AS n_docs,
-       (SELECT (sum(n_chars) * 10000) // count(*) FROM documents)  AS avg_chars_e4,
+       (SELECT CAST((sum(n_chars) * 10000) // count(*) AS BIGINT)
+        FROM documents)                                            AS avg_chars_e4,
        (SELECT count(*) FROM toks)                                 AS total_tokens,
        (SELECT count(DISTINCT tok) FROM toks)                      AS vocab_size,
-       (SELECT (sum(n_tok) * 10000) // count(*) FROM per_doc)      AS avg_tokens_e4
+       (SELECT CAST((sum(n_tok) * 10000) // count(*) AS BIGINT)
+        FROM per_doc)                                              AS avg_tokens_e4
 """
 
 

@@ -302,11 +302,11 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q14_promo_effect"] = """
-SELECT (CAST(sum((CASE WHEN p_type = 'ECONOMY'
+SELECT CAST((CAST(sum((CASE WHEN p_type = 'ECONOMY'
                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)::DECIMAL(18,6))
              * 1000000 AS HUGEINT) * 1000000)
        // CAST(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) * 1000000 AS HUGEINT)
-       AS promo_pct_e4
+       AS BIGINT) AS promo_pct_e4
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'

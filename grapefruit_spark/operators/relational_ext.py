@@ -210,11 +210,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q8_market_share"] = """
 SELECT year(o_orderdate) AS o_year,
-       (CAST(sum((CASE WHEN n1.n_name = 'NATION_9'
+       CAST((CAST(sum((CASE WHEN n1.n_name = 'NATION_9'
                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END)::DECIMAL(18,6))
              * 1000000 AS HUGEINT) * 1000000)
        // nullif(CAST(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) * 1000000 AS HUGEINT), 0)
-       AS mkt_share_ppm
+       AS BIGINT) AS mkt_share_ppm
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey = p_partkey
@@ -441,7 +441,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["q17_small_qty_revenue"] = """
-SELECT CAST(sum((l_extendedprice)::DECIMAL(18,6)) * 1000000 AS HUGEINT) // 70000 AS avg_yearly_e2
+SELECT CAST(CAST(sum((l_extendedprice)::DECIMAL(18,6)) * 1000000 AS HUGEINT) // 70000
+            AS BIGINT) AS avg_yearly_e2
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#13'

@@ -314,8 +314,8 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _vocab_coverage_oracle() -> str:
     one = """
-SELECT {k} AS k, count(*) AS vocab_used, sum(c) AS covered,
-       (sum(c) * 1000000) // (SELECT sum(c) FROM tf) AS coverage_ppm
+SELECT {k} AS k, count(*) AS vocab_used, CAST(sum(c) AS BIGINT) AS covered,
+       CAST((sum(c) * 1000000) // (SELECT sum(c) FROM tf) AS BIGINT) AS coverage_ppm
 FROM (SELECT c FROM tf ORDER BY c DESC, term ASC LIMIT {k})
 """
     return (

@@ -269,7 +269,7 @@ tf AS (
     SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
 )
 SELECT doc_id,
-       sum(c) AS n_tok,
+       CAST(sum(c) AS BIGINT) AS n_tok,
        count(*) AS vocab,
        CAST(floor((ln(sum(c))
                    - sum(CAST(c * ln(c) AS DECIMAL(28,12)))::DOUBLE / sum(c))

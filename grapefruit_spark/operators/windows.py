@@ -112,7 +112,7 @@ sessions AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
     FROM marked
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*)                                   AS n_events,
        strftime(min(ts), '{_TS_FMT_DUCK}')        AS session_start,
        strftime(max(ts), '{_TS_FMT_DUCK}')        AS session_end,
@@ -331,7 +331,7 @@ per_session AS (
 SELECT user_id,
        count(*) AS n_sessions,
        sum(converted)::BIGINT AS n_converted,
-       (sum(converted) * 1000000) // count(*) AS conv_ppm
+       CAST((sum(converted) * 1000000) // count(*) AS BIGINT) AS conv_ppm
 FROM per_session
 GROUP BY user_id
 """
@@ -462,12 +462,16 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             # exact integer e4 mean. Spark `div` truncates toward zero but
-            # DuckDB `//` floors, so a NEGATIVE sum would diverge; the
-            # 2^31 shift (k is INT, so sum+shift*count > 0 always) makes
-            # both compute the same floor division, then shifts back.
+            # DuckDB `//` floors, so a NEGATIVE sum would diverge; compute
+            # the truncating div then floor-correct (subtract 1 when the
+            # dividend is negative with a nonzero remainder). Numerator is
+            # bounded by |sum(k)|*10^4, not 2^31*count*10^4, so no int64
+            # overflow until |sum(k)| > ~9.2e14.
             F.expr(
-                "((sum(k) + 2147483648L * count(k)) * 10000L)"
-                " div nullif(count(k), 0L) - 21474836480000L"
+                "(sum(k) * 10000L) div nullif(count(k), 0L)"
+                " - (CASE WHEN sum(k) < 0"
+                "            AND (sum(k) * 10000L) % count(k) != 0"
+                "       THEN 1 ELSE 0 END)"
             ).alias("avg_k_e4"),
             F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
             F.count(F.lit(1)).alias("n"),
@@ -477,8 +481,7 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["events_props_agg"] = """
 SELECT event_type,
-       ((sum(k) + 2147483648 * count(k)) * 10000) // nullif(count(k), 0)
-           - 21474836480000 AS avg_k_e4,
+       CAST((sum(k) * 10000) // nullif(count(k), 0) AS BIGINT) AS avg_k_e4,
        sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_k,
        count(*) AS n
 FROM (

@@ -1,6 +1,14 @@
 """Local replica of the driver's correctness gate: run each queries()
 entry on Spark and its oracle_sql() on DuckDB, compare row-count, schema
-(column names), and an order-insensitive value hash.
+(column names), an order-insensitive value hash, AND per-column type
+CLASSES.
+
+The type-class compare exists because the driver fetches the oracle via
+pandas/Arrow, where a DuckDB HUGEINT (the silent SUM(BIGINT) promotion)
+renders as float64/decimal128 and breaks the driver's value hash even
+when fetchall() values are identical — the root cause of every r1-r5
+red row. A class mismatch here is therefore a FAIL even if the
+fetchall-based value hash matches.
 
 Usage: python tools/check_parity.py [sf_dir] [name ...]
 """
@@ -24,6 +32,48 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     for r in canon:
         h.update(("|".join(r) + "\n").encode())
     return h.hexdigest()[:16]
+
+
+def _duck_class(t) -> str:
+    s = str(t)
+    if "HUGEINT" in s:
+        return "HUGEINT"  # never legitimate — breaks the driver's hash
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "VARCHAR":
+        return "str"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s == "DATE":
+        return "date"
+    return f"other:{s}"
+
+
+def _spark_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.TimestampType):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    return f"other:{dt.simpleString()}"
 
 
 def _canon(v) -> str:
@@ -81,8 +131,19 @@ def main() -> int:
         ok_n = len(srows) == len(drows)
         ok_c = sorted(scols) == sorted(dcols)
         ok_h = ok_c and value_hash(srows, scols) == value_hash(drows, dcols)
-        status = "OK" if (ok_n and ok_c and ok_h) else "FAIL"
-        print(f"{name:28s} {status}  rows={len(srows)}/{len(drows)} cols={'OK' if ok_c else (scols, dcols)} hash={'OK' if ok_h else 'MISMATCH'}")
+        # type-class parity: a HUGEINT (or any class mismatch) renders
+        # differently under the driver's pandas/Arrow fetch and breaks
+        # its hash even when fetchall values agree
+        stypes = {f.name: _spark_class(f.dataType) for f in sdf.schema.fields}
+        dtypes = {c: _duck_class(t) for c, t in zip(rel.columns, rel.types)}
+        type_mismatch = [
+            f"{c}:duck={dtypes[c]}/spark={stypes.get(c)}"
+            for c in dtypes
+            if dtypes[c] == "HUGEINT" or dtypes[c] != stypes.get(c)
+        ]
+        ok_t = not type_mismatch
+        status = "OK" if (ok_n and ok_c and ok_h and ok_t) else "FAIL"
+        print(f"{name:28s} {status}  rows={len(srows)}/{len(drows)} cols={'OK' if ok_c else (scols, dcols)} hash={'OK' if ok_h else 'MISMATCH'} types={'OK' if ok_t else type_mismatch}")
         if status == "FAIL":
             failures.append(name)
             if not ok_h and ok_c and ok_n:
