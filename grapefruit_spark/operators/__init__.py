@@ -47,18 +47,44 @@ def all_queries() -> dict[str, QueryFn]:
     return dict(items)
 
 
+# Queries whose oracle text or Spark emission changed in round 6 (the
+# HUGEINT→BIGINT cast sweep) AFTER their last green driver row, plus
+# knn_topk_partitioned (gained an oracle after its rows-only greens).
+# Each stays front-loaded until it earns a hash-green row in a round
+# whose number is >= the listed one; then the rule self-clears.
+_REPROVE_SINCE: dict[str, int] = {
+    "q14_promo_effect": 6,
+    "q8_market_share": 6,
+    "q17_small_qty_revenue": 6,
+    "events_session_conversion": 6,
+    "events_props_agg": 6,
+    "copurchase_lift": 6,
+    "corpus_stats": 6,
+    "seq_packing": 6,
+    "events_markov_transitions": 6,
+    "knn_topk_partitioned": 6,
+}
+
+
 def _never_green() -> set[str]:
-    """Query names with no passing driver CORRECTNESS row in any prior
-    round (never sampled, or sampled but errored / hash-mismatched).
+    """Query names needing driver proof: no passing CORRECTNESS row in
+    any prior round, no HASH-green row for oracle-backed queries (a
+    rows-only pass stops counting once the query gains an oracle), or a
+    _REPROVE_SINCE entry not yet re-proven after its change round.
     Deterministic within a round; empty when no driver files exist."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    oracles = all_oracles()
     green: set[str] = set()
+    green_rounds: dict[str, set[int]] = {}
     sampled: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
@@ -69,12 +95,20 @@ def _never_green() -> set[str]:
                 continue
             if row.get("err") is None and row.get("hash_match") is True:
                 green.add(name)  # oracle-backed, hash-verified
+                green_rounds.setdefault(name, set()).add(rnd)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                green.add(name)  # rows-only by design, ran clean
+                if name not in oracles:
+                    green.add(name)  # rows-only by design, ran clean
     if not sampled:
         return set()
     all_names = {n for mod in _modules() for n in mod.QUERIES}
-    return all_names - green
+    unproven = all_names - green
+    for name, since in _REPROVE_SINCE.items():
+        if name in all_names and not any(
+            r >= since for r in green_rounds.get(name, ())
+        ):
+            unproven.add(name)
+    return unproven
 
 
 def _round_number() -> int:
