@@ -111,8 +111,17 @@ def kmeans_fit(
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster profile after KMEANS_ITERS Lloyd's iterations: size and
-    inertia per cluster (rows-only gate: k-means is iterative, not a
-    single SQL expression; pytest asserts invariants + monotone inertia)."""
+    inertia per cluster.
+
+    Hash-checked: the deterministic init (step-sampled by vec_id) and
+    fixed iteration count make the whole trajectory reproducible, so the
+    oracle UNROLLS the five Lloyd iterations as chained SQL CTEs (the
+    copurchase_kcore peel precedent). Float caveat: partial-sum fold
+    order differs between the engines, so centroids agree only to ~1e-13
+    relative — assignments are stable (cluster margins dwarf that) and
+    inertia is emitted floor-scaled at e2 where an ulp flip is
+    vanishingly unlikely; the planted-tie pytest covers the semantics.
+    """
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, _ = kmeans_fit(spark, emb)
     bc = spark.sparkContext.broadcast(cents)
@@ -130,11 +139,86 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.sum("sq_dist"), 2).alias("inertia"),
+            F.floor(F.sum("sq_dist") * 100).alias("inertia_e2"),
             F.min("vec_id").alias("min_vec_id"),
         )
         .orderBy("cluster")
     )
+
+
+def _assign_cte(name: str, cents: str) -> str:
+    """One Lloyd assignment step as a CTE: nearest centroid by
+    d = -2·x·c + |c|² (the |x|² term drops from the argmin), ties to the
+    lowest cluster id — exactly numpy _assign's stable argmin."""
+    return f"""{name} AS (
+    SELECT vec_id, emb, cluster, d FROM (
+        SELECT vec_id, emb, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (
+            SELECT e.vec_id, e.emb, c.cluster,
+                   -2.0 * list_dot_product(e.emb, c.cent)
+                       + list_dot_product(c.cent, c.cent) AS d
+            FROM e CROSS JOIN {cents} c
+        )
+    ) WHERE rn = 1
+),"""
+
+
+def _kmeans_cte(k: int, iters: int) -> str:
+    """Lloyd's iterations unrolled as chained DuckDB CTEs (the
+    copurchase_kcore peel precedent), mirroring kmeans_fit exactly:
+    step-sampled init ordered by vec_id, argmin assignment with ties to
+    the lowest cluster id, element-wise mean centroid update (empty
+    clusters keep the previous centroid). Returns a WITH-chain whose
+    terminal centroid relation is ``c{iters}`` (cluster, cent); the
+    embeddings live in CTE ``e`` (vec_id, emb) for callers to extend.
+    """
+    parts = [
+        f"WITH p AS (SELECT greatest(1, count(*) // {k}) AS step FROM embeddings),",
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),",
+        "c0 AS (",
+        "    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cent",
+        f"    FROM e, p WHERE vec_id % p.step = 0 AND vec_id / p.step < {k}",
+        "),",
+    ]
+    for i in range(iters):
+        parts.append(_assign_cte(f"a{i}", f"c{i}"))
+        parts.append(f"""c{i + 1} AS (
+    SELECT prev.cluster, coalesce(upd.cent, prev.cent) AS cent
+    FROM c{i} prev LEFT JOIN (
+        SELECT cluster, list(s / n ORDER BY pos) AS cent FROM (
+            SELECT cluster, pos, sum(v) AS s, count(*) AS n FROM (
+                SELECT cluster, unnest(emb) AS v,
+                       unnest(range(len(emb))) AS pos
+                FROM a{i}
+            ) GROUP BY cluster, pos
+        ) GROUP BY cluster
+    ) upd USING (cluster)
+),""")
+    return "\n".join(parts)
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Full kmeans_embeddings oracle: unrolled iterations + a final
+    assignment profiled per cluster with sq = max(d + |x|², 0)."""
+    return (
+        _kmeans_cte(k, iters)
+        + "\n"
+        + _assign_cte("afinal", f"c{iters}")
+        + """
+pts AS (
+    SELECT a.vec_id, a.cluster,
+           greatest(a.d + list_dot_product(a.emb, a.emb), CAST(0 AS DOUBLE)) AS sq
+    FROM afinal a
+)
+SELECT cluster, count(*) AS n_vecs,
+       CAST(floor(sum(sq) * 100) AS BIGINT) AS inertia_e2,
+       min(vec_id) AS min_vec_id
+FROM pts GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+ORACLE["kmeans_embeddings"] = _kmeans_oracle()
 
 
 SEMDEDUP_TAU = 0.96

@@ -123,8 +123,12 @@ def decode_real(payload: bytes, kind: str) -> dict:
         px = np.frombuffer(payload, dtype=np.uint8, offset=data_off,
                            count=row_bytes * abs(height))
         rows = px.reshape(abs(height), row_bytes)[:, : width * 3]
-        bgr = rows.reshape(abs(height), width, 3).astype(np.float64) / 255.0
-        means = bgr.mean(axis=(0, 1))          # B, G, R channel means
+        ints = rows.reshape(abs(height), width, 3).astype(np.int64)
+        # channel means from EXACT integer sums (one correctly-rounded
+        # double division) — bit-reproducible by any engine that sums the
+        # same integers, which is what the SQL oracle does
+        means = ints.sum(axis=(0, 1)) / (255.0 * width * abs(height))
+        bgr = ints.astype(np.float64) / 255.0
         stds = bgr.std(axis=(0, 1))
         feat = [*means, *stds, float(bgr.min()), float(bgr.max())]
         return {"checksum": zlib.crc32(payload), "width": int(width),
@@ -133,8 +137,15 @@ def decode_real(payload: bytes, kind: str) -> dict:
         with wave.open(io.BytesIO(payload), "rb") as w:
             rate, nch, nframes = w.getframerate(), w.getnchannels(), w.getnframes()
             raw = w.readframes(nframes)
-        s = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-        rms = float(np.sqrt((s * s).mean())) if len(s) else 0.0
+        ints = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        s = ints.astype(np.float64) / 32768.0
+        # rms from the EXACT int64 sum of squares: one double division +
+        # one sqrt, both correctly rounded — bit-reproducible cross-engine
+        rms = (
+            float(np.sqrt(int((ints * ints).sum()) / (len(ints) * 1073741824.0)))
+            if len(ints)
+            else 0.0
+        )
         peak = float(np.abs(s).max()) if len(s) else 0.0
         zcr = float((np.diff(np.signbit(s)) != 0).mean()) if len(s) > 1 else 0.0
         feat = [rms, peak, zcr, float(s.mean() * 0.5 + 0.5),
@@ -199,13 +210,85 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only gate: synthesize → extract → per-kind feature summary."""
+    """Synthesize → extract → per-kind feature summary.
+
+    Hash-checked against a SQL oracle that recomputes the expected stats
+    ANALYTICALLY from the deterministic payload generators — so the green
+    row proves the whole encode→decode round-trip (BMP header+pixel
+    parse, WAV frame parse), not just the aggregation. feat[0] (B-channel
+    mean / audio rms) is a single correctly-rounded double derived from
+    exact integer sums on both engines, emitted as per-doc floor-e6 then
+    bigint-summed — exact under any partitioning. Video decode is the
+    honest stub (no pure-python codec), so its feature column is NULL.
+    """
     feats = extract_features(synthesize_media(spark, sf_dir))
+    feat0_e6 = F.when(
+        F.col("kind") != "video",
+        F.floor(F.element_at("feat", 1) * 1000000),
+    )
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg(F.element_at("feat", 1)), 6).alias("avg_feat0"),
+        F.sum(feat0_e6).alias("sum_feat0_e6"),
     )
+
+
+# The oracle derives every expected stat from the generator definitions
+# (encode_bmp/encode_wav above): BMP = 54-byte header + padded rows of
+# multiplicative-hash pixels; WAV = 44-byte canonical header + 16-bit
+# samples ((i*step) % 2001 - 1000)*16. A decode bug (wrong offset, wrong
+# channel order, padding mishandled) breaks the hash.
+ORACLE["multimodal_features"] = """
+WITH img AS (
+    SELECT doc_id,
+           16 + doc_id % 16 AS w,
+           16 + doc_id % 8  AS h,
+           ((3 * (16 + doc_id % 16) + 3) // 4) * 4 AS row_bytes
+    FROM documents WHERE doc_id % 3 = 0
+),
+img_px AS (
+    SELECT i.doc_id, i.w, i.h, i.row_bytes,
+           ((r.r * i.row_bytes + 3 * c.c) * 2654435761 + i.doc_id * 97 + 13) % 251 AS val
+    FROM img i,
+         LATERAL (SELECT unnest(range(i.h)) AS r) r,
+         LATERAL (SELECT unnest(range(i.w)) AS c) c
+),
+img_stats AS (
+    SELECT doc_id,
+           54 + any_value(row_bytes) * any_value(h) AS n_bytes,
+           CAST(floor((CAST(sum(val) AS DOUBLE) / (255.0 * any_value(w) * any_value(h)))
+                      * 1000000) AS BIGINT) AS feat0_e6
+    FROM img_px GROUP BY doc_id
+),
+aud AS (
+    SELECT doc_id, 400 + doc_id % 200 AS n, doc_id % 97 + 3 AS step
+    FROM documents WHERE doc_id % 3 = 1
+),
+aud_stats AS (
+    SELECT a.doc_id,
+           44 + 2 * any_value(a.n) AS n_bytes,
+           CAST(floor(sqrt(CAST(sum(v.v * v.v) AS DOUBLE)
+                           / (any_value(a.n) * 1073741824.0)) * 1000000)
+                AS BIGINT) AS feat0_e6
+    FROM aud a,
+         LATERAL (SELECT ((unnest(range(a.n)) * a.step) % 2001 - 1000) * 16 AS v) v
+    GROUP BY a.doc_id
+),
+vid AS (
+    SELECT doc_id, strlen(text) AS n_bytes FROM documents WHERE doc_id % 3 = 2
+)
+SELECT 'image' AS kind, count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(feat0_e6) AS BIGINT) AS sum_feat0_e6
+FROM img_stats
+UNION ALL
+SELECT 'audio', count(*), CAST(sum(n_bytes) AS BIGINT),
+       CAST(sum(feat0_e6) AS BIGINT)
+FROM aud_stats
+UNION ALL
+SELECT 'video', count(*), CAST(sum(n_bytes) AS BIGINT), NULL::BIGINT
+FROM vid
+"""
 
 
 def extract_features_arrow(media: DataFrame) -> DataFrame:

@@ -287,18 +287,70 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_knn(emb, centroids)
 
 
+IVF_TRAIN_ITERS = 4
+
+
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_ivf with TRAINED centroids (operators.ml.kmeans_fit) instead of
     step-sampled rows: cells follow the data distribution, so probing the
-    same 3 cells recovers more true neighbors. Same output contract;
-    rows-only gate + recall-vs-bruteforce pytest.
+    same 3 cells recovers more true neighbors. Same output contract.
+
+    Hash-checked: the oracle reuses the unrolled-Lloyd's centroid CTE
+    (ml._kmeans_cte) and mirrors the cosine cell ranking, probe fan-out,
+    and candidate rescoring in SQL — the whole train→index→probe→rank
+    pipeline is driver-verifiable. A recall-vs-bruteforce pytest bounds
+    quality.
     """
     from .ml import kmeans_fit
 
     emb = table(spark, sf_dir, "embeddings")
-    cents, _ = kmeans_fit(spark, emb.select("vec_id", "embedding"), k=IVF_CELLS, iters=4)
+    cents, _ = kmeans_fit(
+        spark, emb.select("vec_id", "embedding"), k=IVF_CELLS, iters=IVF_TRAIN_ITERS
+    )
     centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
     return _ivf_knn(emb, centroids)
+
+
+def _ivf_trained_oracle() -> str:
+    from .ml import _kmeans_cte
+
+    return (
+        _kmeans_cte(k=IVF_CELLS, iters=IVF_TRAIN_ITERS)
+        + f"""
+ranked_cells AS (
+    SELECT vec_id, emb, cell, rn FROM (
+        SELECT e.vec_id, e.emb, c.cluster AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
+                            c.cluster ASC) AS rn
+        FROM e CROSS JOIN c{IVF_TRAIN_ITERS} c
+    )
+),
+corpus AS (
+    SELECT vec_id AS neighbor_id, emb AS cvec, cell FROM ranked_cells WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, emb AS qvec, cell
+    FROM ranked_cells WHERE rn <= {IVF_PROBES} AND vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT p.query_id, c.neighbor_id,
+           round(list_cosine_similarity(p.qvec, c.cvec), 6) AS cos_sim
+    FROM corpus c JOIN probes p USING (cell)
+    WHERE p.query_id != c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+    )
+
+
+ORACLE["knn_ivf_trained"] = _ivf_trained_oracle()
 
 
 NEARDUP_TAU = 0.45

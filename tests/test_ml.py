@@ -22,7 +22,7 @@ def test_kmeans_partition_covers_corpus(spark):
     out = ml.kmeans_embeddings(spark, SF_DIR).collect()
     assert len(out) <= ml.KMEANS_K
     assert sum(r["n_vecs"] for r in out) == n
-    assert all(r["inertia"] >= 0 for r in out)
+    assert all(r["inertia_e2"] >= 0 for r in out)
 
 
 def test_kmeans_deterministic_across_runs(spark):
