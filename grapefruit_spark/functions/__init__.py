@@ -164,6 +164,12 @@ def dec_sum(col: Column | str, scale: int = 2) -> Column:
     decimal→double conversion is a deterministic nearest-value map, the
     same in Spark and DuckDB). The oracle twin is ``DEC_SUM_SQL`` — both
     sides must cast identically or parity breaks by construction.
+
+    DOMAIN CAP: the per-addend DECIMAL(18,6) cast holds |value| < 10¹²;
+    a larger addend NULLs out (ANSI off) or throws (ANSI on). Fine for
+    monetary magnitudes; an operator summing unbounded non-monetary
+    quantities should cast to a wider decimal explicitly instead of
+    inheriting this helper's cap.
     """
     c = F.col(col) if isinstance(col, str) else col
     # (18,6) not (38,6): per-addend decimals with precision ≤ 18 stay

@@ -59,6 +59,56 @@ GROUP BY word
 """
 
 
+def mj_exe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount through the reference's ARBITRARY-EXECUTABLE contract:
+    ``maple <exe>`` / ``juice <exe>`` run real external programs speaking
+    the hadoop-streaming line protocol (MapleJuice.java task loop; hash
+    placement MapleJuice.java:677), piped via RDD ``pipe``. The mapper
+    emits (word, 1) lines; the reducer streams sorted key groups. Shares
+    mj_wordcount's oracle: the exe path must produce value-identical
+    counts to both the declarative path and DuckDB.
+    """
+    import os
+    import sys
+    import tempfile
+
+    from ..maplejuice import juice_pipe, maple_pipe
+
+    d = os.path.join(tempfile.gettempdir(), "grapefruit_mj_exe")
+    os.makedirs(d, exist_ok=True)
+    mapper, reducer = os.path.join(d, "wc_maple.py"), os.path.join(d, "wc_juice.py")
+    with open(mapper, "w") as f:
+        f.write(
+            "import sys\n"
+            "for line in sys.stdin:\n"
+            "    for w in line.lower().split():\n"
+            "        print(f'{w}\\t1')\n"
+        )
+    with open(reducer, "w") as f:
+        f.write(
+            "import sys\n"
+            "cur, acc = None, 0\n"
+            "def flush():\n"
+            "    if cur is not None:\n"
+            "        print(f'{cur}\\t{acc}')\n"
+            "for line in sys.stdin:\n"
+            "    k, v = line.rstrip('\\n').split('\\t', 1)\n"
+            "    if k != cur:\n"
+            "        flush(); cur, acc = k, 0\n"
+            "    acc += int(v)\n"
+            "flush()\n"
+        )
+    docs = table(spark, sf_dir, "documents").select("text")
+    kv = maple_pipe(docs, f"{sys.executable} {mapper}")
+    out = juice_pipe(kv, f"{sys.executable} {reducer}", num_juices=8)
+    return out.select(
+        F.col("key").alias("word"), F.col("value").cast("bigint").alias("cnt")
+    )
+
+
+ORACLE["mj_exe_wordcount"] = ORACLE["mj_wordcount"]
+
+
 # ------------------------------------------------------------------ A3
 def mj_range_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type counts via juice with RANGE shuffle (shuffle_option=2,
@@ -259,6 +309,7 @@ WHERE lang = 'en' AND text LIKE '%join%'
 
 QUERIES = {
     "mj_wordcount": mj_wordcount,
+    "mj_exe_wordcount": mj_exe_wordcount,
     "mj_range_topkeys": mj_range_topkeys,
     "webgraph_inlinks": webgraph_inlinks,
     "condorcet_pairs": condorcet_pairs,

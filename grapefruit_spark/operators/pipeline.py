@@ -207,8 +207,12 @@ def ingest_span_dedup(fs, state: str, new_docs: DataFrame) -> DataFrame:
     The 100 TB shape: state is one 16-byte-keyed dataset linear in the
     corpus' distinct spans; an arriving batch joins it (never rescans
     history), within-batch dups reduce map-side, and removal is a per-doc
-    array filter. Re-running a crashed batch is idempotent — admission
-    is deterministic and merge re-writes the same keys.
+    array filter. Replaying a batch whose crash PRECEDED the state merge
+    is idempotent (admission is deterministic); if the crash landed after
+    the merge, a re-run sees its own spans already in state and strips
+    them as history dups — recover by restoring the pre-batch state (the
+    merge is an atomic swap, so the boundary is well-defined) rather
+    than replaying over the merged state.
 
     Returns (doc_id, n_tokens, n_removed, clean_text).
     """

@@ -36,9 +36,13 @@ class Sdfs:
         """Insert/update a dataset (reference: ``put local sdfsname``).
 
         An overwrite of an EXISTING dataset writes beside and swaps via
-        two renames, so (a) the path is never absent for a concurrent
-        reader and (b) a ``df`` derived from this same dataset can't be
-        clobbered mid-plan by Spark's delete-then-write overwrite."""
+        two renames, so (a) the path is absent only for the instant
+        between the two renames (vs the whole rmtree+rewrite window of a
+        naive overwrite; a crash there leaves the data recoverable at
+        ``<name>__retired`` — a truly gapless swap needs a symlink flip
+        or versioned directories) and (b) a ``df`` derived from this same
+        dataset can't be clobbered mid-plan by Spark's delete-then-write
+        overwrite."""
         final = self._path(name)
         if mode == "overwrite" and os.path.isdir(final):
             tmp = self._path(f"{name}__putting")
