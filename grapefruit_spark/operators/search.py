@@ -303,7 +303,8 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact bigint math on both engines, immune to the cross-engine
     # last-ulp divergence a double `round(covered/total, 6)` carries
     # (same device as order_cohort_ltv's integer cents). Both operands are
-    # non-negative, so Spark's truncating `div` == DuckDB's floor `//`.
+    # (Both Spark `div` and DuckDB integer `//` truncate toward zero, so
+    # they agree even on negatives — pinned by the props_agg pytest.)
     return out.join(F.broadcast(total)).select(
         "k",
         "vocab_used",

@@ -461,18 +461,13 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("k", k)
         .groupBy("event_type")
         .agg(
-            # exact integer e4 mean. Spark `div` truncates toward zero but
-            # DuckDB `//` floors, so a NEGATIVE sum would diverge; compute
-            # the truncating div then floor-correct (subtract 1 when the
-            # dividend is negative with a nonzero remainder). Numerator is
-            # bounded by |sum(k)|*10^4, not 2^31*count*10^4, so no int64
-            # overflow until |sum(k)| > ~9.2e14.
-            F.expr(
-                "(sum(k) * 10000L) div nullif(count(k), 0L)"
-                " - (CASE WHEN sum(k) < 0"
-                "            AND (sum(k) * 10000L) % count(k) != 0"
-                "       THEN 1 ELSE 0 END)"
-            ).alias("avg_k_e4"),
+            # exact integer e4 mean. Both Spark `div` and DuckDB integer
+            # `//` TRUNCATE toward zero (verified empirically: -7 // 2 is
+            # -3 in DuckDB 1.0 — the old "DuckDB floors" premise behind
+            # the former 2^31 positivity shift was wrong), so negative
+            # sums agree with no correction. Numerator is bounded by
+            # |sum(k)|*10^4 — no int64 overflow until |sum(k)| > ~9.2e14.
+            F.expr("(sum(k) * 10000L) div nullif(count(k), 0L)").alias("avg_k_e4"),
             F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
             F.count(F.lit(1)).alias("n"),
         )

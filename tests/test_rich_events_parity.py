@@ -247,10 +247,74 @@ def test_rich_embeddings_match_oracle(spark, rich_emb_dir, qname):
     )
 
 
+def test_topn_tie_at_the_cut(spark, tmp_path):
+    """Top-N-with-ties: plant exact count ties STRADDLING the top-10 cut
+    for both ranked reports — an 8-way user tie spanning ranks 7-14 in
+    events_heavy_hitters and a 4-way triple tie spanning ranks 10-13 in
+    events_top_paths — and assert the driver's full hash gate. If either
+    engine's tie-break (user_id asc / lexicographic triple asc) drifted,
+    different rows would survive the LIMIT and the hash would diverge."""
+    import pandas as pd
+
+    from grapefruit_spark.operators import event_analytics
+
+    rows = []
+    eid = 0
+
+    def emit(user, etype, ts_us):
+        nonlocal eid
+        rows.append((eid, ts_us, user, etype, 1.0, None))
+        eid += 1
+
+    t = _BASE_US
+    # heavy hitters: 6 distinct counts (20..15) then an 8-way tie at 10
+    for user, n in enumerate([20, 19, 18, 17, 16, 15] + [10] * 8, start=1):
+        for _ in range(n):
+            emit(user, "hh", t)
+            t += 1_000_000
+    # top paths: distinct triples with counts 12..5, then a 4-way tie at
+    # 4 (ranks 10-13 after the giant hh,hh,hh triple takes rank 1) —
+    # each occurrence is its own 3-event user so it yields exactly one
+    # (a_i, b_i, c_i) triple
+    user = 1000
+    for i, cnt in enumerate([12, 11, 10, 9, 8, 7, 6, 4, 4, 4, 4]):
+        for _ in range(cnt):
+            for step in ("a", "b", "c"):
+                emit(user, f"{step}{i}", t)
+                t += 1_000_000
+            user += 1
+
+    d = tmp_path / "ties"
+    (d / "events.parquet").mkdir(parents=True)
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["ts"] = pd.to_datetime(df["ts"], unit="us").astype("datetime64[us]")
+    df.to_parquet(str(d / "events.parquet" / "p.parquet"), index=False)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    for qname in ("events_heavy_hitters", "events_top_paths"):
+        assert_matches_oracle(
+            event_analytics.QUERIES[qname](spark, str(d)),
+            con,
+            event_analytics.ORACLE[qname],
+        )
+    # guard the guard: the cut must actually slice through each tie group
+    hh = event_analytics.QUERIES["events_heavy_hitters"](spark, str(d)).collect()
+    assert [r["user_id"] for r in hh] == list(range(1, 11))  # ids 7-10 from the tie
+    tp = event_analytics.QUERIES["events_top_paths"](spark, str(d)).collect()
+    assert tp[0]["t1"] == "hh" and len(tp) == 10
+    assert sorted(r["n"] for r in tp)[:2] == [4, 4]  # tie partially kept
+
+
 def test_props_agg_negative_sum_division(spark, tmp_path):
-    """Spark `div` truncates toward zero; DuckDB `//` floors — a NEGATIVE
-    per-type k-sum would diverge without the 2^31 positivity shift. Pin
-    the aligned floor semantics on a forced-negative group."""
+    """Both Spark `div` and DuckDB integer `//` truncate toward zero —
+    pin that empirically on negative sums, with and without a remainder
+    (a floor-division engine would emit -23334 for -70000/3, truncation
+    emits -23333; the engines must agree, whichever convention)."""
     import pandas as pd
 
     from grapefruit_spark.operators import windows
@@ -259,14 +323,17 @@ def test_props_agg_negative_sum_division(spark, tmp_path):
     (d / "events.parquet").mkdir(parents=True)
     df = pd.DataFrame(
         {
-            "event_id": [1, 2, 3, 4],
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
             "ts": pd.to_datetime(
-                [_BASE_US + i for i in range(4)], unit="us"
+                [_BASE_US + i for i in range(7)], unit="us"
             ).astype("datetime64[us]"),
-            "user_id": [1, 1, 2, 2],
-            "event_type": ["a", "a", "b", "b"],
-            "value": [1.0, 2.0, 3.0, 4.0],
-            "props": ['{"k": -7}', '{"k": -8}', '{"k": 3}', None],
+            "user_id": [1, 1, 2, 2, 3, 3, 3],
+            "event_type": ["a", "a", "b", "b", "c", "c", "c"],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+            "props": [
+                '{"k": -7}', '{"k": -8}', '{"k": 3}', None,
+                '{"k": -3}', '{"k": -2}', '{"k": -2}',
+            ],
         }
     )
     df.to_parquet(str(d / "events.parquet" / "p.parquet"), index=False)
@@ -282,3 +349,4 @@ def test_props_agg_negative_sum_division(spark, tmp_path):
         for r in windows.QUERIES["events_props_agg"](spark, str(d)).collect()
     }
     assert got["a"] == -75000  # exact: (-15 * 1e4) / 2
+    assert got["c"] == -23333  # trunc(-70000 / 3) on BOTH engines
