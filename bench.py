@@ -99,6 +99,12 @@ HEADLINE = [
     "vocab_coverage",
     # round-5 addition: exact-substring dedup APPLY step
     "dedup_spans_apply",
+    # round-6 additions: exe-pipe MR path, trained-IVF ANN, partitioned
+    # top-k merge, multimodal decode round-trip
+    "mj_exe_wordcount",
+    "knn_ivf_trained",
+    "knn_topk_partitioned",
+    "multimodal_features",
 ]
 
 

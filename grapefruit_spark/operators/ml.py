@@ -240,8 +240,11 @@ def semantic_dedup(
     One shuffle (groupBy cluster); cells process independently in
     Arrow-batched pandas with a single BLAS matmul per cell.
 
-    Iterative + hash-family-specific → rows-only gate; recall/keeper
-    semantics covered by a planted-duplicate pytest.
+    Hash-checked: the oracle reuses the unrolled-Lloyd's centroid CTE
+    and mirrors the per-cell shadowing rule as a lower-id pair join —
+    recall/keeper semantics additionally covered by a planted-duplicate
+    pytest. (Cosines at EXACTLY τ could flip cross-engine in the last
+    ulp; planted duplicates sit at cos 1.0, far from the edge.)
     """
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents, _ = kmeans_fit(spark, emb)
@@ -286,6 +289,34 @@ def semantic_dedup(
     return assigned.groupBy("cluster").applyInPandas(
         dedup_cell, schema="vec_id long, cluster int, is_kept boolean, dup_of long"
     )
+
+
+def _semantic_dedup_oracle(tau: float = SEMDEDUP_TAU) -> str:
+    """kmeans centroids (unrolled CTEs) → final assignment → per-cell
+    lower-id shadowing join. dup_of = the LOWEST lower-id vector in the
+    same cell with cosine ≥ τ, -1 when kept — numpy's hits[0] on a
+    vec_id-sorted cell."""
+    return (
+        _kmeans_cte(KMEANS_K, KMEANS_ITERS)
+        + "\n"
+        + _assign_cte("afinal", f"c{KMEANS_ITERS}")
+        + f"""
+hits AS (
+    SELECT i.vec_id AS vid, min(j.vec_id) AS dup_of
+    FROM afinal i JOIN afinal j
+      ON i.cluster = j.cluster AND j.vec_id < i.vec_id
+     AND list_cosine_similarity(i.emb, j.emb) >= CAST({tau} AS DOUBLE)
+    GROUP BY i.vec_id
+)
+SELECT a.vec_id, a.cluster,
+       h.vid IS NULL AS is_kept,
+       coalesce(h.dup_of, -1) AS dup_of
+FROM afinal a LEFT JOIN hits h ON a.vec_id = h.vid
+"""
+    )
+
+
+ORACLE["semantic_dedup"] = _semantic_dedup_oracle()
 
 
 QUERIES = {

@@ -381,8 +381,12 @@ def transform_media(media: DataFrame) -> DataFrame:
 
 
 def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only gate: per-kind transform profile (op, items, frames,
-    output volume)."""
+    """Per-kind transform profile (op, items, frames, output volume).
+
+    Hash-checked: every transform output is an integer function of the
+    deterministic payload sizes, so the oracle recomputes the profile
+    analytically from the generators — a dispatch or sizing bug in the
+    Arrow transform pass breaks the hash."""
     t = transform_media(synthesize_media(spark, sf_dir))
     return (
         t.groupBy("kind", "op")
@@ -393,6 +397,34 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+ORACLE["multimodal_transform"] = f"""
+WITH img AS (
+    SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+),
+aud AS (
+    SELECT doc_id, 44 + 2 * (400 + doc_id % 200) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 1
+),
+vid AS (
+    SELECT doc_id, strlen(text) AS n_bytes FROM documents WHERE doc_id % 3 = 2
+)
+SELECT 'image' AS kind, 'resize' AS op, count(*) AS n_items,
+       count(*) AS total_frames,
+       CAST(count(*) * {TARGET_W * TARGET_H * 3} AS BIGINT) AS total_out_bytes
+FROM img
+UNION ALL
+SELECT 'audio', 'audio_window', count(*),
+       CAST(sum(greatest(n_bytes // {AUDIO_WIN_MS}, 1)) AS BIGINT),
+       CAST(sum(n_bytes) AS BIGINT)
+FROM aud
+UNION ALL
+SELECT 'video', 'frame_sample', count(*),
+       CAST(count(*) * {N_FRAMES} AS BIGINT),
+       CAST(count(*) * {N_FRAMES * TARGET_W * TARGET_H * 3} AS BIGINT)
+FROM vid
+"""
 
 
 QUERIES = {
