@@ -245,14 +245,67 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier co-purchase graph: edge s1→s2 when s1's
     line precedes s2's in the same order. Per-order fan-out is bounded
     (≤7 lines), so edge construction is a bounded self-join on o_orderkey.
-    Top-20 by rank (rows-only: iterative; pytest checks vs a pure-python
-    reference and that ranks sum to 1)."""
+    Top-20 by rank.
+
+    Hash-checked: the ten damped power iterations unroll as chained SQL
+    CTEs (dangling-mass scalar folded back uniformly each round, exactly
+    as pagerank() does). Ranks are double sums whose fold order differs
+    between engines (~1e-14 relative), so ties at the 6-dp emission
+    grid are broken identically and a flip needs a value within ~1e-14
+    of a rounding boundary; a pytest additionally checks the python
+    reference and the Σrank=1 invariant."""
     ranks = pagerank(supplier_edges(spark, sf_dir))
     return (
         ranks.select("node", F.round("rank", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), F.asc("node"))
         .limit(20)
     )
+
+
+def _pagerank_oracle(damping: float = PR_DAMPING, iters: int = PR_ITERS) -> str:
+    """supplier_pagerank unrolled: one CTE pair (dangling mass, contribs)
+    per iteration. Constant factors are computed IN SQL from the same
+    literals Spark's python closure uses ((1 - 0.85)/n etc.) so both
+    engines derive bit-identical coefficients."""
+    d = damping
+    parts = [
+        """WITH edges AS MATERIALIZED (
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_linenumber < b.l_linenumber AND a.l_suppkey != b.l_suppkey
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+params AS (SELECT count(*) AS n FROM nodes),
+outd AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / p.n AS rank FROM nodes, params p),"""
+    ]
+    for i in range(iters):
+        parts.append(f"""dm{i} AS MATERIALIZED (
+    SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm
+    FROM r{i} WHERE node NOT IN (SELECT src FROM outd)
+),
+contrib{i} AS MATERIALIZED (
+    SELECT e.dst, sum(r.rank / o.out_deg) AS contrib
+    FROM edges e JOIN r{i} r ON e.src = r.node JOIN outd o ON e.src = o.src
+    GROUP BY e.dst
+),
+r{i + 1} AS MATERIALIZED (
+    SELECT n.node,
+           (CAST(1 AS DOUBLE) - CAST({d} AS DOUBLE)) / p.n
+           + CAST({d} AS DOUBLE) / p.n * dm.dm
+           + CAST({d} AS DOUBLE) * coalesce(c.contrib, CAST(0 AS DOUBLE)) AS rank
+    FROM nodes n
+    LEFT JOIN contrib{i} c ON n.node = c.dst
+    CROSS JOIN dm{i} dm CROSS JOIN params p
+),""")
+    parts.append(f"""final AS (SELECT node, round(rank, 6) AS pagerank FROM r{iters})
+SELECT node, pagerank FROM final
+ORDER BY pagerank DESC, node ASC
+LIMIT 20""")
+    return "\n".join(parts)
+
+
+ORACLE["supplier_pagerank"] = _pagerank_oracle()
 
 
 # ------------------------------------------------------------------ A16

@@ -156,8 +156,10 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Corpus rows hash to ONE bucket (linear scan cost, uniform shuffle
     key); query rows probe their bucket plus all 1-bit flips. Exact
-    cosine only on in-bucket candidates. rows-only gate; recall vs
-    brute force asserted in pytest.
+    cosine only on in-bucket candidates. Hash-checked: the seed-fixed
+    hyperplanes embed in the oracle as exact double literals
+    (_lsh_oracle), so bucketing, multiprobe, and rescoring are all
+    SQL-verified; recall vs brute force additionally asserted in pytest.
     """
     emb = table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
@@ -192,6 +194,63 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _lsh_oracle(dim: int = 64) -> str:  # noqa: E302 — registered below knn_lsh
+    """knn_lsh oracle: the SAME seed-fixed hyperplanes embedded as exact
+    string-cast double literals (string→double parse is correctly
+    rounded, so every coefficient is bit-identical to numpy's). The
+    testdata embeddings are 64-dim; the Spark side reads dim from data —
+    regenerate if that changes. Sign decisions are ulp-robust: |dot| is
+    ~N(0, √dim), so a dot within float-error of 0 is vanishingly rare.
+    """
+    planes = _hyperplanes(dim)
+    rows = ",\n        ".join(
+        "({w}, [{vals}])".format(
+            w=1 << j,
+            vals=", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane),
+        )
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+planes(w, p) AS (VALUES
+        {rows}),
+buckets AS MATERIALIZED (
+    SELECT e.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(e.emb, pl.p) > 0
+                         THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+    FROM e CROSS JOIN planes pl
+    GROUP BY e.vec_id
+),
+corpus AS (
+    SELECT b.vec_id AS neighbor_id, e.emb AS cvec, b.bucket
+    FROM buckets b JOIN e USING (vec_id)
+),
+probes AS (
+    SELECT b.vec_id AS query_id, e.emb AS qvec, b.bucket
+    FROM buckets b JOIN e USING (vec_id) WHERE b.vec_id < {N_QUERIES}
+    UNION ALL
+    SELECT b.vec_id, e.emb, xor(b.bucket, pl.w)
+    FROM buckets b JOIN e USING (vec_id) CROSS JOIN planes pl
+    WHERE b.vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT p.query_id, c.neighbor_id,
+           round(list_cosine_similarity(p.qvec, c.cvec), 6) AS cos_sim
+    FROM corpus c JOIN probes p USING (bucket)
+    WHERE p.query_id != c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+ORACLE["knn_lsh"] = _lsh_oracle()
 
 
 IVF_CELLS = 16
@@ -311,12 +370,12 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_knn(emb, centroids)
 
 
-def _ivf_trained_oracle() -> str:
-    from .ml import _kmeans_cte
-
-    return (
-        _kmeans_cte(k=IVF_CELLS, iters=IVF_TRAIN_ITERS)
-        + f"""
+def _ivf_probe_sql(cent_rel: str) -> str:
+    """Shared IVF probe/score/rank SQL suffix given a centroid CTE named
+    ``cent_rel`` (cluster, cent) — mirrors _ivf_knn: cosine cell ranking
+    with ties to the lower cell, top-1 cell per corpus row, IVF_PROBES
+    cells per query, exact rescoring of in-cell candidates."""
+    return f"""
 ranked_cells AS (
     SELECT vec_id, emb, cell, rn FROM (
         SELECT e.vec_id, e.emb, c.cluster AS cell,
@@ -324,7 +383,7 @@ ranked_cells AS (
                    PARTITION BY e.vec_id
                    ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
                             c.cluster ASC) AS rn
-        FROM e CROSS JOIN c{IVF_TRAIN_ITERS} c
+        FROM e CROSS JOIN {cent_rel} c
     )
 ),
 corpus AS (
@@ -347,10 +406,30 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+def _ivf_trained_oracle() -> str:
+    from .ml import _kmeans_cte
+
+    return _kmeans_cte(k=IVF_CELLS, iters=IVF_TRAIN_ITERS) + _ivf_probe_sql(
+        f"c{IVF_TRAIN_ITERS}"
     )
 
 
 ORACLE["knn_ivf_trained"] = _ivf_trained_oracle()
+
+#: knn_ivf's centroids are the step-sampled rows themselves (cell j =
+#: the row at vec_id j*step) — no training, so the centroid CTE is one
+#: deterministic filter and the same probe suffix applies.
+ORACLE["knn_ivf"] = (
+    f"""WITH p AS (SELECT greatest(1, count(*) // {IVF_CELLS}) AS step FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cinit AS (
+    SELECT vec_id // p.step AS cluster, emb AS cent
+    FROM e, p WHERE vec_id % p.step = 0 AND vec_id / p.step < {IVF_CELLS}
+),"""
+    + _ivf_probe_sql("cinit")
+)
 
 
 NEARDUP_TAU = 0.45
