@@ -53,7 +53,15 @@ def kmeans_fit(
 
     ``emb`` must have (vec_id, embedding). Init = step-sampled rows by
     vec_id (deterministic, spread across the id range).
+
+    The projected corpus is persisted (memory, spilling to disk) for the
+    duration of the loop — one storage write instead of ``iters + 2``
+    full input scans (count, init, one per iteration), the standard
+    iterative-training layout — and released before returning.
     """
+    from pyspark import StorageLevel
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     n = emb.count()
     step = max(1, n // k)
     init = (
@@ -106,6 +114,7 @@ def kmeans_fit(
         cents[nonzero] = sums[nonzero] / counts[nonzero, None]
         history.append(inertia)
         bc.destroy()
+    emb.unpersist(blocking=False)
     return cents, history
 
 
