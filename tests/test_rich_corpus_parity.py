@@ -48,6 +48,12 @@ RICH_QUERIES = [
     ("datapipe", "doc_chunking"),
     ("datapipe", "seq_packing"),
     ("graph", "jaccard_clusters"),
+    # r6: the multimodal oracles recompute BMP/WAV stats analytically
+    # from the generators — replay the whole encode→decode round-trip on
+    # a different doc_id distribution (sparse ids up to 2009, so widths,
+    # sample counts, and LCG seeds cover different residues than sf0.01)
+    ("multimodal", "multimodal_features"),
+    ("multimodal", "multimodal_transform"),
 ]
 
 

@@ -230,7 +230,19 @@ def rich_emb_dir(tmp_path_factory):
 
 
 @pytest.mark.parametrize(
-    "qname", ["knn_bruteforce", "knn_topk_partitioned", "embedding_neardup"]
+    "qname",
+    [
+        "knn_bruteforce",
+        "knn_topk_partitioned",
+        "embedding_neardup",
+        # r6: LSH bucketing and IVF cell ranking on planted ties. Exact
+        # integer coordinates make mathematically-tied cosines (one-hot
+        # centroids, duplicate vectors) EXACTLY equal in float on both
+        # engines, so the cell/rank tie-breaks are what's under test;
+        # LSH sign bits use irrational hyperplanes, so no dot lands on 0.
+        "knn_lsh",
+        "knn_ivf",
+    ],
 )
 def test_rich_embeddings_match_oracle(spark, rich_emb_dir, qname):
     from grapefruit_spark.operators import similarity
