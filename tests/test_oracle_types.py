@@ -86,6 +86,23 @@ def duck():
     con.close()
 
 
+def test_unproven_queries_fit_the_sample_window():
+    """Rotation contract: every query still needing driver proof
+    (_never_green) must land inside the first 50 registry entries — the
+    external checker samples a prefix, so an unproven query outside the
+    window can never earn its green row."""
+    from grapefruit_spark.operators import _never_green
+
+    names = list(all_queries())
+    assert len(names) == len(set(names)), "duplicate registry names"
+    unproven = _never_green()
+    outside = [n for n in unproven if n not in names[:50]]
+    assert not outside, (
+        f"{len(unproven)} unproven queries but these fall outside the "
+        f"50-entry sample window: {outside}"
+    )
+
+
 def test_no_hugeint_and_type_class_parity(spark, duck):
     """One sweep over every oracle: would have caught every red driver
     row the project has ever had (all were HUGEINT emissions)."""
