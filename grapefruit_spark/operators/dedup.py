@@ -186,22 +186,25 @@ def _gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("grams", lambda g: F.xxhash64(g)).alias("hs"),
         ).where(F.col("n_grams") > 0)
     )
-    posting = base.select("doc_id", F.explode("hs").alias("h"))
+    # n_grams rides the posting rows (8 B each) so the per-doc array
+    # rebuild needs no join back to base — one fewer exchange. Docs whose
+    # EVERY gram is hot drop out of the index entirely, which is safe:
+    # both pair joins and the verify stage only ever probe docs that
+    # collided on at least one rare gram.
+    posting = base.select("doc_id", "n_grams", F.explode("hs").alias("h"))
     rare_df = (
         posting.groupBy("h")
         .agg(F.count(F.lit(1)).alias("gram_df"))
         .where(F.col("gram_df") <= SHINGLE_DF_CAP)
     )
-    arrays = (
+    idx = (
         posting.join(rare_df, "h")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("gram_df", "h"))).alias("o"))
-        .select("doc_id", F.col("o.h").alias("rare_grams"))
-    )
-    idx = base.select("doc_id", "n_grams").join(arrays, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce("rare_grams", F.array().cast("array<bigint>")).alias("rare_grams"),
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.array_sort(F.collect_list(F.struct("gram_df", "h"))).alias("o"),
+        )
+        .select("doc_id", "n_grams", F.col("o.h").alias("rare_grams"))
     )
     return pin(idx)
 
