@@ -75,6 +75,76 @@ ORDER BY split
 """
 
 
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a near-dup
+    cluster splits by its cluster KEEPER's hash, so a train doc can
+    never be a near-duplicate of a val/test doc — the eval-contamination
+    rule a pretraining pipeline enforces BEFORE splitting (splitting
+    first and deduping later silently leaks).
+
+    Composition: exact n-gram-Jaccard pair graph → connected components
+    (graph.jaccard_clusters) → split on the keeper id, not the doc id.
+    Docs outside the pair graph key on themselves. One broadcast-size
+    join over the (tiny) cluster map; the split itself stays a narrow
+    map. A pytest asserts the invariant directly: no near-dup pair
+    straddles a split boundary.
+    """
+    from .graph import jaccard_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = jaccard_clusters(spark, sf_dir)
+    keyed = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("keep_doc_id", F.col("doc_id")).alias("split_key"),
+    )
+    b = _bucket(F.col("split_key"))
+    split = (
+        F.when(b < int(0.90 * _U32), "train")
+        .when(b < int(0.95 * _U32), "val")
+        .otherwise("test")
+    )
+    return (
+        keyed.select("doc_id", "split_key", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("doc_id") != F.col("split_key")).cast("long")).alias(
+                "n_followers"
+            ),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_leakage_safe_oracle() -> str:
+    from .graph import _jaccard_clusters_oracle
+
+    case = (
+        f"CASE WHEN {_duck_bucket('split_key')} < {int(0.90 * _U32)} THEN 'train'\n"
+        f"     WHEN {_duck_bucket('split_key')} < {int(0.95 * _U32)} THEN 'val'\n"
+        f"     ELSE 'test' END"
+    )
+    return f"""
+WITH keyed AS (
+    SELECT d.doc_id, coalesce(cc.keep_doc_id, d.doc_id) AS split_key
+    FROM documents d LEFT JOIN ({_jaccard_clusters_oracle()}) cc
+      ON d.doc_id = cc.doc_id
+)
+SELECT {case} AS split,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id != split_key THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_followers,
+       min(doc_id) AS min_doc_id
+FROM keyed
+GROUP BY 1
+ORDER BY split
+"""
+
+
+ORACLE["split_leakage_safe"] = _split_leakage_safe_oracle()
+
+
 # ------------------------------------------------------------------ D16
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% per-source stratified sample (doc list).
@@ -780,6 +850,7 @@ ORDER BY d.source
 
 QUERIES = {
     "split_train_val": split_train_val,
+    "split_leakage_safe": split_leakage_safe,
     "domain_mix_sample": domain_mix_sample,
     "quality_weighted_sample": quality_weighted_sample,
     "sample_k_per_group": sample_k_per_group,

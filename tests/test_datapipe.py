@@ -41,6 +41,42 @@ def test_split_deterministic_and_disjoint(spark):
     assert a["train"] > a["val"] and a["train"] > a["test"]
 
 
+def test_split_leakage_safe_invariant(spark):
+    """The whole point of the operator: no near-dup pair may straddle a
+    split boundary. Recompute per-doc splits and check every
+    ngram_jaccard_pairs edge lands with both ends on the same side."""
+    from pyspark.sql import functions as F
+
+    from grapefruit_spark.operators.dedup import ngram_jaccard_pairs
+    from grapefruit_spark.operators.graph import jaccard_clusters
+
+    docs = datapipe.table(spark, SF_DIR, "documents")
+    clusters = jaccard_clusters(spark, SF_DIR)
+    keyed = docs.join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("keep_doc_id", F.col("doc_id")).alias("k")
+    )
+    b = datapipe._bucket(F.col("k"))
+    side = (
+        F.when(b < int(0.90 * datapipe._U32), "train")
+        .when(b < int(0.95 * datapipe._U32), "val")
+        .otherwise("test")
+    )
+    split_of = {r["doc_id"]: r["s"] for r in keyed.select("doc_id", side.alias("s")).collect()}
+    pairs = ngram_jaccard_pairs(spark, SF_DIR).select("doc_a", "doc_b").collect()
+    assert len(pairs) > 0, "need non-trivial pairs for the invariant to bite"
+    leaks = [
+        (r["doc_a"], r["doc_b"])
+        for r in pairs
+        if split_of[r["doc_a"]] != split_of[r["doc_b"]]
+    ]
+    assert not leaks, f"near-dup pairs straddle the split: {leaks[:5]}"
+    # and the aggregate the driver sees is consistent with the raw split
+    agg = {r["split"]: r["n_docs"] for r in datapipe.split_leakage_safe(spark, SF_DIR).collect()}
+    from collections import Counter
+
+    assert agg == dict(Counter(split_of.values()))
+
+
 def test_write_shards_roundtrip(spark, tmp_path):
     out = str(tmp_path / "shards")
     datapipe.write_shards(spark, SF_DIR, out, n_shards=4)
