@@ -1,0 +1,108 @@
+"""Empirical scale-up probe: does each heavy plan survive 10× the data?
+
+Builds a 10×-scaled copy of the sf0.1 fact tables in /tmp/sfbig —
+orders/lineitem replicated with shifted orderkeys (same customers /
+suppliers / parts, i.e. realistic per-key densification) and events
+replicated with shifted user/event ids (independent user streams) —
+then times representative heavy operators at both scales and prints the
+wall-clock ratio. A plan whose ratio tracks ~10× has a linear hot path;
+a ratio far above 10× means a quadratic term is hiding; ratios ≲2× mean
+the local numbers are fixed-overhead-dominated and say little about the
+asymptote (the usual result at these sizes — see PLANS.md).
+
+Usage: python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+BIG = "/tmp/sfbig"
+
+
+def build_big() -> None:
+    import duckdb
+
+    os.makedirs(BIG, exist_ok=True)
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part documents embeddings").split():
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{BIG}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.sql(f"""
+COPY (
+  SELECT o_orderkey + 10000000 * g.i AS o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{SRC}/orders.parquet'), (SELECT unnest(range(10)) AS i) g
+) TO '{BIG}/orders.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+COPY (
+  SELECT l_orderkey + 10000000 * g.i AS l_orderkey, l_partkey, l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{SRC}/lineitem.parquet'), (SELECT unnest(range(10)) AS i) g
+) TO '{BIG}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.sql(f"""
+COPY (
+  SELECT event_id + 100000000 * g.i AS event_id, ts,
+         user_id + 1000000 * g.i AS user_id, event_type, value, props
+  FROM read_parquet('{SRC}/events.parquet'), (SELECT unnest(range(10)) AS i) g
+) TO '{BIG}/events.parquet' (FORMAT PARQUET)""")
+
+
+def main() -> None:
+    from grapefruit_spark.operators import (
+        analytics,
+        event_analytics,
+        graph,
+        relational,
+        relational_ext,
+        windows,
+    )
+    from grapefruit_spark.session import get_spark
+
+    build_big()
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cases = [
+        ("q1_pricing_summary", relational.q1_pricing_summary),
+        ("q9_product_profit", relational_ext.q9_product_profit),
+        ("q18_large_volume", relational.q18_large_volume),
+        ("events_sessionize", windows.events_sessionize),
+        ("events_top_paths", event_analytics.events_top_paths),
+        ("events_heavy_hitters", event_analytics.events_heavy_hitters),
+        ("copurchase_triangles", graph.copurchase_triangles),
+        ("supplier_pagerank", graph.supplier_pagerank),
+        ("customer_rfm", analytics.customer_rfm),
+    ]
+
+    def run(fn, sf_dir: str) -> float:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc
+        for rid in list(jsc.getPersistentRDDs().keySet().toArray()):
+            jsc.sc().unpersistRDD(rid, False)
+        return best
+
+    print(f"| query | sf0.1 s | 10x s | ratio |")
+    print("|---|---|---|---|")
+    for name, fn in cases:
+        t1 = run(fn, SRC)
+        t10 = run(fn, BIG)
+        print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
