@@ -56,6 +56,78 @@ COPY (
 ) TO '{BIG}/events.parquet' (FORMAT PARQUET)""")
 
 
+def build_corpus(path: str, n_docs: int, seed: int = 7) -> None:
+    """Zipfian-vocabulary corpus (20k types, 30-300 tokens/doc, 2%
+    planted near-dups) — the REALISTIC text distribution; the driver
+    testdata's ~31-type vocabulary makes every doc near-similar and is
+    the worst case for similarity pruning."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(20000)]
+    weights = [1.0 / (i + 10) ** 1.1 for i in range(20000)]
+    rows = []
+    for i in range(n_docs):
+        n = rng.randint(30, 300)
+        text = " ".join(rng.choices(vocab, weights, k=n))
+        rows.append((i, text, rng.choice(["en", "de", "fr"]),
+                     rng.choice(["web", "wiki", "code"]), len(text)))
+    base = len(rows)
+    for j in range(n_docs // 50):
+        src = rng.randrange(base)
+        toks = rows[src][1].split()
+        for _ in range(max(1, len(toks) // 50)):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        t = " ".join(toks)
+        rows.append((base + j, t, rows[src][2], "dupe", len(t)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df.to_parquet(path, index=False)
+
+
+def docs_mode() -> None:
+    """10× document-corpus probe for the dedup/text family (invoked with
+    `--docs`): 5k vs 50k Zipfian docs, planted near-dups both."""
+    from grapefruit_spark.operators import dedup, search, text
+    from grapefruit_spark.session import get_spark
+
+    build_corpus("/tmp/zipf1/documents.parquet", 5_000)
+    build_corpus("/tmp/zipf10/documents.parquet", 50_000)
+    spark = get_spark("scale-probe-docs")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(fn, sf_dir: str) -> float:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc
+        for rid in list(jsc.getPersistentRDDs().keySet().toArray()):
+            jsc.sc().unpersistRDD(rid, False)
+        return best
+
+    cases = [
+        ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs),
+        ("dedup_minhash", dedup.dedup_minhash),
+        ("dedup_simhash", dedup.dedup_simhash),
+        ("tfidf_top_terms", search.tfidf_top_terms),
+        ("token_count", text.token_count),
+    ]
+    print("| query | 5k docs s | 50k docs s | ratio |")
+    print("|---|---|---|---|")
+    for name, fn in cases:
+        t1 = run(fn, "/tmp/zipf1")
+        t10 = run(fn, "/tmp/zipf10")
+        print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |")
+
+
 def main() -> None:
     from grapefruit_spark.operators import (
         analytics,
@@ -105,4 +177,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--docs" in sys.argv:
+        docs_mode()
+    else:
+        main()
