@@ -491,10 +491,33 @@ GROUP BY event_type
 """
 
 
+def stream_sessions_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible STREAMING correctness row: the native session
+    windows computed by an actual Structured Streaming query (file
+    source → watermark → session_window merge iterator, availableNow,
+    complete mode to a memory sink), returned as the final batch frame.
+
+    Shares events_session_window's oracle, so the STREAMING execution
+    path — incremental state, session merges across microbatches — is
+    hash-checked against DuckDB, not just pytest-compared to batch.
+    """
+    from ..streaming.events import run_to_memory, stream_session_window
+
+    return run_to_memory(
+        stream_session_window(spark, sf_dir),
+        "drv_stream_sessions",
+        output_mode="complete",
+    )
+
+
+ORACLE["stream_sessions_sim"] = ORACLE["events_session_window"]
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
+    "stream_sessions_sim": stream_sessions_sim,
     "events_asof_join": events_asof_join,
     "events_purchase_attribution": events_purchase_attribution,
     "events_session_conversion": events_session_conversion,
