@@ -513,11 +513,28 @@ def stream_sessions_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["stream_sessions_sim"] = ORACLE["events_session_window"]
 
 
+def stream_tumbling_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming tumbling aggregation (C4) under the
+    batch events_tumbling oracle — same complete-mode drain device as
+    stream_sessions_sim."""
+    from ..streaming.events import run_to_memory, stream_tumbling
+
+    return run_to_memory(
+        stream_tumbling(spark, sf_dir),
+        "drv_stream_tumbling",
+        output_mode="complete",
+    )
+
+
+ORACLE["stream_tumbling_sim"] = ORACLE["events_tumbling"]
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "stream_sessions_sim": stream_sessions_sim,
+    "stream_tumbling_sim": stream_tumbling_sim,
     "events_asof_join": events_asof_join,
     "events_purchase_attribution": events_purchase_attribution,
     "events_session_conversion": events_session_conversion,
