@@ -47,13 +47,32 @@ def _event_stream(
     metadata-only operation) and declare THAT — then route the ts column
     through catalog.normalize_ts so bigint-nanos, timestamp_ntz, and zoned
     timestamp encodings all normalize to one session-zoned TIMESTAMP.
-    Testdata generations have shipped all three (VERDICT r3)."""
+    Testdata generations have shipped all three (VERDICT r3).
+
+    Both on-disk layouts of a wildcard-free ``glob`` work: when the
+    named table is a DIRECTORY of part files (every normal writer), the
+    stream reads that child directory directly — a pathGlobFilter would
+    silently match nothing against the part file names; when it is a
+    single FILE (the driver testdata layout), the parent-dir +
+    pathGlobFilter mode applies, since a streaming source's basePath
+    must be a directory."""
+    import os
+
     from pyspark.sql.types import StructType
 
     from ..catalog import normalize_ts
 
-    static = spark.read.option("pathGlobFilter", glob).parquet(path)
-    ts_field = static.schema["ts"]
+    if (
+        "*" not in glob
+        and "?" not in glob
+        and os.path.isdir(os.path.join(path, glob))
+    ):
+        path = os.path.join(path, glob)
+        glob = None
+    static = spark.read
+    if glob is not None:
+        static = static.option("pathGlobFilter", glob)
+    ts_field = static.parquet(path).schema["ts"]
     # Canonical wide types for every column except ts (parquet upcasts
     # int→bigint etc. under a declared schema, but inference can pick a
     # narrow type from one file and then fail on another); only the ts
@@ -63,7 +82,9 @@ def _event_stream(
     schema = StructType(
         [ts_field if f.name == "ts" else f for f in schema.fields]
     )
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    reader = spark.readStream.schema(schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return normalize_ts(reader.parquet(path))
