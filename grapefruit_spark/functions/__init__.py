@@ -58,6 +58,25 @@ def md5_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def md5_hash60(col: Column, salt: str = "") -> Column:
+    """Engine-portable 60-bit integer hash: the first 15 hex digits of
+    md5(col || salt) as a non-negative bigint. md5 agrees byte-for-byte
+    across Spark and DuckDB, so any hash-family computation built on
+    this (MinHash permutations, SimHash bit votes) is SQL-mirrorable —
+    the property that lets the LSH dedup operators be oracle-checked.
+    ~2× the cost of xxhash64 per call; the signature stages hash each
+    token once, so the delta is a fraction of those operators' time.
+    """
+    base = F.concat(col, F.lit(salt)) if salt else col
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_hash60_sql(expr: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`md5_hash60` (same 60-bit value)."""
+    inner = f"{expr} || '{salt}'" if salt else expr
+    return f"('0x' || substring(md5({inner}), 1, 15))::BIGINT"
+
+
 # Mersenne prime for the (a*h + b) mod p permutation family. 31-bit so
 # a*h stays under 2^62 — no int64 overflow (Spark ANSI mode throws on it).
 MINHASH_P = (1 << 31) - 1

@@ -374,17 +374,20 @@ def minhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
     ~300× slower at sf0.1.) The shuffle carries only partial minima per
     doc thanks to map-side combine.
     """
-    from ..functions import MINHASH_P, hash_param
+    from ..functions import MINHASH_P, hash_param, md5_hash60
 
     docs = _spread(docs)
     # shingle hashes without building gram strings: hash each token once,
     # then fold SHINGLE_N consecutive 31-bit-reduced hashes arithmetically
-    # (string-concat shingling spent ~half the operator's time allocating)
+    # (string-concat shingling spent ~half the operator's time allocating).
+    # The base hash is the engine-portable md5_hash60 (not xxhash64), so
+    # the ENTIRE pipeline — signatures, banding, verify — mirrors in SQL
+    # and the driver hash-checks it (see _minhash_oracle).
     toks = docs.select(
         "doc_id",
         F.transform(
             ws_tokens(normalize_text(F.col("text"))),
-            lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(MINHASH_P)),
+            lambda t: F.pmod(md5_hash60(t, f"|{seed}"), F.lit(MINHASH_P)),
         ).alias("th"),
     )
     mult = 1_000_003  # < 2^31, so acc*mult + h stays under 2^62 (ANSI-safe)
@@ -468,6 +471,74 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle(seed: int = 42) -> str:
+    """Full SQL mirror of the MinHash-LSH pipeline: portable md5_hash60
+    token hashes → arithmetic shingle fold → 64 (a·h+b) mod p minima →
+    16×4 band keys → band-collision candidates → signature-agreement
+    verify. Permutation constants are the same hash_param values the
+    Spark side embeds, so every intermediate is value-identical; docs
+    shorter than SHINGLE_N get the all-sentinel signature on both sides.
+    """
+    from ..functions import MINHASH_P, hash_param, md5_hash60_sql
+
+    p = MINHASH_P
+    mult = 1_000_003
+    g = "th[i]"
+    for k in range(1, SHINGLE_N):
+        g = f"(({g}) * {mult} + th[i+{k}]) % {p}"
+    comps = []
+    for i in range(NUM_PERM):
+        a = (hash_param(seed, 2 * i) | 1) % p
+        b = hash_param(seed, 2 * i + 1) % p
+        comps.append(f"coalesce(list_min([({a} * g + {b}) % {p} FOR g IN grams]), {p})")
+    sig = "[" + ",\n            ".join(comps) + "]"
+    r = LSH_ROWS
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                       t -> length(t) > 0) AS tks
+    FROM documents
+),
+th AS (
+    SELECT doc_id,
+           [{md5_hash60_sql('t', f'|{seed}')} % {p} FOR t IN tks] AS th
+    FROM tk
+),
+grams AS (
+    SELECT doc_id,
+           list_distinct([{g} FOR i IN range(1, len(th) - {SHINGLE_N - 2})]) AS grams
+    FROM th
+),
+sigs AS (
+    SELECT doc_id, {sig} AS sig FROM grams
+),
+bands AS (
+    SELECT doc_id, b.i AS band,
+           array_to_string(sig[{r} * b.i + 1 : {r} * b.i + {r}], ',') AS key
+    FROM sigs, (SELECT unnest(range({LSH_BANDS})) AS i) b
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len([i FOR i IN range(1, {NUM_PERM + 1})
+                           IF sa.sig[i] = sb.sig[i]]) AS DOUBLE) / {NUM_PERM},
+                 6) AS est_jaccard
+    FROM cands c
+    JOIN sigs sa ON c.doc_a = sa.doc_id
+    JOIN sigs sb ON c.doc_b = sb.doc_id
+)
+WHERE est_jaccard >= {MINHASH_TAU}
+"""
+
+
+ORACLE["dedup_minhash"] = _minhash_oracle()
+
+
 # ------------------------------------------------------------------ D3
 SIMHASH_BITS = 56
 SIMHASH_BANDS = 4
@@ -487,9 +558,13 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     shiftleft inside a signed 64-bit long.
     """
     docs = _spread(docs)
+    # engine-portable base hash (md5_hash60, not xxhash64) → the bit
+    # votes, signature, banding, and hamming verify all mirror in SQL
+    from ..functions import md5_hash60
+
     toks = docs.select(
         "doc_id", F.explode(ws_tokens(normalize_text(F.col("text")))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", md5_hash60(F.col("tok")))
     votes = [
         F.sum(
             F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -543,6 +618,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= SIMHASH_HAMMING)
     )
+
+
+def _simhash_oracle() -> str:
+    """SQL mirror of the SimHash pipeline: portable md5_hash60 token
+    hashes → frequency-weighted ±1 bit votes → 56-bit signature →
+    4×14-bit band blocking → hamming ≤ 3 verify via bit_count(xor)."""
+    from ..functions import md5_hash60_sql
+
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    simexpr = "\n           + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    bw = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bw) - 1
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                              t -> length(t) > 0)) AS tok
+    FROM documents
+),
+hs AS (SELECT doc_id, {md5_hash60_sql('tok')} AS h FROM toks),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM hs GROUP BY doc_id
+),
+sigs AS (
+    SELECT doc_id,
+           CAST({simexpr} AS BIGINT) AS simhash
+    FROM votes
+),
+bands AS (
+    SELECT doc_id, simhash, b.i AS band,
+           (simhash >> (b.i * {bw})) & {mask} AS key
+    FROM sigs, (SELECT unnest(range({SIMHASH_BANDS})) AS i) b
+)
+SELECT doc_a, doc_b, hamming FROM (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+WHERE hamming <= {SIMHASH_HAMMING}
+"""
+
+
+ORACLE["dedup_simhash"] = _simhash_oracle()
 
 
 ORACLE["ngram_containment_pairs"] = f"""

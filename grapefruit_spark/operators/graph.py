@@ -88,7 +88,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from MinHash-LSH pairs: every doc in a cluster
     maps to its keeper (min doc_id in the connected component). The final
-    step of a 100 TB dedup pipeline — 'drop all but one per cluster'."""
+    step of a 100 TB dedup pipeline — 'drop all but one per cluster'.
+
+    Hash-checked since the MinHash base hash became the SQL-portable
+    md5_hash60 (r6): the oracle replays the whole signature → band →
+    verify pipeline and closes the pair graph with a recursive CTE, so
+    the iterative min-label loop is driver-verified end-to-end."""
     from .dedup import dedup_minhash
 
     pairs = dedup_minhash(spark, sf_dir)
@@ -96,6 +101,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id")
     )
+
+
+def _dedup_clusters_oracle() -> str:
+    from .dedup import ORACLE as DEDUP_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({DEDUP_ORACLE["dedup_minhash"]}) mp
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(node, comp) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, walk.comp FROM walk JOIN edges e ON e.a = walk.node
+)
+SELECT node AS doc_id, min(comp) AS keep_doc_id FROM walk GROUP BY node
+"""
 
 
 def jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +680,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["jaccard_clusters"] = _jaccard_clusters_oracle()
+ORACLE["dedup_clusters"] = _dedup_clusters_oracle()
 
 QUERIES = {
     "jaccard_clusters": jaccard_clusters,
