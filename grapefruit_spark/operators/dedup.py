@@ -471,14 +471,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(seed: int = 42) -> str:
-    """Full SQL mirror of the MinHash-LSH pipeline: portable md5_hash60
-    token hashes → arithmetic shingle fold → 64 (a·h+b) mod p minima →
-    16×4 band keys → band-collision candidates → signature-agreement
-    verify. Permutation constants are the same hash_param values the
+def _minhash_sig_ctes(src: str, prefix: str, seed: int = 42) -> str:
+    """CTE chain ``{p}th → {p}grams → {p}sigs`` computing the MinHash
+    signature in SQL for a relation ``src`` with (doc_id, tks): portable
+    md5_hash60 token hashes → arithmetic shingle fold → 64 (a·h+b) mod p
+    minima. Permutation constants are the same hash_param values the
     Spark side embeds, so every intermediate is value-identical; docs
     shorter than SHINGLE_N get the all-sentinel signature on both sides.
-    """
+    Ends with a trailing comma for composition."""
     from ..functions import MINHASH_P, hash_param, md5_hash60_sql
 
     p = MINHASH_P
@@ -492,7 +492,44 @@ def _minhash_oracle(seed: int = 42) -> str:
         b = hash_param(seed, 2 * i + 1) % p
         comps.append(f"coalesce(list_min([({a} * g + {b}) % {p} FOR g IN grams]), {p})")
     sig = "[" + ",\n            ".join(comps) + "]"
+    return f"""{prefix}th AS (
+    SELECT doc_id,
+           [{md5_hash60_sql('t', f'|{seed}')} % {p} FOR t IN tks] AS th
+    FROM {src}
+),
+{prefix}grams AS (
+    SELECT doc_id,
+           list_distinct([{g} FOR i IN range(1, len(th) - {SHINGLE_N - 2})]) AS grams
+    FROM {prefix}th
+),
+{prefix}sigs AS (
+    SELECT doc_id, {sig} AS sig FROM {prefix}grams
+),"""
+
+
+def _band_cte(sigs: str, name: str) -> str:
+    """Band-key CTE over a sigs relation; keys are the band slice values
+    (the Spark side hashes the slice — injective w.h.p., so collision
+    sets agree). Trailing comma for composition."""
     r = LSH_ROWS
+    return f"""{name} AS (
+    SELECT doc_id, b.i AS band,
+           array_to_string(sig[{r} * b.i + 1 : {r} * b.i + {r}], ',') AS key
+    FROM {sigs}, (SELECT unnest(range({LSH_BANDS})) AS i) b
+),"""
+
+
+#: est-agreement SQL between two sig columns sa.sig / sb.sig
+_EST_SQL = (
+    f"round(CAST(len([i FOR i IN range(1, {NUM_PERM + 1})"
+    f" IF sa.sig[i] = sb.sig[i]]) AS DOUBLE) / {NUM_PERM}, 6)"
+)
+
+
+def _minhash_oracle(seed: int = 42) -> str:
+    """Full SQL mirror of the MinHash-LSH pair pipeline: signatures →
+    16×4 band keys → band-collision candidates → signature-agreement
+    verify."""
     return f"""
 WITH tk AS (
     SELECT doc_id,
@@ -500,34 +537,15 @@ WITH tk AS (
                        t -> length(t) > 0) AS tks
     FROM documents
 ),
-th AS (
-    SELECT doc_id,
-           [{md5_hash60_sql('t', f'|{seed}')} % {p} FOR t IN tks] AS th
-    FROM tk
-),
-grams AS (
-    SELECT doc_id,
-           list_distinct([{g} FOR i IN range(1, len(th) - {SHINGLE_N - 2})]) AS grams
-    FROM th
-),
-sigs AS (
-    SELECT doc_id, {sig} AS sig FROM grams
-),
-bands AS (
-    SELECT doc_id, b.i AS band,
-           array_to_string(sig[{r} * b.i + 1 : {r} * b.i + {r}], ',') AS key
-    FROM sigs, (SELECT unnest(range({LSH_BANDS})) AS i) b
-),
+{_minhash_sig_ctes("tk", "", seed)}
+{_band_cte("sigs", "bands")}
 cands AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, est_jaccard FROM (
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(len([i FOR i IN range(1, {NUM_PERM + 1})
-                           IF sa.sig[i] = sb.sig[i]]) AS DOUBLE) / {NUM_PERM},
-                 6) AS est_jaccard
+    SELECT c.doc_a, c.doc_b, {_EST_SQL} AS est_jaccard
     FROM cands c
     JOIN sigs sa ON c.doc_a = sa.doc_id
     JOIN sigs sb ON c.doc_b = sb.doc_id

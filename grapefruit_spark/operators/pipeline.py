@@ -392,6 +392,167 @@ def ingest_spans_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ingest_spans_sim_oracle() -> str:
+    """Two-batch replay of ingest_span_dedup in SQL: batch 1 (even
+    doc_ids) strips spans duplicated within itself; batch 2 (odd) strips
+    spans duplicated within itself OR already present in batch 1's
+    merged state; the final state is the distinct span set of both.
+    Reuses dedup_spans_apply's span/covered-token devices."""
+    from .dedup import SPAN_W, _DUCK_NORM
+
+    def rem(par: int, dup: str) -> str:
+        return f"""(
+    SELECT t.doc_id,
+           len(t.toks) - len(list_filter(t.toks, (x, i) ->
+               len(list_filter(coalesce(s.ss, CAST([] AS BIGINT[])),
+                               y -> y <= i AND i <= y + {SPAN_W - 1})) = 0)) AS n_removed
+    FROM toks t LEFT JOIN (
+        SELECT doc_id, list(pos ORDER BY pos) AS ss
+        FROM pos_fp JOIN {dup} USING (fp) WHERE par = {par} GROUP BY doc_id
+    ) s USING (doc_id)
+    WHERE t.doc_id % 2 = {par}
+)"""
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                       t -> length(t) > 0) AS toks
+    FROM documents
+),
+fps AS (
+    SELECT doc_id,
+           [md5(array_to_string(toks[i:i+{SPAN_W - 1}], ' '))
+            FOR i IN range(1, len(toks) - {SPAN_W - 2})] AS fps
+    FROM toks WHERE len(toks) >= {SPAN_W}
+),
+pos_fp AS (
+    SELECT doc_id, doc_id % 2 AS par, pos, fps[pos] AS fp
+    FROM (SELECT doc_id, fps, unnest(range(1, len(fps) + 1)) AS pos FROM fps)
+),
+b1_dup AS (
+    SELECT fp FROM (SELECT fp, doc_id FROM pos_fp WHERE par = 0 GROUP BY 1, 2)
+    GROUP BY fp HAVING count(*) >= 2
+),
+state1 AS (SELECT DISTINCT fp FROM pos_fp WHERE par = 0),
+b2_dup AS (
+    SELECT fp FROM (SELECT fp, doc_id FROM pos_fp WHERE par = 1 GROUP BY 1, 2)
+    GROUP BY fp HAVING count(*) >= 2
+    UNION
+    SELECT p.fp FROM pos_fp p JOIN state1 s USING (fp) WHERE p.par = 1
+),
+rem1 AS {rem(0, "b1_dup")},
+rem2 AS {rem(1, "b2_dup")}
+SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS batch1_docs,
+       (SELECT CAST(coalesce(sum(n_removed), 0) AS BIGINT) FROM rem1) AS batch1_removed,
+       (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS batch2_docs,
+       (SELECT CAST(coalesce(sum(n_removed), 0) AS BIGINT) FROM rem2) AS batch2_removed,
+       (SELECT count(DISTINCT fp) FROM pos_fp) AS span_state
+"""
+
+
+ORACLE["ingest_spans_sim"] = _ingest_spans_sim_oracle()
+
+
+def _ingest_pipeline_sim_oracle() -> str:
+    """Two-batch replay of ingest_corpus in SQL, stage for stage:
+    quality gate (≥5 raw whitespace tokens) → PII redaction → exact
+    dedup (batch-min per md5 fingerprint, then anti-join vs the fps the
+    PRIOR batch's exact stage merged — the fp state extends before the
+    near-dup stage runs) → near-dup rejection (MinHash band collision +
+    est ≥ τ vs prior ADMITTED docs, and vs lower-id docs of the same
+    batch). Feasible because the signature family is the SQL-portable
+    md5_hash60 (see dedup._minhash_sig_ctes)."""
+    from .datapipe import _EMAIL_RE, _PHONE_RE
+    from .dedup import (
+        _EST_SQL,
+        MINHASH_TAU,
+        _band_cte,
+        _minhash_sig_ctes,
+    )
+
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+    def tk(src: str, par: int, name: str) -> str:
+        return f"""{name} AS (
+    SELECT doc_id,
+           list_filter(string_split_regex({norm}, '\\s+'),
+                       t -> length(t) > 0) AS tks
+    FROM {src}
+),"""
+
+    return f"""
+WITH q AS (
+    SELECT doc_id, text FROM documents
+    WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                          t -> length(t) > 0)) >= 5
+),
+red AS (
+    SELECT doc_id, doc_id % 2 AS par,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS text
+    FROM q
+),
+fp AS (
+    SELECT doc_id, par, md5({norm}) AS fp, text FROM red
+),
+e1 AS (
+    SELECT f.doc_id, f.text FROM fp f
+    JOIN (SELECT min(doc_id) AS doc_id FROM fp WHERE par = 0 GROUP BY fp) k
+      USING (doc_id)
+),
+{tk("e1", 0, "tk1")}
+{_minhash_sig_ctes("tk1", "s1")}
+{_band_cte("s1sigs", "bands1")}
+rej1 AS (
+    SELECT DISTINCT a.doc_id
+    FROM bands1 a JOIN bands1 b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id > b.doc_id
+    JOIN s1sigs sa ON sa.doc_id = a.doc_id
+    JOIN s1sigs sb ON sb.doc_id = b.doc_id
+    WHERE {_EST_SQL} >= {MINHASH_TAU}
+),
+adm1 AS (
+    SELECT doc_id, sig FROM s1sigs
+    WHERE doc_id NOT IN (SELECT doc_id FROM rej1)
+),
+{_band_cte("adm1", "adm1_bands")}
+e2 AS (
+    SELECT f.doc_id, f.text FROM fp f
+    JOIN (SELECT min(doc_id) AS doc_id FROM fp WHERE par = 1 GROUP BY fp) k
+      USING (doc_id)
+    WHERE f.fp NOT IN (SELECT f1.fp FROM fp f1 JOIN e1 USING (doc_id))
+),
+{tk("e2", 1, "tk2")}
+{_minhash_sig_ctes("tk2", "s2")}
+{_band_cte("s2sigs", "bands2")}
+rej2 AS (
+    SELECT DISTINCT a.doc_id
+    FROM bands2 a JOIN adm1_bands b ON a.band = b.band AND a.key = b.key
+    JOIN s2sigs sa ON sa.doc_id = a.doc_id
+    JOIN adm1 sb ON sb.doc_id = b.doc_id
+    WHERE {_EST_SQL} >= {MINHASH_TAU}
+    UNION
+    SELECT DISTINCT a.doc_id
+    FROM bands2 a JOIN bands2 b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id > b.doc_id
+    JOIN s2sigs sa ON sa.doc_id = a.doc_id
+    JOIN s2sigs sb ON sb.doc_id = b.doc_id
+    WHERE {_EST_SQL} >= {MINHASH_TAU}
+),
+adm2 AS (
+    SELECT doc_id FROM s2sigs
+    WHERE doc_id NOT IN (SELECT doc_id FROM rej2)
+)
+SELECT (SELECT count(*) FROM adm1) AS batch1_admitted,
+       (SELECT count(*) FROM adm2) AS batch2_admitted,
+       (SELECT count(*) FROM adm1) + (SELECT count(*) FROM adm2) AS corpus_sigs
+"""
+
+
+ORACLE["ingest_pipeline_sim"] = _ingest_pipeline_sim_oracle()
+
+
 QUERIES = {
     "clean_corpus": clean_corpus,
     "corpus_stats": corpus_stats,
