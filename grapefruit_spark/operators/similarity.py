@@ -137,18 +137,23 @@ def _hyperplanes(dim: int) -> np.ndarray:
 
 
 def _bucket_col(vec: F.Column, planes: np.ndarray) -> F.Column:
-    """Sign-bit bucket id from fixed random hyperplanes — all codegen:
-    one zip_with dot product per plane over literal coefficient arrays."""
-    bucket = F.lit(0)
-    for j, plane in enumerate(planes):
-        coeffs = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+    """Sign-bit bucket id from fixed random hyperplanes — one Arrow
+    pandas_udf matmul per batch (batch × planes.T), not 12 per-row
+    zip_with/aggregate folds: higher-order functions are CodegenFallback
+    (interpreted per row), the same lesson as IVF's _cell_ranking. The
+    plane matrix travels as a closure (a few KB)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @pandas_udf("int")
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)
+        dots = mat @ planes.T  # (batch, n_planes)
+        return pd.Series(((dots > 0) @ weights).astype("int32"))
+
+    return bucket(vec)
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
