@@ -451,14 +451,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot prune without losing recall. The scalable form therefore
     distributes the quadratic work instead of pretending to avoid it:
     vectors hash into NEARDUP_CHUNKS blocks, each of the C(C+1)/2 block
-    PAIRS becomes one equi-join key, and the cross product runs
-    block-by-block as a shuffled hash join — Catalyst never sees a join
-    without an equality condition, so no BroadcastNestedLoopJoin or
-    CartesianProduct appears in the plan (asserted in tests/test_plans.py)
-    and no single task owns the whole corpus. Replication is C rows/side
-    (communication O(n·C)); per-task compute is |block_i|·|block_j|
-    cosines in whole-stage codegen. For HIGH-τ near-dup at corpus scale
-    use dedup_minhash / knn_lsh, where banding does prune.
+    PAIRS becomes one cogroup key, and each task computes its
+    |block_i|×|block_j| cosine matrix with ONE Arrow-batched BLAS
+    matmul, emitting only the pairs ≥ τ — no per-pair rows ever
+    materialize, no single task owns the whole corpus, and no
+    BroadcastNestedLoopJoin/CartesianProduct appears in the plan
+    (asserted in tests/test_plans.py). Replication is C rows/side
+    (communication O(n·C)). For HIGH-τ near-dup at corpus scale use
+    dedup_minhash / knn_lsh, where banding does prune.
     """
     C = NEARDUP_CHUNKS
     emb = table(spark, sf_dir, "embeddings")
@@ -469,30 +469,59 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     others = F.sequence(F.lit(0), F.lit(C - 1))
     left = chunked.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
+        "vec_id",
+        "embedding",
         F.col("chunk").alias("ca"),
         F.explode(F.filter(others, lambda j: j >= F.col("chunk"))).alias("cb"),
     )
     right = chunked.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
+        "vec_id",
+        "embedding",
         F.explode(F.filter(others, lambda j: j <= F.col("chunk"))).alias("ca"),
         F.col("chunk").alias("cb"),
     )
-    # dot/norm products are elementwise-identical either direction, so
-    # cos(va, vb) is bit-equal to cos(vb, va) and the least/greatest id
-    # canonicalization below cannot perturb the rounded score.
-    return (
-        left.join(right, ["ca", "cb"])
-        .where((F.col("ca") != F.col("cb")) | (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
-        .where(F.col("cos_sim") >= F.lit(NEARDUP_TAU))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            "cos_sim",
+
+    def pair_block(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        # ONE BLAS matmul per block pair — the 2M-pair join with a
+        # per-row cosine fold this replaces ran ~25× slower (higher-order
+        # functions are CodegenFallback; and the join shuffled both full
+        # vectors per pair, where this ships each block once per peer)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        ca, cb = key
+        ids_a = lpdf["vec_id"].to_numpy()
+        ids_b = rpdf["vec_id"].to_numpy()
+        ma = np.array(list(lpdf["embedding"]), dtype=np.float64)
+        mb = np.array(list(rpdf["embedding"]), dtype=np.float64)
+        na = np.linalg.norm(ma, axis=1, keepdims=True)
+        nb = np.linalg.norm(mb, axis=1, keepdims=True)
+        ok_a, ok_b = na[:, 0] > 0.0, nb[:, 0] > 0.0
+        na[~ok_a] = 1.0
+        nb[~ok_b] = 1.0
+        sims = np.round((ma / na) @ (mb / nb).T, 6)
+        # degenerate (zero) vectors have no defined cosine — never emit
+        sims[~ok_a, :] = -2.0
+        sims[:, ~ok_b] = -2.0
+        ii, jj = np.nonzero(sims >= NEARDUP_TAU)
+        if ca == cb:
+            keep = ids_a[ii] < ids_b[jj]
+            ii, jj = ii[keep], jj[keep]
+        if not len(ii):
+            return empty
+        a, b = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cos_sim": sims[ii, jj],
+            }
         )
+
+    return (
+        left.groupBy("ca", "cb")
+        .cogroup(right.groupBy("ca", "cb"))
+        .applyInPandas(pair_block, schema="id_a long, id_b long, cos_sim double")
     )
 
 

@@ -65,15 +65,18 @@ def test_knn_bruteforce_broadcasts_queries(spark):
 
 
 def test_embedding_neardup_is_blocked_not_cartesian(spark):
-    """The exact cosine-threshold self-join must run as a blocked equi-
-    join over chunk-pair keys — an all-pairs BroadcastNestedLoopJoin /
-    CartesianProduct is the round-1 scale-killer this pins against."""
+    """The exact cosine-threshold all-pairs must run as a blocked
+    COGROUP over chunk-pair keys (one BLAS matmul per block pair) — an
+    all-pairs BroadcastNestedLoopJoin / CartesianProduct is the round-1
+    scale-killer this pins against, and a per-pair join row explosion
+    (the pre-r6 shape: 2M joined rows through an interpreted cosine
+    fold) is the one r6 removed."""
     from grapefruit_spark.plans import executed_plan
 
     plan = executed_plan(similarity.embedding_neardup(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
 
 
 def test_ivf_assignment_is_narrow(spark):
