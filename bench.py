@@ -105,6 +105,12 @@ HEADLINE = [
     "knn_ivf_trained",
     "knn_topk_partitioned",
     "multimodal_features",
+    # round-6 second wave: previously non-benched heavies, added after a
+    # full-registry sweep caught embedding_neardup running 34.5 s (the
+    # interpreted-cosine join) with zero bench visibility
+    "embedding_neardup",
+    "supplier_pagerank",
+    "copurchase_kcore",
 ]
 
 
