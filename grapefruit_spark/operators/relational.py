@@ -492,6 +492,72 @@ def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 256  # rsd ≈ 1/√(K−2) ≈ 6%
+
+
+def distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch per order priority — the
+    ORACLE-CHECKABLE approximate-distinct path (Bar-Yossef et al. 2002):
+    keep the K smallest 52-bit portable hashes of the distinct keys;
+    estimate = (K−1)·2⁵² div h_K, exact count when the group holds fewer
+    than K distinct keys. Unlike HLL (distinct_approx — engine-internal
+    sketch bytes), every intermediate here is deterministic integer math
+    on md5-derived hashes, so DuckDB replays it value-for-value. The
+    exact distinct count rides along, putting the sketch error on
+    display in the result itself. 52-bit hashes keep (K−1)·2⁵² inside
+    int64. Mergeable at scale: min-k sets union/truncate associatively
+    (the window top-k here would become a partial-aggregate top-k)."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    per = orders.select("o_orderpriority", h.alias("h")).distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    kmin = per.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KMV_K)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("m") < KMV_K, F.col("m")
+    ).otherwise(F.expr(f"({KMV_K - 1} * {1 << 52}L) div hk"))
+    return (
+        kmin.groupBy("o_orderpriority")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("m"))
+        .select("o_orderpriority", est.alias("kmv_distinct"))
+        .join(exact, "o_orderpriority")
+    )
+
+
+ORACLE["distinct_kmv"] = f"""
+WITH per AS (
+    SELECT DISTINCT o_orderpriority,
+           ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::BIGINT AS h
+    FROM orders
+),
+kmin AS (
+    SELECT o_orderpriority, h FROM (
+        SELECT o_orderpriority, h,
+               row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+        FROM per
+    ) WHERE rn <= {KMV_K}
+),
+agg AS (
+    SELECT o_orderpriority, max(h) AS hk, count(*) AS m
+    FROM kmin GROUP BY o_orderpriority
+)
+SELECT a.o_orderpriority,
+       CAST(CASE WHEN a.m < {KMV_K} THEN a.m
+                 ELSE ({KMV_K - 1} * {1 << 52}) // a.hk END AS BIGINT) AS kmv_distinct,
+       e.exact_distinct
+FROM agg a JOIN (
+    SELECT o_orderpriority, count(DISTINCT o_custkey) AS exact_distinct
+    FROM orders GROUP BY 1
+) e USING (o_orderpriority)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -506,4 +572,5 @@ QUERIES = {
     "rollup_sales": rollup_sales,
     "distinct_agg": distinct_agg,
     "distinct_approx": distinct_approx,
+    "distinct_kmv": distinct_kmv,
 }
