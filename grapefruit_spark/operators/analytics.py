@@ -274,6 +274,60 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_Q_RATE = int(0.25 * 4294967296)  # 25% of the uint32 hash space
+
+
+def events_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sample quantiles — the ORACLE-CHECKABLE approximate
+    path beside the GK sketch (events_quantile_sketch, whose internals
+    are engine-specific): a 25% hash-threshold sample on md5(event_id)
+    (reproducible under any partitioning — never df.sample), then EXACT
+    interpolated percentiles over the sample, floor-e4 emitted via the
+    spark_percentile_sql mirror. Mergeable/scalable the same way any
+    hash sample is; error ~ O(1/√(0.25·n)) per group.
+    """
+    ev = table(spark, sf_dir, "events")
+    b = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    sampled = ev.where(b < SAMPLE_Q_RATE)
+    return sampled.groupBy("event_type").agg(
+        *[
+            F.floor(F.expr(f"percentile(value, {q})") * 10000).alias(
+                f"p{int(q * 100)}_e4"
+            )
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+def _events_quantile_sample_oracle() -> str:
+    from ..functions import spark_percentile_sql
+
+    cols = ", ".join(
+        f"CAST(floor({spark_percentile_sql(str(q))} * 10000) AS BIGINT) AS p{int(q * 100)}_e4"
+        for q in (0.5, 0.9, 0.99)
+    )
+    return f"""
+WITH sampled AS (
+    SELECT event_type, value FROM events
+    WHERE ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+          < {SAMPLE_Q_RATE}
+),
+ranked AS (
+    SELECT event_type, value AS v,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS i,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM sampled
+)
+SELECT event_type, {cols}
+FROM ranked GROUP BY event_type
+"""
+
+
+ORACLE["events_quantile_sample"] = _events_quantile_sample_oracle()
+
+
 def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(4) value quartiles per order priority, profiled: count and
     value range of each quartile. The tile window partitions by priority
@@ -689,6 +743,7 @@ QUERIES = {
     "order_cohort_ltv": order_cohort_ltv,
     "supplier_hhi": supplier_hhi,
     "events_quantile_sketch": events_quantile_sketch,
+    "events_quantile_sample": events_quantile_sample,
     "order_value_quartiles": order_value_quartiles,
     "events_zscore_outliers": events_zscore_outliers,
     "customer_order_windows": customer_order_windows,
