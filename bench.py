@@ -111,6 +111,9 @@ HEADLINE = [
     "embedding_neardup",
     "supplier_pagerank",
     "copurchase_kcore",
+    # oracle-checkable sketch paths (KMV distinct, sampled quantiles)
+    "distinct_kmv",
+    "events_quantile_sample",
 ]
 
 
