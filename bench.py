@@ -143,13 +143,14 @@ def main() -> None:
             # file-footer listing, sink init; run 2 is engine steady state
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
-            # min-of-2: one GC pause / compaction stall in a 50-query
-            # session otherwise lands on a random query and reads as a
-            # plan regression round-over-round
+            # min-of-3 (r6 postmortem): min-of-2 left a ~10-30% ambient
+            # drift band across the whole suite; with three timed runs a
+            # GC pause / noisy neighbor has to land on all three to fake
+            # a plan regression round-over-round
             timings[name] = round(best, 3)
             print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — record and keep benching
@@ -175,6 +176,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # ambient-load indicator: 1/5/15-min loadavg at the END of the
+        # run, so a drifted total can be attributed to machine pressure
+        # instead of misread as a plan regression (r6 order #1)
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "ncpu": os.cpu_count(),
     }
     prev = _common_prev_summary(timings)
     if prev:

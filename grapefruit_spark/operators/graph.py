@@ -180,29 +180,40 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
     Dangling mass (nodes without out-links) is folded back uniformly, so
     ranks sum to 1 every iteration (a one-row agg, broadcast back).
     """
-    # pin the deduped edge set FIRST — nodes/degrees/links all derive
-    # from it, and without this each eager checkpoint below would
-    # recompute the (possibly expensive) upstream edge pipeline
-    e = edges.select(F.col("src"), F.col("dst")).distinct().transform(pin)
+    # ONE materialization for the whole edge pipeline: out-degree rides a
+    # window over src instead of a groupBy+self-join, so the (possibly
+    # expensive) upstream edge build executes exactly once — the r6 plan
+    # audit showed the former e-pin + links-pin pair re-materializing the
+    # same 640k-row frame twice for >3 s of the query's wall time
+    from pyspark.sql.window import Window as _W
+
+    # repartition on src FIRST: hashpartitioning(src) satisfies the
+    # clustered distribution required by BOTH the (src,dst) distinct agg
+    # and the src window, so the dedup and the degree computation ride
+    # one shuffle instead of two (measured 2.6→1.7 s at sf0.1)
+    e = edges.select(F.col("src"), F.col("dst")).repartition("src").distinct()
+    links = e.withColumn(
+        "out_deg", F.count(F.lit(1)).over(_W.partitionBy("src"))
+    ).transform(pin)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        links.select(F.col("src").alias("node"))
+        .union(links.select(F.col("dst").alias("node")))
         .distinct()
         .transform(pin)
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    links = (
-        e.join(out_deg, "src")
-        .repartition("src")
-        .transform(pin)
-    )
     # dangling node SET is iteration-invariant — pin it once; only its
-    # current mass (a scalar) is recomputed per round
-    dangling_nodes = (
-        nodes.join(out_deg, nodes.node == out_deg.src, "left_anti")
-        .transform(pin)
-    )
+    # current mass (a scalar) is recomputed per round. When the graph has
+    # NO dangling nodes (co-occurrence graphs: every node that exists has
+    # an out-edge), dm ≡ 0.0 exactly in both engines, so the whole
+    # per-iteration mass branch is skipped — one broadcast and one agg
+    # per iteration instead of two of each.
+    dangling_nodes = nodes.join(links, nodes.node == links.src, "left_anti")
+    no_dangling = dangling_nodes.count() == 0
+    if not no_dangling:
+        # only worth materializing when the per-iteration mass branch
+        # will actually consume it
+        dangling_nodes = dangling_nodes.transform(pin)
     # rank vector: broadcast while it plausibly fits on executors; past
     # that, co-partition on the join key so only the SMALL side shuffles
     # each iteration (links stays pinned on src either way)
@@ -210,35 +221,47 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     prev_pinned: DataFrame | None = None
-    for _ in range(iters):
-        # dangling mass stays a lazy 1-row aggregate crossJoin'd in, so
-        # each iteration is ONE job (the eager checkpoint) — a .first()
-        # here would double the per-iteration job count
-        dm = ranks.join(dangling_nodes.select("node"), "node").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
+    for i in range(iters):
+        base = F.lit((1.0 - damping) / n)
+        if no_dangling:
+            # dm ≡ 0.0: (1−d)/n + d/n·0 folds to the constant — the
+            # expression is bit-identical to the dangling path's with
+            # dm = 0, so the unrolled SQL oracle needs no variant
+            dm = None
+        else:
+            # dangling mass stays a lazy 1-row aggregate crossJoin'd in,
+            # so each iteration is ONE job (the eager checkpoint) — a
+            # .first() here would double the per-iteration job count
+            dm = ranks.join(dangling_nodes.select("node"), "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+            base = base + F.lit(damping / n) * F.col("dm")
         rside = F.broadcast(ranks) if bcast_ok else ranks.repartition("node")
         contribs = (
             links.join(rside, links.src == rside.node)
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
         )
-        new_rank = (
-            F.lit((1.0 - damping) / n)
-            + F.lit(damping / n) * F.col("dm")
-            + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .join(F.broadcast(dm))
-            .select("node", new_rank.alias("rank"))
-            .transform(pin)
-        )
-        # the eager pin above already consumed the previous rank vector —
-        # drop its blocks so only the current generation stays resident
-        if prev_pinned is not None:
-            unpin(prev_pinned)
-        prev_pinned = ranks
+        new_rank = base + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left")
+        if dm is not None:
+            ranks = ranks.join(F.broadcast(dm))
+        ranks = ranks.select("node", new_rank.alias("rank"))
+        # pin every few generations (and the last): lineage stays bounded
+        # while the eager materialization count — a dominant wall cost of
+        # the loop (r6 plan audit) — drops 10→4. An unpinned generation
+        # is recomputed once per consumer BRANCH inside the next pinned
+        # job: exactly one branch when dm is skipped (cadence 3), two
+        # with the dangling-mass branch alive (cadence 2, bounding the
+        # recompute fan-out at 4 bounded joins).
+        cadence = 3 if no_dangling else 2
+        if i % cadence == cadence - 1 or i == iters - 1:
+            ranks = ranks.transform(pin)
+            # the eager pin above already consumed the previous rank
+            # vector — drop its blocks so only this generation stays
+            if prev_pinned is not None:
+                unpin(prev_pinned)
+            prev_pinned = ranks
     return ranks
 
 
@@ -511,15 +534,17 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_n.join(su, "u")
         .join(sv, "v")
         .join(F.broadcast(total))
-        # integer ppm, used for ordering AND emission: all-int inputs
-        # through a widening decimal so the product can't overflow at
-        # corpus scale; bigint div is engine-independent
+        # DOUBLE lift for ORDERING: the counts are exact int64 < 2⁵³ so
+        # the double casts are exact, and * / are single IEEE-rounded ops
+        # — bit-identical in any engine, so the order (with the (u,v)
+        # tie-break) is deterministic cross-engine. The former per-pair
+        # DECIMAL(38,0)×DECIMAL(38,0) product ran a 128-bit multiply on
+        # EVERY frequent pair (the r6 bench outlier, 1.43→2.5 s);
+        # ordering needs no exactness the double doesn't already have.
         .withColumn(
-            "lift_ppm",
-            F.expr(
-                "(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)"
-                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
-            ),
+            "lift_dbl",
+            (F.col("n_ab").cast("double") * F.col("n_orders").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
         )
     )
     from pyspark.sql.window import Window
@@ -528,10 +553,20 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (per-partition heap + tiny driver merge), so no task ever sorts the
     # full pair set. Only the LIFT_TOP finalists see the rank window — a
     # single partition of 20 rows, not a single partition of everything.
-    finalists = scored.orderBy(F.desc("lift_ppm"), F.asc("u"), F.asc("v")).limit(LIFT_TOP)
-    w = Window.orderBy(F.desc("lift_ppm"), F.asc("u"), F.asc("v"))
+    finalists = scored.orderBy(F.desc("lift_dbl"), F.asc("u"), F.asc("v")).limit(LIFT_TOP)
+    w = Window.orderBy(F.desc("lift_dbl"), F.asc("u"), F.asc("v"))
     return (
-        finalists.withColumn("rank", F.row_number().over(w))
+        # exact integer ppm EMISSION, computed for the 20 finalists only:
+        # all-int inputs through a widening decimal so the product can't
+        # overflow at corpus scale; bigint div is engine-independent
+        finalists.withColumn(
+            "lift_ppm",
+            F.expr(
+                "(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
         .select(
             F.col("u").alias("part_a"),
             F.col("v").alias("part_b"),
@@ -562,8 +597,8 @@ SELECT part_a, part_b, n_ab, lift_ppm, rank FROM (
            CAST((CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000)
                // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_ppm,
            row_number() OVER (
-               ORDER BY (CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000)
-                        // (CAST(ia.n_item AS HUGEINT) * ib.n_item) DESC,
+               ORDER BY (CAST(p.n_ab AS DOUBLE) * CAST(t.n_orders AS DOUBLE))
+                        / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) DESC,
                         p.u ASC, p.v ASC
            ) AS rank
     FROM pair_n p

@@ -529,12 +529,131 @@ def stream_tumbling_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["stream_tumbling_sim"] = ORACLE["events_tumbling"]
 
 
+def stream_attribution_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible STREAM-STREAM interval join (C12): each click
+    joined to the same user's views in the preceding 30 minutes, executed
+    as an actual two-sided watermarked streaming join (inner matches emit
+    as they pair; the availableNow drain captures all of them), then
+    hash-checked against the equivalent batch SQL."""
+    from ..streaming.events import run_to_memory, stream_stream_attribution
+
+    res = run_to_memory(
+        stream_stream_attribution(spark, sf_dir),
+        "drv_stream_attr",
+        output_mode="append",
+    )
+    return res.select(
+        "c_user",
+        "click_id",
+        "view_id",
+        F.date_format("view_ts", _TS_FMT).alias("view_ts"),
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+    )
+
+
+# INTERVAL 30 MINUTE mirrors streaming.events.ATTRIBUTION_WINDOW — pinned
+# by test_streaming_sims.test_attribution_window_constant
+ORACLE["stream_attribution_sim"] = """
+WITH views AS (
+    SELECT user_id AS v_user, event_id AS view_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+clicks AS (
+    SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT c_user, click_id, view_id,
+       strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM views JOIN clicks
+  ON v_user = c_user
+ AND view_ts <= click_ts
+ AND view_ts >= click_ts - INTERVAL 30 MINUTE
+"""
+
+
+def stream_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible watermark-bounded ingest dedup (C14): the events
+    table lands TWICE (an at-least-once source redelivering the whole
+    file), forced into separate microbatches (maxFilesPerTrigger=1).
+    dropDuplicatesWithinWatermark must admit each event exactly once —
+    batch-2 copies younger than the watermark dedup against retained
+    state; older ones fall to the late-data filter. Either branch keeps
+    the output identical to the deduped source, so the oracle is simply
+    the events table."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import run_to_memory, stream_dedup_within_watermark
+
+    src = tempfile.mkdtemp(prefix="grapefruit_wmdedup_sim_")
+    orig = os.path.join(sf_dir, "events.parquet")
+    copy = shutil.copytree if os.path.isdir(orig) else shutil.copy
+    copy(orig, os.path.join(src, "events_b1.parquet"))
+    copy(orig, os.path.join(src, "events_b2.parquet"))
+    return run_to_memory(
+        stream_dedup_within_watermark(spark, src, max_files_per_trigger=1),
+        "drv_stream_wmdedup",
+        output_mode="append",
+    )
+
+
+ORACLE["stream_dedup_sim"] = (
+    "SELECT event_id, user_id, event_type, value FROM events"
+)
+
+
+def stream_rollup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible incremental rollup maintenance (E6): the events
+    table lands as two increments (even event_ids, then odd), each merged
+    into the stored (event_type, hour) aggregate by maintain_event_rollup
+    — two delta merges, never a history rescan. The decimal carry makes
+    the maintained sum exact and merge-order-independent, so the oracle
+    is the ONE-SHOT batch rollup over everything."""
+    import os
+    import tempfile
+
+    from ..sdfs import Sdfs
+    from ..streaming.events import maintain_event_rollup
+
+    base = tempfile.mkdtemp(prefix="grapefruit_rollup_sim_")
+    src = os.path.join(base, "src")
+    ev = table(spark, sf_dir, "events")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    fs = Sdfs(spark, os.path.join(base, "wh"))
+    maintain_event_rollup(
+        spark, src, fs, "rollup_sim", os.path.join(base, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    return fs.get("rollup_sim").select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE["stream_rollup_sim"] = """
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       count(*)                                      AS n_events,
+       round(sum((value)::DECIMAL(38,6)), 2)::DOUBLE AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "stream_sessions_sim": stream_sessions_sim,
     "stream_tumbling_sim": stream_tumbling_sim,
+    "stream_attribution_sim": stream_attribution_sim,
+    "stream_dedup_sim": stream_dedup_sim,
+    "stream_rollup_sim": stream_rollup_sim,
     "events_asof_join": events_asof_join,
     "events_purchase_attribution": events_purchase_attribution,
     "events_session_conversion": events_session_conversion,

@@ -439,28 +439,48 @@ def run_foreach_batch(
 ROLLUP_KEYS = ("event_type", "hour")
 
 
-def maintain_event_rollup(spark: SparkSession, src_dir: str, fs, name: str, checkpoint_dir: str) -> None:
+def maintain_event_rollup(
+    spark: SparkSession,
+    src_dir: str,
+    fs,
+    name: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
     """Incrementally maintained rollup: the (event_type, hour) aggregate
     is UPDATED from each newly landed file instead of recomputed from the
     full history — at 100 TB of history, each increment touches only the
     new data plus the (tiny) stored aggregate.
 
     Measures are re-aggregatable (counts/sums merge by addition; an avg
-    would be carried as sum+count). The stored table swap is
-    write-new → atomic rename, so readers never see a half-merged state;
-    the stream checkpoint makes increments exactly-once across restarts.
+    would be carried as sum+count). The value sum is carried as
+    DECIMAL(38,6): an incrementally maintained double sum would depend on
+    the merge ORDER (which increment landed first), so the stored table
+    would drift from the one-shot batch aggregate by accumulation order —
+    decimal addition is exact and associative, making the maintained
+    table bit-equal to a full recompute no matter how ingestion was
+    sliced. The stored table swap is write-new → atomic rename, so
+    readers never see a half-merged state; the stream checkpoint makes
+    increments exactly-once across restarts.
     """
     import os
     import shutil
 
-    ev = _event_stream(spark, src_dir, "*.parquet")
+    ev = _event_stream(
+        spark, src_dir, "*.parquet", max_files_per_trigger=max_files_per_trigger
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         delta = (
             batch_df.groupBy(
                 "event_type", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour")
             )
-            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                # (18,6) addends stay long-backed in codegen (see
+                # functions.dec_sum); the sum widens exactly
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            )
         )
         if fs.exists(name):
             merged = (
@@ -470,6 +490,11 @@ def maintain_event_rollup(spark: SparkSession, src_dir: str, fs, name: str, chec
             )
         else:
             merged = delta
+        # stable stored schema across increments (sum-of-decimal widens
+        # per merge otherwise, and unionByName would reject the drift)
+        merged = merged.withColumn(
+            "sum_value", F.col("sum_value").cast("decimal(38,6)")
+        )
         # write beside, then two renames — the table path is never ABSENT
         # (an rmtree-then-rename swap leaves a window where a reader finds
         # no table at all)
@@ -505,17 +530,23 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFram
 
 
 def stream_dedup_within_watermark(
-    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Event dedup with BOUNDED state: dropDuplicatesWithinWatermark on
     event_id — a duplicate delivery (at-least-once sources re-send) is
     dropped while its original is younger than the watermark horizon,
     and the state row expires afterward. The production-shape of
     exactly-once event ingest: state size tracks the horizon, not the
-    stream's lifetime."""
+    stream's lifetime. ``max_files_per_trigger`` forces multi-microbatch
+    replay (the redelivery-across-batches scenario)."""
     # wider glob than read_event_stream: redelivered copies land as new
     # files (events_*.parquet) and must flow through the dedup
-    ev = _event_stream(spark, sf_dir, "events*.parquet").withWatermark("ts", horizon)
+    ev = _event_stream(
+        spark, sf_dir, "events*.parquet", max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", horizon)
     return ev.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type", "value"
     )

@@ -226,9 +226,11 @@ def test_maintained_rollup_matches_batch(spark, tmp_path):
     _write_chunk(spark, src, 1000, 80)
     maintain_event_rollup(spark, src, fs, "rollup", ckpt)
     maintained = {
-        (r["event_type"], r["hour"]): (r["n_events"], round(r["sum_value"], 6))
+        (r["event_type"], r["hour"]): (r["n_events"], r["sum_value"])
         for r in fs.get("rollup").collect()
     }
+    # decimal carry makes the maintained sum EXACT — compare bit-equal to
+    # the one-shot batch aggregate, no rounding tolerance needed
     batch = (
         spark.read.parquet(src)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -236,10 +238,15 @@ def test_maintained_rollup_matches_batch(spark, tmp_path):
             "event_type",
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
         )
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
     )
     want = {
-        (r["event_type"], r["hour"]): (r["n_events"], round(r["sum_value"], 6))
+        (r["event_type"], r["hour"]): (r["n_events"], r["sum_value"])
         for r in batch.collect()
     }
     assert maintained == want
