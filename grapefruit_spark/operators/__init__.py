@@ -37,14 +37,18 @@ def all_queries() -> dict[str, QueryFn]:
     # Queries that have never earned a green row in any driver-written
     # CORRECTNESS_r*.json go FIRST (preserving the interleaved order), so
     # a checker sampling a prefix verifies exactly the never-proven set.
-    # The remainder rotates by a per-round offset so repeat coverage still
-    # cycles over successive rounds.
+    # The proven remainder orders by STALENESS — the round of each
+    # query's most recent green driver row, oldest first — so a 50-query
+    # prefix sample always re-proves exactly the entries whose evidence
+    # has aged the most, and no query's last green row can age more than
+    # ceil(registry/sample) rounds. (The former fixed-offset rotation
+    # could skip entries when the registry grew between rounds.)
     unproven = _never_green()
     head = [it for it in items if it[0] in unproven]
     tail = [it for it in items if it[0] not in unproven]
-    off = (_round_number() * 50) % len(tail) if tail else 0
-    items = head + tail[off:] + tail[:off]
-    return dict(items)
+    last_green = _last_green_rounds()
+    tail.sort(key=lambda it: last_green.get(it[0], 0))  # stable within a cohort
+    return dict(head + tail)
 
 
 # Queries whose oracle text or Spark emission changed in round 6 (the
@@ -58,20 +62,23 @@ _REPROVE_SINCE: dict[str, int] = {
     "q17_small_qty_revenue": 6,
     "events_session_conversion": 6,
     "events_props_agg": 6,
-    "copurchase_lift": 6,
     "corpus_stats": 6,
     "seq_packing": 6,
     "events_markov_transitions": 6,
     "knn_topk_partitioned": 6,
+    # round-7 changes after their r6 green rows: lift's ordering moved to
+    # exact-in-double lift (oracle + spark), pagerank's checkpoint
+    # cadence and edge build were restructured (spark side)
+    "copurchase_lift": 7,
+    "supplier_pagerank": 7,
 }
 
 
-def _never_green() -> set[str]:
-    """Query names needing driver proof: no passing CORRECTNESS row in
-    any prior round, no HASH-green row for oracle-backed queries (a
-    rows-only pass stops counting once the query gains an oracle), or a
-    _REPROVE_SINCE entry not yet re-proven after its change round.
-    Deterministic within a round; empty when no driver files exist."""
+def _green_history() -> tuple[set[str], dict[str, set[int]], set[str]]:
+    """Scan the driver-written CORRECTNESS_r*.json files once: returns
+    (green names, green rounds per name, ever-sampled names). A row is
+    green when hash-verified, or when it ran clean as a rows-only-by-
+    design query (no oracle registered)."""
     import glob
     import json
     import os
@@ -99,6 +106,24 @@ def _never_green() -> set[str]:
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 if name not in oracles:
                     green.add(name)  # rows-only by design, ran clean
+                    green_rounds.setdefault(name, set()).add(rnd)
+    return green, green_rounds, sampled
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """name → most recent round with a green driver row (for staleness-
+    first registry ordering)."""
+    _, green_rounds, _ = _green_history()
+    return {name: max(rounds) for name, rounds in green_rounds.items() if rounds}
+
+
+def _never_green() -> set[str]:
+    """Query names needing driver proof: no passing CORRECTNESS row in
+    any prior round, no HASH-green row for oracle-backed queries (a
+    rows-only pass stops counting once the query gains an oracle), or a
+    _REPROVE_SINCE entry not yet re-proven after its change round.
+    Deterministic within a round; empty when no driver files exist."""
+    green, green_rounds, sampled = _green_history()
     if not sampled:
         return set()
     all_names = {n for mod in _modules() for n in mod.QUERIES}
@@ -109,17 +134,6 @@ def _never_green() -> set[str]:
         ):
             unproven.add(name)
     return unproven
-
-
-def _round_number() -> int:
-    """Completed verification rounds, inferred from driver-written
-    CORRECTNESS_r*.json files beside the repo root. Deterministic within a
-    round (the current round's file appears only after it ends)."""
-    import glob
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
 
 
 def all_oracles() -> dict[str, str]:
