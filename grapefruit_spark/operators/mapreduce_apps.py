@@ -38,7 +38,10 @@ def mj_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         c: Counter = Counter()
         for t in pdf["text"]:
-            c.update(t.lower().split())
+            # null text contributes no tokens (the exe path gets this for
+            # free from the pipe framing: None serializes to an empty line)
+            if isinstance(t, str):
+                c.update(t.lower().split())
         return pd.DataFrame({"key": list(c.keys()), "value": list(c.values())})
 
     def wc_juice(key, grp: pd.DataFrame) -> pd.DataFrame:
