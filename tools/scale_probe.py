@@ -128,6 +128,79 @@ def docs_mode() -> None:
         print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |")
 
 
+def build_embeddings(path: str, n_vecs: int, seed: int = 11) -> None:
+    """Clustered 64-d float32 vectors (10 gaussian cells — the structure
+    IVF/kmeans exploit) with 2% planted near-dups (a copy of an earlier
+    vector plus ~1% noise — the structure the neardup/semantic ops hunt).
+    The 10× table keeps cell count and dup fraction fixed so the probe
+    measures data scaling, not distribution drift."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    k = 10
+    centers = rng.normal(size=(k, 64))
+    labels = rng.integers(0, k, n_vecs)
+    vecs = centers[labels] + 0.3 * rng.normal(size=(n_vecs, 64))
+    n_dup = n_vecs // 50
+    src = rng.integers(0, n_vecs - n_dup, n_dup)
+    vecs[-n_dup:] = vecs[src] + 0.01 * rng.normal(size=(n_dup, 64))
+    labels[-n_dup:] = labels[src]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(
+                [row for row in vecs.astype("float32")], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.astype("int32"), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def emb_mode() -> None:
+    """10× embeddings probe for the ANN/semantic family (`--emb`): the
+    cogrouped block-pair matmul (embedding_neardup) and the per-cell
+    quadratic stage (semantic_dedup) are the two places a super-linear
+    term could still hide (VERDICT r6 order #4)."""
+    from grapefruit_spark.operators import ml, similarity
+    from grapefruit_spark.session import get_spark
+
+    build_embeddings("/tmp/emb1/embeddings.parquet", 2_000)
+    build_embeddings("/tmp/emb10/embeddings.parquet", 20_000)
+    spark = get_spark("scale-probe-emb")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(fn, sf_dir: str) -> float:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc
+        for rid in list(jsc.getPersistentRDDs().keySet().toArray()):
+            jsc.sc().unpersistRDD(rid, False)
+        return best
+
+    cases = [
+        ("knn_lsh", similarity.knn_lsh),
+        ("knn_ivf_trained", similarity.knn_ivf_trained),
+        ("embedding_neardup", similarity.embedding_neardup),
+        ("semantic_dedup", ml.semantic_dedup),
+    ]
+    print("| query | 2k vecs s | 20k vecs s | ratio |")
+    print("|---|---|---|---|")
+    for name, fn in cases:
+        t1 = run(fn, "/tmp/emb1")
+        t10 = run(fn, "/tmp/emb10")
+        print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x |")
+
+
 def main() -> None:
     from grapefruit_spark.operators import (
         analytics,
@@ -179,5 +252,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--docs" in sys.argv:
         docs_mode()
+    elif "--emb" in sys.argv:
+        emb_mode()
     else:
         main()
