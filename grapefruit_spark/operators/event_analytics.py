@@ -874,8 +874,53 @@ WHERE m.mad > 0
 ORACLE["events_value_mad"] = _events_value_mad_oracle()
 
 
+def stream_markov_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible incremental Markov maintenance (C24): the events
+    table lands as two event-time halves (midpoint split, forced into
+    separate microbatches), flows through stream_markov_transitions —
+    per-user GroupState chains each user's last event type ACROSS the
+    batch boundary — and the summed deltas rebuild the full transition
+    matrix. Shares events_markov_transitions' oracle, so the incremental
+    path is hash-checked against the one-shot batch SQL."""
+    import tempfile
+    import time as _time
+
+    from ..streaming.events import (
+        land_file,
+        run_to_memory,
+        stream_markov_transitions,
+    )
+
+    src = tempfile.mkdtemp(prefix="grapefruit_markov_sim_")
+    ev = table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    mid = F.timestamp_micros(F.lit((lo + hi) // 2))
+    now = _time.time()
+    land_file(ev.where(F.col("ts") < mid), src, "b1.parquet", now - 100)
+    land_file(ev.where(F.col("ts") >= mid), src, "b2.parquet", now - 50)
+    deltas = run_to_memory(
+        stream_markov_transitions(spark, src, max_files_per_trigger=1),
+        "drv_markov_sim",
+        output_mode="append",
+    )
+    steps = deltas.groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
+    totals = steps.select(F.col("prev_type").alias("pt"), "n").groupBy("pt").agg(
+        F.sum("n").alias("n_from")
+    )
+    return steps.join(totals, steps.prev_type == totals.pt).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("(n * 1000000L) div n_from").alias("p_ppm"),
+    )
+
+
+ORACLE["stream_markov_sim"] = ORACLE["events_markov_transitions"]
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
+    "stream_markov_sim": stream_markov_sim,
     "events_value_mad": events_value_mad,
     "events_state_intervals": events_state_intervals,
     "events_markov_transitions": events_markov_transitions,

@@ -645,8 +645,80 @@ GROUP BY 1, 2
 """
 
 
+def stream_ttl_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible state-TTL sessionization (C18): the events table
+    lands as batch 1, then one far-future SENTINEL event per user as
+    batch 2 — the sentinel gap-closes every user's open tail session, so
+    the emitted set is deterministically ALL real sessions (closed_by =
+    'gap'), independent of whether the engine runs a final timer-only
+    batch (the sentinels' own sessions are filtered by start time either
+    way). Oracle: one-shot gaps-and-islands SQL over the same events.
+    total_value is deliberately not emitted — the stateful op sums
+    python floats in arrival order, which no cross-engine hash should
+    depend on; the value math is pytest-covered instead."""
+    import tempfile
+    import time as _time
+
+    from ..streaming.events import land_file, run_to_memory, stream_sessions_ttl
+
+    src = tempfile.mkdtemp(prefix="grapefruit_ttl_sim_")
+    ev = table(spark, sf_dir, "events")
+    hi = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    sent_us = hi + 2 * 86_400 * 1_000_000  # 2 days past the last event
+    sentinels = ev.select("user_id").distinct().select(
+        (-F.col("user_id")).alias("event_id"),
+        F.timestamp_micros(F.lit(sent_us)).alias("ts"),
+        "user_id",
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    now = _time.time()
+    land_file(ev, src, "b1.parquet", now - 100)
+    land_file(sentinels, src, "b2.parquet", now - 50)
+    out = run_to_memory(
+        stream_sessions_ttl(spark, src), "drv_ttl_sim", output_mode="append"
+    )
+    return out.where(F.col("start_us") < sent_us).select(
+        "user_id", "n_events", "start_us", "end_us", "closed_by"
+    )
+
+
+# mirrors streaming.events.SESSION_TTL_GAP_MIN (30 min, in µs) — pinned
+# by test_streaming_sims.test_ttl_gap_constant
+_TTL_GAP_US = 30 * 60 * 1_000_000
+
+ORACLE["stream_ttl_sim"] = f"""
+WITH seq AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+    FROM events
+),
+marked AS (
+    SELECT user_id, us,
+           CASE WHEN prev_us IS NULL
+                  OR us - prev_us > {_TTL_GAP_US} THEN 1
+                ELSE 0 END AS is_new
+    FROM seq
+),
+sess AS (
+    SELECT user_id, us,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+           ) AS sid
+    FROM marked
+)
+SELECT user_id, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       'gap' AS closed_by
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
+    "stream_ttl_sim": stream_ttl_sim,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "stream_sessions_sim": stream_sessions_sim,

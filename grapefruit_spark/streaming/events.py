@@ -223,17 +223,20 @@ def _markov_update(
         )
 
 
-def stream_markov_transitions(spark: SparkSession, src_dir: str) -> DataFrame:
+def stream_markov_transitions(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Per-user transition-count deltas over the event stream
     (applyInPandasWithState; state = one row per user holding the last
     seen event type). Summing emissions over time reproduces the batch
-    events_markov_transitions counts — asserted in tests, including
-    chains that span microbatch boundaries. Assumes the source delivers
-    microbatches in event-time order per user (file source ordered by
-    mod time; out-of-order WITHIN a batch is handled by the sort)."""
-    ev = _event_stream(spark, src_dir, "*.parquet").select(
-        "user_id", "ts", "event_id", "event_type"
-    )
+    events_markov_transitions counts — asserted in tests AND by the
+    driver-gated stream_markov_sim, including chains that span
+    microbatch boundaries. Assumes the source delivers microbatches in
+    event-time order per user (file source ordered by mod time;
+    out-of-order WITHIN a batch is handled by the sort)."""
+    ev = _event_stream(
+        spark, src_dir, "*.parquet", max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "ts", "event_id", "event_type")
     return ev.groupBy("user_id").applyInPandasWithState(
         _markov_update,
         outputStructType=_MARKOV_OUT_SCHEMA,
@@ -512,6 +515,26 @@ def maintain_event_rollup(
             os.rename(tmp, final)
 
     run_foreach_batch(ev, sink, checkpoint_dir)
+
+
+def land_file(df: DataFrame, src_dir: str, name: str, mtime: float) -> None:
+    """Materialize ``df`` as ONE plain parquet file ``src_dir/name`` with
+    an explicit mtime — the deterministic way to stage a multi-batch
+    file-source replay (FileStreamSource discovers files oldest-mtime
+    first; same-millisecond writes would otherwise order arbitrarily)."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="grapefruit_land_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
+    os.makedirs(src_dir, exist_ok=True)
+    dest = os.path.join(src_dir, name)
+    shutil.move(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.utime(dest, (mtime, mtime))
 
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -17,6 +17,73 @@ def test_attribution_window_constant():
     assert ATTRIBUTION_WINDOW == "30 minutes"
 
 
+def test_ttl_gap_constant():
+    """ORACLE['stream_ttl_sim'] hardcodes the 30-min gap in µs; it must
+    track the stateful operator's actual gap."""
+    from grapefruit_spark.operators.windows import _TTL_GAP_US
+    from grapefruit_spark.streaming.events import SESSION_TTL_GAP_MIN
+
+    assert _TTL_GAP_US == SESSION_TTL_GAP_MIN * 60 * 1_000_000
+
+
+def test_stream_markov_sim_matches_batch(spark):
+    """Summed cross-batch deltas == the one-shot batch transition matrix."""
+    from grapefruit_spark.operators.event_analytics import (
+        events_markov_transitions,
+        stream_markov_sim,
+    )
+
+    got = {tuple(r) for r in stream_markov_sim(spark, SF_DIR).collect()}
+    want = {tuple(r) for r in events_markov_transitions(spark, SF_DIR).collect()}
+    assert len(want) > 0
+    assert got == want
+
+
+def test_stream_ttl_sim_emits_every_real_session(spark):
+    """The sentinel batch gap-closes every open tail: one emitted row per
+    real session, all closed_by='gap', boundaries matching the batch
+    gaps-and-islands sessionization."""
+    from pyspark.sql.window import Window
+
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.operators.windows import stream_ttl_sim
+
+    rows = stream_ttl_sim(spark, SF_DIR).collect()
+    assert rows and all(r["closed_by"] == "gap" for r in rows)
+    got = {(r["user_id"], r["start_us"], r["end_us"], r["n_events"]) for r in rows}
+
+    ev = table(spark, SF_DIR, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(w)
+    sess = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("is_new").over(
+                Window.partitionBy("user_id").orderBy("us").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    want = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in sess.collect()
+    }
+    assert got == want
+
+
 def test_stream_attribution_sim_matches_batch(spark):
     from grapefruit_spark.operators.windows import _TS_FMT, stream_attribution_sim
     from grapefruit_spark.streaming.events import batch_attribution
