@@ -68,9 +68,11 @@ _REPROVE_SINCE: dict[str, int] = {
     "knn_topk_partitioned": 6,
     # round-7 changes after their r6 green rows: lift's ordering moved to
     # exact-in-double lift (oracle + spark), pagerank's checkpoint
-    # cadence and edge build were restructured (spark side)
+    # cadence and edge build were restructured, kcore's symmetrization
+    # dedup became conditional (all spark side)
     "copurchase_lift": 7,
     "supplier_pagerank": 7,
+    "copurchase_kcore": 7,
 }
 
 

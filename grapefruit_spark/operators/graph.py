@@ -615,7 +615,13 @@ KCORE_K = 3
 KCORE_MAX_ITERS = 30
 
 
-def kcore(edges: DataFrame, k: int = KCORE_K, src: str = "src", dst: str = "dst") -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    src: str = "src",
+    dst: str = "dst",
+    distinct_oriented: bool = False,
+) -> DataFrame:
     """k-core: the maximal subgraph where every node has degree ≥ k —
     the classic web-graph quality/spam filter (low-core pages are
     isolated link spam; high-core is the densely-audited center).
@@ -626,15 +632,18 @@ def kcore(edges: DataFrame, k: int = KCORE_K, src: str = "src", dst: str = "dst"
     per round (reliability.pin) and the previous round's blocks released
     (unpin), so the loop holds one edge generation. Convergence in
     O(peel depth) rounds, each O(|E| remaining).
+    ``distinct_oriented=True`` declares the input already deduped with
+    src < dst on every row — the two union branches are then DISJOINT by
+    construction and the symmetrization skips its 2|E|-row dedup shuffle.
     Returns (node, core_degree) for the surviving subgraph (rows-only:
     iterative; python-reference pytest).
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .transform(pin)
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if not distinct_oriented:
+        sym = sym.distinct()
+    sym = sym.transform(pin)
     n_edges = sym.count()
     for _ in range(KCORE_MAX_ITERS):
         if n_edges == 0:
@@ -671,7 +680,9 @@ def copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL CTE levels — peeling a fixed point is the identity, so the
     unrolled depth matches the loop whether it converges early or hits
     the cap. Upgraded from rows-only in round 5."""
-    return kcore(copurchase_edges(spark, sf_dir), KCORE_K)
+    # copurchase_edges guarantees distinct u < v rows, so the
+    # symmetrization's dedup shuffle is provably redundant here
+    return kcore(copurchase_edges(spark, sf_dir), KCORE_K, distinct_oriented=True)
 
 
 def _kcore_oracle() -> str:

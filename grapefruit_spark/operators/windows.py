@@ -589,9 +589,24 @@ def stream_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = tempfile.mkdtemp(prefix="grapefruit_wmdedup_sim_")
     orig = os.path.join(sf_dir, "events.parquet")
-    copy = shutil.copytree if os.path.isdir(orig) else shutil.copy
-    copy(orig, os.path.join(src, "events_b1.parquet"))
-    copy(orig, os.path.join(src, "events_b2.parquet"))
+
+    def deliver(tag: str) -> None:
+        # flatten directory layouts: the stream's pathGlobFilter matches
+        # LEAF file names, so nested part files must land as flat
+        # events_* files (each file is its own microbatch under
+        # maxFilesPerTrigger=1 — more batches, same redelivery semantics)
+        if os.path.isdir(orig):
+            import glob as globmod
+
+            for i, p in enumerate(
+                sorted(globmod.glob(os.path.join(orig, "*.parquet")))
+            ):
+                shutil.copy(p, os.path.join(src, f"events_{tag}_{i}.parquet"))
+        else:
+            shutil.copy(orig, os.path.join(src, f"events_{tag}.parquet"))
+
+    deliver("b1")
+    deliver("b2")
     return run_to_memory(
         stream_dedup_within_watermark(spark, src, max_files_per_trigger=1),
         "drv_stream_wmdedup",
@@ -716,9 +731,34 @@ GROUP BY user_id, sid
 """
 
 
+def stream_state_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible applyInPandasWithState surface (C5): per-user
+    running aggregates over the event stream; the final emission per
+    user must equal the batch groupBy. Emits the integer count only —
+    the stateful operator accumulates total_value as python floats in
+    arrival order, which no cross-engine hash should depend on (the
+    value math is pytest-covered)."""
+    from ..streaming.events import run_to_memory, stream_sessionize_stateful
+
+    out = run_to_memory(
+        stream_sessionize_stateful(spark, sf_dir),
+        "drv_state_sim",
+        output_mode="update",
+    )
+    # update mode re-emits a user on every batch that touches it; the
+    # final (max) count is the converged state
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+ORACLE["stream_state_sim"] = (
+    "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"
+)
+
+
 QUERIES = {
     "events_tumbling": events_tumbling,
     "stream_ttl_sim": stream_ttl_sim,
+    "stream_state_sim": stream_state_sim,
     "events_sessionize": events_sessionize,
     "events_session_window": events_session_window,
     "stream_sessions_sim": stream_sessions_sim,
