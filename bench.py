@@ -187,25 +187,46 @@ def main() -> None:
         out.update(prev)
     if errors:
         out["errors"] = errors
+    # the driver records only the LAST 2000 chars of stdout; once the
+    # suite outgrew that (round 6), its per-query record silently became
+    # "parsed": null. Persist the full result beside the repo too, so
+    # the history survives any stdout truncation (the driver commits
+    # uncommitted files at round end).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line remains the record
     print(json.dumps(out))
 
 
 def _common_prev_summary(timings: dict[str, float]) -> dict:
     """Headline totals stop being comparable as the suite grows, so also
     report the total over the query set SHARED with the latest recorded
-    round (BENCH_r*.json beside the repo) — the like-for-like number."""
+    round (BENCH_r*.json beside the repo) — the like-for-like number.
+    When the newest driver records are truncated ("parsed": null once
+    the JSON line outgrew the driver's 2000-char tail), fall back to the
+    repo's own bench_full.json from the previous run."""
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
-    for path in reversed(paths):
-        try:
-            with open(path) as f:
-                d = json.load(f)
-            if isinstance(d.get("parsed"), dict):
-                d = d["parsed"]
-            pq = d["queries"]
-        except Exception:  # noqa: BLE001 — crashed round, look further back
+    # bench_full.json (if present) is the record of the most recent run,
+    # newer than any driver round file — but prefer a parseable driver
+    # file from the LATEST round when one exists
+    full = os.path.join(root, "bench_full.json")
+    latest_round = paths[-1] if paths else None
+    ordered: list[str] = []
+    if latest_round is not None and _bench_queries(latest_round):
+        ordered.append(latest_round)
+    if os.path.exists(full):
+        ordered.append(full)
+    ordered.extend(p for p in reversed(paths) if p not in ordered)
+    for path in ordered:
+        pq = _bench_queries(path)
+        if not pq:
             continue
         shared = sorted(set(pq) & set(timings))
         if not shared:
@@ -217,6 +238,20 @@ def _common_prev_summary(timings: dict[str, float]) -> dict:
             "common_now_total": round(sum(timings[n] for n in shared), 3),
         }
     return {}
+
+
+def _bench_queries(path: str) -> dict | None:
+    """Extract the per-query timing dict from a bench record — either the
+    driver wrapper ({"parsed": {...}} / {"tail": "..."}) or a raw bench
+    JSON object."""
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        return d["queries"]
+    except Exception:  # noqa: BLE001 — truncated/crashed record
+        return None
 
 
 if __name__ == "__main__":
