@@ -848,9 +848,59 @@ ORDER BY d.source
 """
 
 
+def write_layout_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible clustered-layout round trip (E7/E8): write the
+    orders table in sorted layout (range-partitioned on o_orderdate) and
+    Z-order layout (Morton-interleaved o_custkey × o_totalprice) to a
+    temp location, read both back, and emit one identical profile row
+    per layout. A write path that loses, duplicates, or corrupts any row
+    breaks the hash; the layout's PRUNING properties (disjoint ranges,
+    tight footer stats) stay footer-asserted in pytest where they
+    belong."""
+    import os
+    import tempfile
+
+    from ..sources.io import write_sorted, write_zorder
+
+    base = tempfile.mkdtemp(prefix="grapefruit_layout_sim_")
+    orders = table(spark, sf_dir, "orders")
+    write_sorted(orders, os.path.join(base, "sorted"), ["o_orderdate"])
+    write_zorder(
+        orders, os.path.join(base, "zorder"), ["o_custkey", "o_totalprice"]
+    )
+
+    def profile(layout: str) -> DataFrame:
+        back = spark.read.parquet(os.path.join(base, layout))
+        return back.select(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+
+    return profile("sorted").unionByName(profile("zorder"))
+
+
+_LAYOUT_PROFILE_SQL = """
+SELECT '{layout}' AS layout, count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_custkeys,
+       round(sum((o_totalprice)::DECIMAL(18,6)), 2)::DOUBLE AS total
+FROM orders
+"""
+
+ORACLE["write_layout_sim"] = (
+    _LAYOUT_PROFILE_SQL.format(layout="sorted")
+    + " UNION ALL "
+    + _LAYOUT_PROFILE_SQL.format(layout="zorder")
+)
+
+
 QUERIES = {
     "split_train_val": split_train_val,
     "split_leakage_safe": split_leakage_safe,
+    "write_layout_sim": write_layout_sim,
     "domain_mix_sample": domain_mix_sample,
     "quality_weighted_sample": quality_weighted_sample,
     "sample_k_per_group": sample_k_per_group,

@@ -310,9 +310,54 @@ WHERE lang = 'en' AND text LIKE '%join%'
 """
 
 
+def sdfs_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible SDFS namespace lifecycle (A5, the reference's
+    SdfsServer.java file ops re-expressed): put the customer table into
+    a fresh namespace, CDC-MERGE an update batch (every 10th customer's
+    balance bumped by 1000), COMPACT the fragmented table, read the
+    final state back. The oracle replays the merge in SQL, so a lost
+    row, duplicated key, or value corrupted anywhere in the
+    put→merge→compact→get chain breaks the hash. Balance totals travel
+    as exact decimal sums (dec_sum pattern) — no order-dependent float
+    folds."""
+    import tempfile
+
+    from ..sdfs import Sdfs
+
+    fs = Sdfs(spark, tempfile.mkdtemp(prefix="grapefruit_sdfs_sim_"))
+    cust = table(spark, sf_dir, "customer")
+    fs.put(cust, "cust_sim")
+    updates = cust.where(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    fs.merge("cust_sim", updates, ["c_custkey"])
+    fs.compact("cust_sim", target_files=2)
+    final = fs.get("cust_sim")
+    return final.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("c_custkey") % 10 == 0).cast("long")).alias("n_bumped"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("bal_total"),
+    )
+
+
+ORACLE["sdfs_sim"] = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bumped,
+       round(sum((CASE WHEN c_custkey % 10 = 0
+                       THEN c_acctbal + 1000.0
+                       ELSE c_acctbal END)::DECIMAL(18,6)), 2)::DOUBLE
+           AS bal_total
+FROM customer
+"""
+
+
 QUERIES = {
     "mj_wordcount": mj_wordcount,
     "mj_exe_wordcount": mj_exe_wordcount,
+    "sdfs_sim": sdfs_sim,
     "mj_range_topkeys": mj_range_topkeys,
     "webgraph_inlinks": webgraph_inlinks,
     "condorcet_pairs": condorcet_pairs,
