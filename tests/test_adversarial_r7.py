@@ -268,6 +268,93 @@ def test_no_near_dup_pair_straddles_split(spark, chain_dir):
         )
 
 
+# ------------------------------------------- r7-changed graph code paths
+@pytest.fixture(scope="module")
+def graph_dir(tmp_path_factory):
+    """lineitem warehouse exercising BOTH r7-new pagerank/lift branches:
+
+    - supplier 999 appears ONLY as the second line of its orders → only
+      ever an edge DST → a DANGLING node, so pagerank takes the
+      dm-branch (cadence 2) the driver testdata never reaches;
+    - baskets are built symmetrically so two part pairs share EXACTLY
+      the same (n_ab, n_a, n_b) → bit-equal double lift, forcing the
+      (u,v) tie-break to decide the rank in both engines.
+    """
+    rows = []  # (l_orderkey, l_partkey, l_suppkey, l_linenumber)
+
+    def order(okey, supps, parts):
+        for i, (s, p) in enumerate(zip(supps, parts), start=1):
+            rows.append((okey, p, s, i))
+
+    # pagerank graph: 1→2, 2→3, 3→1 cycle plus 999 dangling (only dst)
+    for okey, (sa, sb) in enumerate(
+        [(1, 2), (2, 3), (3, 1), (1, 999), (2, 999)], start=100
+    ):
+        for rep in range(3):  # repeated orders: distinct-edge dedup
+            order(1000 * okey + rep, [sa, sb], [10 + sa, 10 + sb])
+    # lift ties: pairs (51,52) and (61,62) each co-occur in exactly 3
+    # orders; parts 51/52/61/62 each appear in exactly 4 baskets, so
+    # both pairs score the same exact lift
+    for okey in (1, 2, 3):
+        order(okey, [7, 7], [51, 52])
+        order(okey + 10, [7, 7], [61, 62])
+    order(30, [7, 7], [51, 61])  # 4th basket for 51 and 61
+    order(31, [7, 7], [52, 62])  # 4th basket for 52 and 62
+    d = tmp_path_factory.mktemp("graphadv")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    return str(d)
+
+
+def test_pagerank_dangling_branch_matches_oracle(spark, graph_dir):
+    """The dm branch (and its cadence-2 checkpointing) against the
+    unrolled dangling-mass CTEs — the driver corpus has no dangling
+    nodes, so only this case compares the two dm implementations."""
+    queries, oracles = _entry()
+    con = _duck_for(graph_dir, ["lineitem"])
+    assert_matches_oracle(
+        queries["supplier_pagerank"](spark, graph_dir),
+        con,
+        oracles["supplier_pagerank"],
+    )
+    # and the branch really is the dangling one
+    from grapefruit_spark.operators.graph import supplier_edges
+
+    e = supplier_edges(spark, graph_dir)
+    srcs = {r["src"] for r in e.select("src").distinct().collect()}
+    dsts = {r["dst"] for r in e.select("dst").distinct().collect()}
+    assert 999 in dsts - srcs  # dangling by construction
+
+
+def test_lift_double_tie_matches_oracle(spark, graph_dir):
+    """Two pairs with bit-equal double lift: rank must fall to the
+    (u,v) tie-break identically in both engines."""
+    queries, oracles = _entry()
+    con = _duck_for(graph_dir, ["lineitem"])
+    assert_matches_oracle(
+        queries["copurchase_lift"](spark, graph_dir),
+        con,
+        oracles["copurchase_lift"],
+    )
+    rows = {
+        (r["part_a"], r["part_b"]): r
+        for r in queries["copurchase_lift"](spark, graph_dir).collect()
+    }
+    a, b = rows.get((51, 52)), rows.get((61, 62))
+    assert a is not None and b is not None
+    assert a["lift_ppm"] == b["lift_ppm"]  # the planted exact tie
+    assert a["rank"] == b["rank"] - 1  # broken by (u,v), adjacent ranks
+
+
 # --------------------------------------------------------- mj_exe_wordcount
 @pytest.fixture(scope="module")
 def framing_dir(tmp_path_factory):
