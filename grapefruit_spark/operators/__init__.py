@@ -73,6 +73,7 @@ _REPROVE_SINCE: dict[str, int] = {
     "copurchase_lift": 7,
     "supplier_pagerank": 7,
     "copurchase_kcore": 7,
+    "copurchase_triangles": 7,
 }
 
 

@@ -378,9 +378,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
     # pin the (expensive) basket self-join + distinct ONCE: edges feed
     # degrees, orientation, adjacency and the edge count — without the
-    # checkpoint each consumer re-runs the self-join
+    # checkpoint each consumer re-runs the self-join. repartition(u)
+    # first: hashpartitioning(u) satisfies the (u,v) distinct agg's
+    # distribution AND pre-locates the degree join on u, one shuffle
+    # instead of two (same fusion as pagerank's edge build; 2.0→1.4 s)
     edges = (
         a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+        .repartition("u")
         .distinct()
         .transform(pin)
     )
@@ -721,7 +725,10 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "k").where(F.col("u") < F.col("v")).select(
             F.col("u").alias("src"), F.col("v").alias("dst")
-        ).distinct()
+        )
+        # the (src,dst) dedup rides the src partitioning — one shuffle
+        .repartition("src")
+        .distinct()
     )
 
 
