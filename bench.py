@@ -213,31 +213,39 @@ def _common_prev_summary(timings: dict[str, float]) -> dict:
 
     root = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
-    # bench_full.json (if present) is the record of the most recent run,
-    # newer than any driver round file — but prefer a parseable driver
-    # file from the LATEST round when one exists
-    full = os.path.join(root, "bench_full.json")
-    latest_round = paths[-1] if paths else None
-    ordered: list[str] = []
-    if latest_round is not None and _bench_queries(latest_round):
-        ordered.append(latest_round)
-    if os.path.exists(full):
-        ordered.append(full)
-    ordered.extend(p for p in reversed(paths) if p not in ordered)
-    for path in ordered:
+    out: dict = {}
+    # round-over-round: the newest PARSEABLE driver record (records can
+    # truncate once the JSON line outgrows the driver's 2000-char tail)
+    for path in reversed(paths):
         pq = _bench_queries(path)
         if not pq:
             continue
         shared = sorted(set(pq) & set(timings))
         if not shared:
             continue
-        return {
-            "common_prev_round": os.path.basename(path),
-            "common_prev_n": len(shared),
-            "common_prev_total": round(sum(pq[n] for n in shared), 3),
-            "common_now_total": round(sum(timings[n] for n in shared), 3),
-        }
-    return {}
+        out.update(
+            {
+                "common_prev_round": os.path.basename(path),
+                "common_prev_n": len(shared),
+                "common_prev_total": round(sum(pq[n] for n in shared), 3),
+                "common_now_total": round(sum(timings[n] for n in shared), 3),
+            }
+        )
+        break
+    # run-over-run: the repo's own full record of the previous bench
+    # invocation (survives driver-side truncation)
+    pq = _bench_queries(os.path.join(root, "bench_full.json"))
+    if pq:
+        shared = sorted(set(pq) & set(timings))
+        if shared:
+            out.update(
+                {
+                    "selfprev_n": len(shared),
+                    "selfprev_total": round(sum(pq[n] for n in shared), 3),
+                    "selfnow_total": round(sum(timings[n] for n in shared), 3),
+                }
+            )
+    return out
 
 
 def _bench_queries(path: str) -> dict | None:
