@@ -43,10 +43,11 @@ def all_queries() -> dict[str, QueryFn]:
     # has aged the most, and no query's last green row can age more than
     # ceil(registry/sample) rounds. (The former fixed-offset rotation
     # could skip entries when the registry grew between rounds.)
-    unproven = _never_green()
+    hist = _green_history()
+    unproven = _never_green(hist)
     head = [it for it in items if it[0] in unproven]
     tail = [it for it in items if it[0] not in unproven]
-    last_green = _last_green_rounds()
+    last_green = _last_green_rounds(hist)
     tail.sort(key=lambda it: last_green.get(it[0], 0))  # stable within a cohort
     return dict(head + tail)
 
@@ -113,20 +114,24 @@ def _green_history() -> tuple[set[str], dict[str, set[int]], set[str]]:
     return green, green_rounds, sampled
 
 
-def _last_green_rounds() -> dict[str, int]:
+def _last_green_rounds(
+    hist: tuple[set[str], dict[str, set[int]], set[str]] | None = None,
+) -> dict[str, int]:
     """name → most recent round with a green driver row (for staleness-
     first registry ordering)."""
-    _, green_rounds, _ = _green_history()
+    _, green_rounds, _ = hist if hist is not None else _green_history()
     return {name: max(rounds) for name, rounds in green_rounds.items() if rounds}
 
 
-def _never_green() -> set[str]:
+def _never_green(
+    hist: tuple[set[str], dict[str, set[int]], set[str]] | None = None,
+) -> set[str]:
     """Query names needing driver proof: no passing CORRECTNESS row in
     any prior round, no HASH-green row for oracle-backed queries (a
     rows-only pass stops counting once the query gains an oracle), or a
     _REPROVE_SINCE entry not yet re-proven after its change round.
     Deterministic within a round; empty when no driver files exist."""
-    green, green_rounds, sampled = _green_history()
+    green, green_rounds, sampled = hist if hist is not None else _green_history()
     if not sampled:
         return set()
     all_names = {n for mod in _modules() for n in mod.QUERIES}

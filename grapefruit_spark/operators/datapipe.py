@@ -858,11 +858,11 @@ def write_layout_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     tight footer stats) stay footer-asserted in pytest where they
     belong."""
     import os
-    import tempfile
 
     from ..sources.io import write_sorted, write_zorder
+    from ..streaming.events import scratch_dir
 
-    base = tempfile.mkdtemp(prefix="grapefruit_layout_sim_")
+    base = scratch_dir("grapefruit_layout_sim_")
     orders = table(spark, sf_dir, "orders")
     write_sorted(orders, os.path.join(base, "sorted"), ["o_orderdate"])
     write_zorder(

@@ -882,16 +882,16 @@ def stream_markov_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch boundary — and the summed deltas rebuild the full transition
     matrix. Shares events_markov_transitions' oracle, so the incremental
     path is hash-checked against the one-shot batch SQL."""
-    import tempfile
     import time as _time
 
     from ..streaming.events import (
         land_file,
         run_to_memory,
+        scratch_dir,
         stream_markov_transitions,
     )
 
-    src = tempfile.mkdtemp(prefix="grapefruit_markov_sim_")
+    src = scratch_dir("grapefruit_markov_sim_")
     ev = table(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
     mid = F.timestamp_micros(F.lit((lo + hi) // 2))

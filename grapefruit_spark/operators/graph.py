@@ -247,14 +247,18 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
         if dm is not None:
             ranks = ranks.join(F.broadcast(dm))
         ranks = ranks.select("node", new_rank.alias("rank"))
-        # pin every few generations (and the last): lineage stays bounded
-        # while the eager materialization count — a dominant wall cost of
-        # the loop (r6 plan audit) — drops 10→4. An unpinned generation
-        # is recomputed once per consumer BRANCH inside the next pinned
-        # job: exactly one branch when dm is skipped (cadence 3), two
-        # with the dangling-mass branch alive (cadence 2, bounding the
-        # recompute fan-out at 4 bounded joins).
-        cadence = 3 if no_dangling else 2
+        # Checkpoint cadence. No-dangling path: an unpinned generation
+        # has exactly ONE consumer (the next contribs join), so it is
+        # recomputed exactly once and every branch sees the same values
+        # — safe to pin every third generation, dropping the loop's
+        # dominant wall cost (r6 plan audit) from 10 to 4
+        # materializations. Dangling path: generation i feeds BOTH the
+        # dm aggregate and the contribs join; if it were unpinned the
+        # two branches could recompute its double-sums under different
+        # partial-merge orders and derive dm and contribs from slightly
+        # different (~1 ulp) rank snapshots — so that path pins every
+        # generation, exactly like the pre-r7 loop.
+        cadence = 3 if no_dangling else 1
         if i % cadence == cadence - 1 or i == iters - 1:
             ranks = ranks.transform(pin)
             # the eager pin above already consumed the previous rank

@@ -320,11 +320,10 @@ def sdfs_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     put→merge→compact→get chain breaks the hash. Balance totals travel
     as exact decimal sums (dec_sum pattern) — no order-dependent float
     folds."""
-    import tempfile
-
     from ..sdfs import Sdfs
+    from ..streaming.events import scratch_dir
 
-    fs = Sdfs(spark, tempfile.mkdtemp(prefix="grapefruit_sdfs_sim_"))
+    fs = Sdfs(spark, scratch_dir("grapefruit_sdfs_sim_"))
     cust = table(spark, sf_dir, "customer")
     fs.put(cust, "cust_sim")
     updates = cust.where(F.col("c_custkey") % 10 == 0).withColumn(

@@ -352,11 +352,10 @@ def ingest_pipeline_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (hash-based admission; the temp state dir never influences
     results). rows-only: the near-dup layer uses our MinHash family.
     """
-    import tempfile
-
     from ..sdfs import Sdfs
+    from ..streaming.events import scratch_dir
 
-    fs = Sdfs(spark, tempfile.mkdtemp(prefix="grapefruit_ingest_sim_"))
+    fs = Sdfs(spark, scratch_dir("grapefruit_ingest_sim_"))
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     n1 = ingest_corpus(fs, "sim", docs.where(F.col("doc_id") % 2 == 0)).count()
     n2 = ingest_corpus(fs, "sim", docs.where(F.col("doc_id") % 2 == 1)).count()
@@ -374,11 +373,10 @@ def ingest_spans_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     report tokens removed per batch plus the final span-state size.
     Deterministic for a given corpus. rows-only: multi-batch stateful.
     """
-    import tempfile
-
     from ..sdfs import Sdfs
+    from ..streaming.events import scratch_dir
 
-    fs = Sdfs(spark, tempfile.mkdtemp(prefix="grapefruit_spans_sim_"))
+    fs = Sdfs(spark, scratch_dir("grapefruit_spans_sim_"))
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     b1 = ingest_span_dedup(fs, "spanstate", docs.where(F.col("doc_id") % 2 == 0))
     r1 = b1.agg(F.count(F.lit(1)), F.sum("n_removed")).collect()[0]

@@ -581,32 +581,26 @@ def stream_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     state; older ones fall to the late-data filter. Either branch keeps
     the output identical to the deduped source, so the oracle is simply
     the events table."""
-    import os
-    import shutil
-    import tempfile
+    import time as _time
 
-    from ..streaming.events import run_to_memory, stream_dedup_within_watermark
+    from ..streaming.events import (
+        land_file,
+        run_to_memory,
+        scratch_dir,
+        stream_dedup_within_watermark,
+    )
 
-    src = tempfile.mkdtemp(prefix="grapefruit_wmdedup_sim_")
-    orig = os.path.join(sf_dir, "events.parquet")
-
-    def deliver(tag: str) -> None:
-        # flatten directory layouts: the stream's pathGlobFilter matches
-        # LEAF file names, so nested part files must land as flat
-        # events_* files (each file is its own microbatch under
-        # maxFilesPerTrigger=1 — more batches, same redelivery semantics)
-        if os.path.isdir(orig):
-            import glob as globmod
-
-            for i, p in enumerate(
-                sorted(globmod.glob(os.path.join(orig, "*.parquet")))
-            ):
-                shutil.copy(p, os.path.join(src, f"events_{tag}_{i}.parquet"))
-        else:
-            shutil.copy(orig, os.path.join(src, f"events_{tag}.parquet"))
-
-    deliver("b1")
-    deliver("b2")
+    # each delivery must be ONE whole-table file: if a delivery were
+    # split across part files (multi-part directory layouts), the part
+    # processed first would advance the watermark and a later part's
+    # FIRST-delivery rows older than the horizon would be late-dropped —
+    # the output would no longer equal the deduped source. land_file
+    # collapses any layout to a single file with a controlled mtime.
+    src = scratch_dir("grapefruit_wmdedup_sim_")
+    ev = table(spark, sf_dir, "events")
+    now = _time.time()
+    land_file(ev, src, "events_b1.parquet", now - 100)
+    land_file(ev, src, "events_b2.parquet", now - 50)
     return run_to_memory(
         stream_dedup_within_watermark(spark, src, max_files_per_trigger=1),
         "drv_stream_wmdedup",
@@ -627,12 +621,11 @@ def stream_rollup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     the maintained sum exact and merge-order-independent, so the oracle
     is the ONE-SHOT batch rollup over everything."""
     import os
-    import tempfile
 
     from ..sdfs import Sdfs
-    from ..streaming.events import maintain_event_rollup
+    from ..streaming.events import maintain_event_rollup, scratch_dir
 
-    base = tempfile.mkdtemp(prefix="grapefruit_rollup_sim_")
+    base = scratch_dir("grapefruit_rollup_sim_")
     src = os.path.join(base, "src")
     ev = table(spark, sf_dir, "events")
     ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
@@ -671,12 +664,16 @@ def stream_ttl_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_value is deliberately not emitted — the stateful op sums
     python floats in arrival order, which no cross-engine hash should
     depend on; the value math is pytest-covered instead."""
-    import tempfile
     import time as _time
 
-    from ..streaming.events import land_file, run_to_memory, stream_sessions_ttl
+    from ..streaming.events import (
+        land_file,
+        run_to_memory,
+        scratch_dir,
+        stream_sessions_ttl,
+    )
 
-    src = tempfile.mkdtemp(prefix="grapefruit_ttl_sim_")
+    src = scratch_dir("grapefruit_ttl_sim_")
     ev = table(spark, sf_dir, "events")
     hi = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
     sent_us = hi + 2 * 86_400 * 1_000_000  # 2 days past the last event

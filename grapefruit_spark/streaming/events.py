@@ -517,6 +517,27 @@ def maintain_event_rollup(
     run_foreach_batch(ev, sink, checkpoint_dir)
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp with process-exit cleanup: the driver-gate sims stage
+    replay files / warehouses under /tmp, and without this every
+    invocation (gate + pytest + bench sweeps) would leak a full table
+    copy for the life of the machine."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
 def land_file(df: DataFrame, src_dir: str, name: str, mtime: float) -> None:
     """Materialize ``df`` as ONE plain parquet file ``src_dir/name`` with
     an explicit mtime — the deterministic way to stage a multi-batch
