@@ -167,7 +167,17 @@ PR_DAMPING = 0.85
 PR_ITERS = 10
 
 
-def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITERS) -> DataFrame:
+#: rank vectors up to this many nodes broadcast to executors; larger
+#: graphs fall back to co-partitioning the rank vector on the join key
+PR_BCAST_MAX_NODES = 5_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    bcast_max_nodes: int = PR_BCAST_MAX_NODES,
+) -> DataFrame:
     """Power-iteration PageRank over a directed (src, dst) edge frame.
 
     The deepened WebGraph app (the reference's
@@ -217,7 +227,7 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, iters: int = PR_ITER
     # rank vector: broadcast while it plausibly fits on executors; past
     # that, co-partition on the join key so only the SMALL side shuffles
     # each iteration (links stays pinned on src either way)
-    bcast_ok = n <= 5_000_000
+    bcast_ok = n <= bcast_max_nodes
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     prev_pinned: DataFrame | None = None

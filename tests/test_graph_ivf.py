@@ -105,6 +105,25 @@ def test_pagerank_matches_python_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_copartition_fallback_matches_broadcast(spark):
+    """The >PR_BCAST_MAX_NODES co-partition path (rank vector shuffled on
+    the join key instead of broadcast) must produce the same ranks as the
+    broadcast path — forced here by dropping the threshold to 0."""
+    from grapefruit_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    bcast = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+    copart = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=8, bcast_max_nodes=0).collect()
+    }
+    assert set(bcast) == set(copart)
+    for v in bcast:
+        assert abs(bcast[v] - copart[v]) < 1e-12, (v, bcast[v], copart[v])
+    assert abs(sum(copart.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_all_dangling_except_sources(spark):
     from grapefruit_spark.operators.graph import pagerank
 
