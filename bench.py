@@ -114,6 +114,8 @@ HEADLINE = [
     # oracle-checkable sketch paths (KMV distinct, sampled quantiles)
     "distinct_kmv",
     "events_quantile_sample",
+    # round-7 addition: seeded random-walk-with-restart ranking
+    "supplier_ppr",
 ]
 
 

@@ -172,29 +172,11 @@ PR_ITERS = 10
 PR_BCAST_MAX_NODES = 5_000_000
 
 
-def pagerank(
-    edges: DataFrame,
-    damping: float = PR_DAMPING,
-    iters: int = PR_ITERS,
-    bcast_max_nodes: int = PR_BCAST_MAX_NODES,
-) -> DataFrame:
-    """Power-iteration PageRank over a directed (src, dst) edge frame.
-
-    The deepened WebGraph app (the reference's
-    `app/WebGraph.java` + wg_maple/wg_juice stop at in-link counting;
-    PageRank is the same shuffle shape iterated). Spark-first layout:
-    the EDGE set — the big side — is hash-partitioned once on src and
-    lineage-pinned (reliability.pin); each iteration broadcasts the (small) rank
-    vector into an edge-colocated join, so per-iteration cost is one
-    scan of edges + one agg shuffle on dst, never an edge re-shuffle.
-    Dangling mass (nodes without out-links) is folded back uniformly, so
-    ranks sum to 1 every iteration (a one-row agg, broadcast back).
-    """
-    # ONE materialization for the whole edge pipeline: out-degree rides a
-    # window over src instead of a groupBy+self-join, so the (possibly
-    # expensive) upstream edge build executes exactly once — the r6 plan
-    # audit showed the former e-pin + links-pin pair re-materializing the
-    # same 640k-row frame twice for >3 s of the query's wall time
+def _pr_graph_setup(edges: DataFrame):
+    """Shared pagerank/PPR graph preparation: returns (links, nodes, n,
+    dangling_nodes, no_dangling) with links/nodes pinned. One
+    materialization covers the whole edge pipeline (see comments
+    inline)."""
     from pyspark.sql.window import Window as _W
 
     # repartition on src FIRST: hashpartitioning(src) satisfies the
@@ -224,6 +206,33 @@ def pagerank(
         # only worth materializing when the per-iteration mass branch
         # will actually consume it
         dangling_nodes = dangling_nodes.transform(pin)
+    return links, nodes, n, dangling_nodes, no_dangling
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    bcast_max_nodes: int = PR_BCAST_MAX_NODES,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed (src, dst) edge frame.
+
+    The deepened WebGraph app (the reference's
+    `app/WebGraph.java` + wg_maple/wg_juice stop at in-link counting;
+    PageRank is the same shuffle shape iterated). Spark-first layout:
+    the EDGE set — the big side — is hash-partitioned once on src and
+    lineage-pinned (reliability.pin); each iteration broadcasts the (small) rank
+    vector into an edge-colocated join, so per-iteration cost is one
+    scan of edges + one agg shuffle on dst, never an edge re-shuffle.
+    Dangling mass (nodes without out-links) is folded back uniformly, so
+    ranks sum to 1 every iteration (a one-row agg, broadcast back).
+    """
+    # ONE materialization for the whole edge pipeline: out-degree rides a
+    # window over src instead of a groupBy+self-join, so the (possibly
+    # expensive) upstream edge build executes exactly once — the r6 plan
+    # audit showed the former e-pin + links-pin pair re-materializing the
+    # same 640k-row frame twice for >3 s of the query's wall time
+    links, nodes, n, dangling_nodes, no_dangling = _pr_graph_setup(edges)
     # rank vector: broadcast while it plausibly fits on executors; past
     # that, co-partition on the join key so only the SMALL side shuffles
     # each iteration (links stays pinned on src either way)
@@ -369,6 +378,151 @@ LIMIT 20""")
 
 
 ORACLE["supplier_pagerank"] = _pagerank_oracle()
+
+
+# ------------------------------------------------------------------ A19
+PPR_SEEDS = 5
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    n_seeds: int = PPR_SEEDS,
+    damping: float = PR_DAMPING,
+    iters: int = PR_ITERS,
+    bcast_max_nodes: int = PR_BCAST_MAX_NODES,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): the restart
+    vector is uniform over a SEED set instead of the whole graph, so the
+    stationary ranks measure proximity TO THE SEEDS — the related-entity
+    / recommendation primitive ("suppliers most associated with this
+    cohort"). Seeds here: the ``n_seeds`` smallest node ids (a
+    deterministic, SQL-mirrorable stand-in for a caller-supplied seed
+    set). Dangling mass restarts onto the seeds (∝ p), so total mass
+    stays 1 every iteration.
+
+    Same scale layout as pagerank(): edges pinned once, seed/restart
+    vector (tiny) broadcast, rank vector broadcast under the node
+    threshold with a co-partition fallback, checkpoint cadence 3 when
+    the graph has no dangling nodes (single consumer per generation) and
+    1 otherwise (two consumer branches must see one materialized
+    snapshot)."""
+    links, nodes, n, dangling_nodes, no_dangling = _pr_graph_setup(edges)
+    seeds = nodes.orderBy("node").limit(n_seeds).transform(pin)
+    s_count = seeds.count()
+    p_val = 1.0 / s_count
+    pvec = (
+        nodes.join(
+            F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "node", "left"
+        )
+        .select(
+            "node",
+            F.when(F.col("is_seed").isNotNull(), F.lit(p_val))
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
+        .transform(pin)
+    )
+    bcast_ok = n <= bcast_max_nodes
+
+    ranks = pvec.select("node", F.col("p").alias("rank"))
+    prev_pinned: DataFrame | None = None
+    for i in range(iters):
+        base = F.lit(1.0 - damping) * F.col("p")
+        if no_dangling:
+            # dm ≡ 0.0: adding d·0·p is the IEEE identity, so the
+            # unrolled SQL oracle needs no variant
+            dm = None
+        else:
+            dm = ranks.join(dangling_nodes.select("node"), "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+            base = base + F.lit(damping) * F.col("dm") * F.col("p")
+        rside = F.broadcast(ranks) if bcast_ok else ranks.repartition("node")
+        contribs = (
+            links.join(rside, links.src == rside.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        new_rank = base + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+        ranks = pvec.join(contribs, pvec.node == contribs.dst, "left")
+        if dm is not None:
+            ranks = ranks.join(F.broadcast(dm))
+        ranks = ranks.select("node", new_rank.alias("rank"))
+        # same cadence rationale as pagerank(): see the comment there
+        cadence = 3 if no_dangling else 1
+        if i % cadence == cadence - 1 or i == iters - 1:
+            ranks = ranks.transform(pin)
+            if prev_pinned is not None:
+                unpin(prev_pinned)
+            prev_pinned = ranks
+    return ranks
+
+
+def supplier_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the supplier co-purchase graph, seeded
+    on the 5 smallest supplier ids: top-20 suppliers by proximity to the
+    seed cohort. Hash-checked the same way as supplier_pagerank — the
+    damped seeded iterations unroll as chained SQL CTEs."""
+    ranks = personalized_pagerank(supplier_edges(spark, sf_dir))
+    return (
+        ranks.select("node", F.round("rank", 6).alias("ppr"))
+        .orderBy(F.desc("ppr"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _ppr_oracle(
+    n_seeds: int = PPR_SEEDS, damping: float = PR_DAMPING, iters: int = PR_ITERS
+) -> str:
+    """supplier_ppr unrolled: seed-uniform restart vector as a pvec CTE,
+    one (dm, contrib) CTE pair per iteration, constants computed IN SQL
+    from the same literals the python closure uses so both engines derive
+    bit-identical coefficients (the _pagerank_oracle pattern)."""
+    d = damping
+    parts = [
+        f"""WITH edges AS MATERIALIZED (
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_linenumber < b.l_linenumber AND a.l_suppkey != b.l_suppkey
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}),
+sp AS (SELECT CAST(1 AS DOUBLE) / count(*) AS pv FROM seeds),
+pvec AS MATERIALIZED (
+    SELECT n.node,
+           CASE WHEN s.node IS NOT NULL THEN sp.pv ELSE CAST(0 AS DOUBLE) END AS p
+    FROM nodes n LEFT JOIN seeds s ON n.node = s.node CROSS JOIN sp
+),
+outd AS MATERIALIZED (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, p AS rank FROM pvec),"""
+    ]
+    for i in range(iters):
+        parts.append(f"""dm{i} AS MATERIALIZED (
+    SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dm
+    FROM r{i} WHERE node NOT IN (SELECT src FROM outd)
+),
+contrib{i} AS MATERIALIZED (
+    SELECT e.dst, sum(r.rank / o.out_deg) AS contrib
+    FROM edges e JOIN r{i} r ON e.src = r.node JOIN outd o ON e.src = o.src
+    GROUP BY e.dst
+),
+r{i + 1} AS MATERIALIZED (
+    SELECT pv.node,
+           (CAST(1 AS DOUBLE) - CAST({d} AS DOUBLE)) * pv.p
+           + CAST({d} AS DOUBLE) * dm.dm * pv.p
+           + CAST({d} AS DOUBLE) * coalesce(c.contrib, CAST(0 AS DOUBLE)) AS rank
+    FROM pvec pv
+    LEFT JOIN contrib{i} c ON pv.node = c.dst
+    CROSS JOIN dm{i} dm
+),""")
+    parts.append(f"""final AS (SELECT node, round(rank, 6) AS ppr FROM r{iters})
+SELECT node, ppr FROM final
+ORDER BY ppr DESC, node ASC
+LIMIT 20""")
+    return "\n".join(parts)
+
+
+ORACLE["supplier_ppr"] = _ppr_oracle()
 
 
 # ------------------------------------------------------------------ A16
@@ -753,6 +907,7 @@ QUERIES = {
     "jaccard_clusters": jaccard_clusters,
     "dedup_clusters": dedup_clusters,
     "supplier_pagerank": supplier_pagerank,
+    "supplier_ppr": supplier_ppr,
     "copurchase_triangles": copurchase_triangles,
     "copurchase_lift": copurchase_lift,
     "copurchase_kcore": copurchase_kcore,

@@ -326,6 +326,12 @@ def test_pagerank_dangling_branch_matches_oracle(spark, graph_dir):
         con,
         oracles["supplier_pagerank"],
     )
+    # the seeded variant's dangling path against ITS unrolled CTEs
+    assert_matches_oracle(
+        queries["supplier_ppr"](spark, graph_dir),
+        con,
+        oracles["supplier_ppr"],
+    )
     # and the branch really is the dangling one
     from grapefruit_spark.operators.graph import supplier_edges
 

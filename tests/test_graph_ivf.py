@@ -105,6 +105,47 @@ def test_pagerank_matches_python_reference(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def _py_ppr(edges, n_seeds=5, d=0.85, iters=10):
+    nodes = sorted({v for e in edges for v in e})
+    seeds = nodes[:n_seeds]
+    p = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    out = {}
+    for s, t in set(edges):
+        out.setdefault(s, []).append(t)
+    ranks = dict(p)
+    for _ in range(iters):
+        dm = sum(r for v, r in ranks.items() if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += ranks[s] / len(ts)
+        ranks = {
+            v: (1 - d) * p[v] + d * dm * p[v] + d * contrib[v] for v in nodes
+        }
+    return ranks
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    """Seeded restart + dangling mass folded onto the seeds; total mass
+    conserved at 1."""
+    from grapefruit_spark.operators.graph import personalized_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (3, 9)]  # 9 dangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, n_seeds=2, iters=10).collect()
+    }
+    want = _py_ppr(edges, n_seeds=2, iters=10)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # non-seed nodes with no inbound path from seeds get rank 0; seeds
+    # always retain restart mass
+    assert got[1] > 0 and got[2] > 0
+
+
 def test_pagerank_copartition_fallback_matches_broadcast(spark):
     """The >PR_BCAST_MAX_NODES co-partition path (rank vector shuffled on
     the join key instead of broadcast) must produce the same ranks as the
