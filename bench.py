@@ -119,9 +119,40 @@ HEADLINE = [
 ]
 
 
+#: refuse to start timed runs while 1-min loadavg exceeds ncpu/QUIET_DIV —
+#: r6's "1.13× regression" and r7's two gate-missing records were all
+#: ambient load misread as plan changes. The guard WAITS (load decays)
+#: rather than refusing, so an unattended driver round still gets a
+#: record; if the machine never quiets, the run proceeds flagged
+#: ("loadavg_hot": true) so the number is never trusted silently.
+QUIET_DIV = 4
+QUIET_MAX_WAIT_S = 300
+
+
+def _wait_for_quiet() -> tuple[float, float]:
+    """Block until 1-min loadavg ≤ ncpu/QUIET_DIV or the wait budget is
+    spent. Returns (loadavg at start of timed work, seconds waited)."""
+    thr = (os.cpu_count() or 8) / QUIET_DIV
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > thr and waited < QUIET_MAX_WAIT_S:
+        print(
+            f"# loadavg {load:.2f} > {thr:.1f}: waiting for quiet machine",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return load, waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # gate BEFORE the session spins up — Spark's own executor threads
+    # inflate loadavg, so only the pre-session reading reflects ambient
+    # pressure from other processes
+    load_start, quiet_wait = _wait_for_quiet()
     spark = get_spark("grapefruit-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -178,13 +209,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # ambient-load indicator: 1/5/15-min loadavg at the END of the
-        # run, so a drifted total can be attributed to machine pressure
-        # instead of misread as a plan regression (r6 order #1)
+        # ambient-load indicators: loadavg_start is the 1-min loadavg
+        # when timed work began (after the quiet-wait gate, before the
+        # Spark session — the number that decides whether the record is
+        # trustworthy); "loadavg" is the end-of-run 1/5/15-min triple,
+        # inflated by bench's own executor threads (r6 order #1 / r7
+        # order #1 postmortems)
+        "loadavg_start": round(load_start, 2),
+        "loadavg_hot": load_start > (os.cpu_count() or 8) / QUIET_DIV,
+        "quiet_wait_sec": quiet_wait,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "ncpu": os.cpu_count(),
     }
-    prev = _common_prev_summary(timings)
+    prev = _common_prev_summary(timings, sf)
     if prev:
         out.update(prev)
     if errors:
@@ -204,24 +241,28 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _common_prev_summary(timings: dict[str, float]) -> dict:
+def _common_prev_summary(timings: dict[str, float], sf: float) -> dict:
     """Headline totals stop being comparable as the suite grows, so also
     report the total over the query set SHARED with the latest recorded
     round (BENCH_r*.json beside the repo) — the like-for-like number.
     When the newest driver records are truncated ("parsed": null once
     the JSON line outgrew the driver's 2000-char tail), fall back to the
-    repo's own bench_full.json from the previous run."""
+    repo's own bench_full.json from the previous run. Records taken at a
+    DIFFERENT scale factor are skipped — comparing timings across SFs
+    reads as a spurious huge regression/improvement."""
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
     out: dict = {}
-    # round-over-round: the newest PARSEABLE driver record (records can
-    # truncate once the JSON line outgrows the driver's 2000-char tail)
+    # round-over-round: the newest PARSEABLE driver record at this sf
+    # (records can truncate once the JSON line outgrows the driver's
+    # 2000-char tail)
     for path in reversed(paths):
-        pq = _bench_queries(path)
-        if not pq:
+        rec = _bench_record(path)
+        if not rec or rec.get("sf") != sf:
             continue
+        pq = rec["queries"]
         shared = sorted(set(pq) & set(timings))
         if not shared:
             continue
@@ -236,8 +277,9 @@ def _common_prev_summary(timings: dict[str, float]) -> dict:
         break
     # run-over-run: the repo's own full record of the previous bench
     # invocation (survives driver-side truncation)
-    pq = _bench_queries(os.path.join(root, "bench_full.json"))
-    if pq:
+    rec = _bench_record(os.path.join(root, "bench_full.json"))
+    if rec and rec.get("sf") == sf:
+        pq = rec["queries"]
         shared = sorted(set(pq) & set(timings))
         if shared:
             out.update(
@@ -250,16 +292,17 @@ def _common_prev_summary(timings: dict[str, float]) -> dict:
     return out
 
 
-def _bench_queries(path: str) -> dict | None:
-    """Extract the per-query timing dict from a bench record — either the
-    driver wrapper ({"parsed": {...}} / {"tail": "..."}) or a raw bench
-    JSON object."""
+def _bench_record(path: str) -> dict | None:
+    """Parse a bench record — either the driver wrapper
+    ({"parsed": {...}} / {"tail": "..."}) or a raw bench JSON object —
+    into the inner dict carrying "queries" and "sf"."""
     try:
         with open(path) as f:
             d = json.load(f)
         if isinstance(d.get("parsed"), dict):
             d = d["parsed"]
-        return d["queries"]
+        d["queries"]  # must exist
+        return d
     except Exception:  # noqa: BLE001 — truncated/crashed record
         return None
 

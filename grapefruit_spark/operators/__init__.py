@@ -52,29 +52,18 @@ def all_queries() -> dict[str, QueryFn]:
     return dict(head + tail)
 
 
-# Queries whose oracle text or Spark emission changed in round 6 (the
-# HUGEINT→BIGINT cast sweep) AFTER their last green driver row, plus
-# knn_topk_partitioned (gained an oracle after its rows-only greens).
-# Each stays front-loaded until it earns a hash-green row in a round
-# whose number is >= the listed one; then the rule self-clears.
+# Queries whose oracle text or Spark emission changed AFTER their last
+# green driver row. Each stays front-loaded until it earns a hash-green
+# row in a round whose number is >= the listed one; then the rule
+# self-clears. All r6/r7 entries earned their re-proof rows (verified
+# against the CORRECTNESS history in the r8 registry audit) and were
+# pruned; only live entries remain.
 _REPROVE_SINCE: dict[str, int] = {
-    "q14_promo_effect": 6,
-    "q8_market_share": 6,
-    "q17_small_qty_revenue": 6,
-    "events_session_conversion": 6,
-    "events_props_agg": 6,
-    "corpus_stats": 6,
-    "seq_packing": 6,
-    "events_markov_transitions": 6,
-    "knn_topk_partitioned": 6,
-    # round-7 changes after their r6 green rows: lift's ordering moved to
-    # exact-in-double lift (oracle + spark), pagerank's checkpoint
-    # cadence and edge build were restructured, kcore's symmetrization
-    # dedup became conditional (all spark side)
-    "copurchase_lift": 7,
-    "supplier_pagerank": 7,
-    "copurchase_kcore": 7,
-    "copurchase_triangles": 7,
+    # round-8 change after the r7 green rows: pagerank/PPR gained the
+    # fused small-graph kernel tier (graph.py _pr_fused) — the
+    # driver-scale supplier graphs now run the numpy kernel path
+    "supplier_pagerank": 8,
+    "supplier_ppr": 8,
 }
 
 

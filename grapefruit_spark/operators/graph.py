@@ -171,22 +171,96 @@ PR_ITERS = 10
 #: graphs fall back to co-partitioning the rank vector on the join key
 PR_BCAST_MAX_NODES = 5_000_000
 
+#: edge sets up to this many rows run ALL power iterations in one fused
+#: numpy kernel (a single applyInPandas group ≈ one ~40 MB Arrow batch).
+#: Rationale: at this size the per-iteration DataFrame loop is pure
+#: scheduling overhead — each generation costs a broadcast-collect job
+#: plus a shuffle for ~ms of actual matvec compute (measured 3.0 s of a
+#: 4.6 s sf0.1 supplier_pagerank wall). Above the threshold the
+#: distributed loop below takes over: edges stay partitioned, the rank
+#: vector broadcasts (≤ PR_BCAST_MAX_NODES) or co-partitions, which is
+#: the layout that holds at 100 TB. Same tiering every vectorized engine
+#: applies — distribute the O(E) matvec only once E stops fitting a task.
+PR_FUSED_MAX_EDGES = 2_000_000
 
-def _pr_graph_setup(edges: DataFrame):
-    """Shared pagerank/PPR graph preparation: returns (links, nodes, n,
-    dangling_nodes, no_dangling) with links/nodes pinned. One
-    materialization covers the whole edge pipeline (see comments
-    inline)."""
+
+def _pr_links(edges: DataFrame) -> DataFrame:
+    """Distinct (src, dst, out_deg) edge frame, pinned. One
+    materialization covers the whole edge pipeline: hashpartitioning(src)
+    satisfies BOTH the (src,dst) distinct agg and the out-degree window,
+    so dedup and degree ride one shuffle (measured 2.6→1.7 s at sf0.1)."""
     from pyspark.sql.window import Window as _W
 
-    # repartition on src FIRST: hashpartitioning(src) satisfies the
-    # clustered distribution required by BOTH the (src,dst) distinct agg
-    # and the src window, so the dedup and the degree computation ride
-    # one shuffle instead of two (measured 2.6→1.7 s at sf0.1)
     e = edges.select(F.col("src"), F.col("dst")).repartition("src").distinct()
-    links = e.withColumn(
+    return e.withColumn(
         "out_deg", F.count(F.lit(1)).over(_W.partitionBy("src"))
     ).transform(pin)
+
+
+def _pr_fused(
+    links: DataFrame, damping: float, iters: int, n_seeds: int | None
+) -> DataFrame:
+    """All power iterations in ONE numpy kernel over a single
+    applyInPandas group (small-graph tier, edge count ≤
+    PR_FUSED_MAX_EDGES — see the constant's rationale).
+
+    The kernel re-derives nodes / dangling set / seeds from the edge
+    batch itself, so the tier skips the nodes-pin + dangling-count jobs
+    entirely. Every scalar/elementwise operation mirrors the unrolled
+    SQL oracle op-for-op ((1−d)/n, (d/n)·dm, base + d·contrib, and for
+    PPR (1−d)·p + (d·dm)·p + d·contrib), so float results are
+    bit-identical up to summation order — the same ~1e-14 tolerance the
+    distributed loop already documents (np.bincount accumulates in edge
+    order where Spark merges partials; both land inside the 6-dp
+    emission grid).
+    """
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        src = pdf["src"].to_numpy(dtype="int64")
+        dst = pdf["dst"].to_numpy(dtype="int64")
+        outd = pdf["out_deg"].to_numpy(dtype="float64")
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        has_out = np.zeros(n, dtype=bool)
+        has_out[si] = True
+        dangling = np.flatnonzero(~has_out)
+        if n_seeds is None:
+            p = None
+            rank = np.full(n, 1.0 / n)
+        else:
+            k = min(n_seeds, n)
+            p = np.zeros(n)
+            p[:k] = 1.0 / k  # np.unique sorts → k smallest node ids
+            rank = p.copy()
+        for _ in range(iters):
+            dm = float(rank[dangling].sum()) if len(dangling) else 0.0
+            contrib = np.bincount(di, weights=rank[si] / outd, minlength=n)
+            if n_seeds is None:
+                base = (1.0 - damping) / n
+                if len(dangling):
+                    base = base + (damping / n) * dm
+                rank = base + damping * contrib
+            else:
+                base = (1.0 - damping) * p
+                if len(dangling):
+                    base = base + (damping * dm) * p
+                rank = base + damping * contrib
+        return pd.DataFrame({"node": nodes, "rank": rank})
+
+    return links.groupBy(F.lit(1).alias("g")).applyInPandas(
+        kernel, "node bigint, rank double"
+    )
+
+
+def _pr_graph_setup(links: DataFrame):
+    """Shared pagerank/PPR graph preparation for the DISTRIBUTED loop:
+    takes the pinned links frame from :func:`_pr_links`, returns (nodes,
+    n, dangling_nodes, no_dangling) with nodes pinned."""
     nodes = (
         links.select(F.col("src").alias("node"))
         .union(links.select(F.col("dst").alias("node")))
@@ -206,7 +280,7 @@ def _pr_graph_setup(edges: DataFrame):
         # only worth materializing when the per-iteration mass branch
         # will actually consume it
         dangling_nodes = dangling_nodes.transform(pin)
-    return links, nodes, n, dangling_nodes, no_dangling
+    return nodes, n, dangling_nodes, no_dangling
 
 
 def pagerank(
@@ -214,6 +288,7 @@ def pagerank(
     damping: float = PR_DAMPING,
     iters: int = PR_ITERS,
     bcast_max_nodes: int = PR_BCAST_MAX_NODES,
+    fused_max_edges: int = PR_FUSED_MAX_EDGES,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed (src, dst) edge frame.
 
@@ -226,13 +301,20 @@ def pagerank(
     scan of edges + one agg shuffle on dst, never an edge re-shuffle.
     Dangling mass (nodes without out-links) is folded back uniformly, so
     ranks sum to 1 every iteration (a one-row agg, broadcast back).
+    Edge sets ≤ fused_max_edges skip the iteration loop entirely and run
+    the fused numpy kernel (see PR_FUSED_MAX_EDGES).
     """
     # ONE materialization for the whole edge pipeline: out-degree rides a
     # window over src instead of a groupBy+self-join, so the (possibly
     # expensive) upstream edge build executes exactly once — the r6 plan
     # audit showed the former e-pin + links-pin pair re-materializing the
     # same 640k-row frame twice for >3 s of the query's wall time
-    links, nodes, n, dangling_nodes, no_dangling = _pr_graph_setup(edges)
+    links = _pr_links(edges)
+    if links.count() <= fused_max_edges:
+        # small-graph tier: all iterations in one numpy kernel (see
+        # PR_FUSED_MAX_EDGES) — skips the nodes/dangling setup jobs too
+        return _pr_fused(links, damping, iters, None)
+    nodes, n, dangling_nodes, no_dangling = _pr_graph_setup(links)
     # rank vector: broadcast while it plausibly fits on executors; past
     # that, co-partition on the join key so only the SMALL side shuffles
     # each iteration (links stays pinned on src either way)
@@ -390,6 +472,7 @@ def personalized_pagerank(
     damping: float = PR_DAMPING,
     iters: int = PR_ITERS,
     bcast_max_nodes: int = PR_BCAST_MAX_NODES,
+    fused_max_edges: int = PR_FUSED_MAX_EDGES,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart): the restart
     vector is uniform over a SEED set instead of the whole graph, so the
@@ -405,8 +488,12 @@ def personalized_pagerank(
     threshold with a co-partition fallback, checkpoint cadence 3 when
     the graph has no dangling nodes (single consumer per generation) and
     1 otherwise (two consumer branches must see one materialized
-    snapshot)."""
-    links, nodes, n, dangling_nodes, no_dangling = _pr_graph_setup(edges)
+    snapshot). Edge sets ≤ fused_max_edges take the fused numpy tier
+    (see PR_FUSED_MAX_EDGES)."""
+    links = _pr_links(edges)
+    if links.count() <= fused_max_edges:
+        return _pr_fused(links, damping, iters, n_seeds)
+    nodes, n, dangling_nodes, no_dangling = _pr_graph_setup(links)
     seeds = nodes.orderBy("node").limit(n_seeds).transform(pin)
     s_count = seeds.count()
     p_val = 1.0 / s_count

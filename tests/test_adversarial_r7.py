@@ -275,7 +275,10 @@ def graph_dir(tmp_path_factory):
 
     - supplier 999 appears ONLY as the second line of its orders → only
       ever an edge DST → a DANGLING node, so pagerank takes the
-      dm-branch (cadence 2) the driver testdata never reaches;
+      dm-branch the driver testdata never reaches (the fused kernel's
+      dangling-mass fold; the distributed loop's dm-branch — which pins
+      every generation, cadence 1 — is covered by the parametrized
+      python-reference tests in test_graph_ivf.py);
     - baskets are built symmetrically so two part pairs share EXACTLY
       the same (n_ab, n_a, n_b) → bit-equal double lift, forcing the
       (u,v) tie-break to decide the rank in both engines.
@@ -316,9 +319,9 @@ def graph_dir(tmp_path_factory):
 
 
 def test_pagerank_dangling_branch_matches_oracle(spark, graph_dir):
-    """The dm branch (and its cadence-2 checkpointing) against the
-    unrolled dangling-mass CTEs — the driver corpus has no dangling
-    nodes, so only this case compares the two dm implementations."""
+    """The dm branch against the unrolled dangling-mass CTEs — the
+    driver corpus has no dangling nodes, so only this case compares the
+    two dm implementations (the fused kernel at this graph size)."""
     queries, oracles = _entry()
     con = _duck_for(graph_dir, ["lineitem"])
     assert_matches_oracle(

@@ -92,12 +92,19 @@ def _py_pagerank(edges, d=0.85, iters=10):
     return ranks
 
 
-def test_pagerank_matches_python_reference(spark):
+@pytest.mark.parametrize("fused_max", [2_000_000, 0])
+def test_pagerank_matches_python_reference(spark, fused_max):
+    """Both tiers — the fused numpy kernel (default for ≤2M edges) and
+    the distributed loop (forced via fused_max_edges=0) — against the
+    python reference, including the dangling-mass branch."""
     from grapefruit_spark.operators.graph import pagerank
 
     edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # 5 edges, 3 has a dangler feeding it
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=10, fused_max_edges=fused_max).collect()
+    }
     want = _py_pagerank(edges, iters=10)
     assert set(got) == set(want)
     for v in want:
@@ -125,16 +132,19 @@ def _py_ppr(edges, n_seeds=5, d=0.85, iters=10):
     return ranks
 
 
-def test_personalized_pagerank_matches_python_reference(spark):
+@pytest.mark.parametrize("fused_max", [2_000_000, 0])
+def test_personalized_pagerank_matches_python_reference(spark, fused_max):
     """Seeded restart + dangling mass folded onto the seeds; total mass
-    conserved at 1."""
+    conserved at 1. Both tiers (fused kernel / distributed loop)."""
     from grapefruit_spark.operators.graph import personalized_pagerank
 
     edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (3, 9)]  # 9 dangles
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r["node"]: r["rank"]
-        for r in personalized_pagerank(df, n_seeds=2, iters=10).collect()
+        for r in personalized_pagerank(
+            df, n_seeds=2, iters=10, fused_max_edges=fused_max
+        ).collect()
     }
     want = _py_ppr(edges, n_seeds=2, iters=10)
     assert set(got) == set(want)
@@ -154,10 +164,15 @@ def test_pagerank_copartition_fallback_matches_broadcast(spark):
 
     edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    bcast = {r["node"]: r["rank"] for r in pagerank(df, iters=8).collect()}
+    bcast = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=8, fused_max_edges=0).collect()
+    }
     copart = {
         r["node"]: r["rank"]
-        for r in pagerank(df, iters=8, bcast_max_nodes=0).collect()
+        for r in pagerank(
+            df, iters=8, bcast_max_nodes=0, fused_max_edges=0
+        ).collect()
     }
     assert set(bcast) == set(copart)
     for v in bcast:
@@ -165,13 +180,17 @@ def test_pagerank_copartition_fallback_matches_broadcast(spark):
     assert abs(sum(copart.values()) - 1.0) < 1e-9
 
 
-def test_pagerank_all_dangling_except_sources(spark):
+@pytest.mark.parametrize("fused_max", [2_000_000, 0])
+def test_pagerank_all_dangling_except_sources(spark, fused_max):
     from grapefruit_spark.operators.graph import pagerank
 
     # star: everything points at 0; 0 itself dangles
     edges = [(i, 0) for i in range(1, 5)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=10, fused_max_edges=fused_max).collect()
+    }
     want = _py_pagerank(edges, iters=10)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9
