@@ -64,6 +64,9 @@ _REPROVE_SINCE: dict[str, int] = {
     # driver-scale supplier graphs now run the numpy kernel path
     "supplier_pagerank": 8,
     "supplier_ppr": 8,
+    # r8: vote aggregation went branchless (identical signatures —
+    # proven by the in-repo equivalence check — but the plan changed)
+    "dedup_simhash": 8,
 }
 
 
