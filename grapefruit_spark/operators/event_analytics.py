@@ -888,6 +888,7 @@ def stream_markov_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         land_file,
         run_to_memory,
         scratch_dir,
+        scratch_release,
         stream_markov_transitions,
     )
 
@@ -903,6 +904,7 @@ def stream_markov_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drv_markov_sim",
         output_mode="append",
     )
+    scratch_release(src)  # drained; the memory sink holds the deltas
     steps = deltas.groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
     totals = steps.select(F.col("prev_type").alias("pt"), "n").groupBy("pt").agg(
         F.sum("n").alias("n_from")

@@ -587,6 +587,7 @@ def stream_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         land_file,
         run_to_memory,
         scratch_dir,
+        scratch_release,
         stream_dedup_within_watermark,
     )
 
@@ -601,11 +602,15 @@ def stream_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = _time.time()
     land_file(ev, src, "events_b1.parquet", now - 100)
     land_file(ev, src, "events_b2.parquet", now - 50)
-    return run_to_memory(
+    out = run_to_memory(
         stream_dedup_within_watermark(spark, src, max_files_per_trigger=1),
         "drv_stream_wmdedup",
         output_mode="append",
     )
+    # the availableNow drain is complete and the memory sink holds the
+    # rows — the replay files are dead weight from here
+    scratch_release(src)
+    return out
 
 
 ORACLE["stream_dedup_sim"] = (
@@ -623,7 +628,7 @@ def stream_rollup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..sdfs import Sdfs
-    from ..streaming.events import maintain_event_rollup, scratch_dir
+    from ..streaming.events import maintain_event_rollup, scratch_dir, scratch_release
 
     base = scratch_dir("grapefruit_rollup_sim_")
     src = os.path.join(base, "src")
@@ -635,6 +640,11 @@ def stream_rollup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src, fs, "rollup_sim", os.path.join(base, "ckpt"),
         max_files_per_trigger=1,
     )
+    # the increments and the stream checkpoint are consumed; only the
+    # warehouse (which the RETURNED frame reads) must outlive this call —
+    # base itself stays registered for the atexit fallback
+    scratch_release(src)
+    scratch_release(os.path.join(base, "ckpt"))
     return fs.get("rollup_sim").select(
         "event_type",
         "hour",
@@ -670,15 +680,22 @@ def stream_ttl_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         land_file,
         run_to_memory,
         scratch_dir,
+        scratch_release,
         stream_sessions_ttl,
     )
 
     src = scratch_dir("grapefruit_ttl_sim_")
     ev = table(spark, sf_dir, "events")
-    hi = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    hi, lo_id = ev.agg(F.max(F.unix_micros("ts")), F.min("event_id")).first()
     sent_us = hi + 2 * 86_400 * 1_000_000  # 2 days past the last event
+    # sentinel event_ids live strictly BELOW every real id (and below 0):
+    # a plain -user_id would collide with real ids for user_id 0 or any
+    # dataset carrying negative ids, making the within-batch
+    # (ts, event_id) tie-break ambiguous against a same-timestamp real
+    # event
+    sent_base = min(0, lo_id) - 1
     sentinels = ev.select("user_id").distinct().select(
-        (-F.col("user_id")).alias("event_id"),
+        (F.lit(sent_base) - F.abs("user_id")).alias("event_id"),
         F.timestamp_micros(F.lit(sent_us)).alias("ts"),
         "user_id",
         F.lit("sentinel").alias("event_type"),
@@ -691,6 +708,7 @@ def stream_ttl_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         stream_sessions_ttl(spark, src), "drv_ttl_sim", output_mode="append"
     )
+    scratch_release(src)
     return out.where(F.col("start_us") < sent_us).select(
         "user_id", "n_events", "start_us", "end_us", "closed_by"
     )

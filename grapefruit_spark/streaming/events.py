@@ -538,6 +538,24 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def scratch_release(path: str) -> None:
+    """Remove a scratch path as soon as its consumer has fully drained —
+    a long session running every sim (driver gate + pytest + bench
+    sweeps) would otherwise hold many full table copies under /tmp
+    simultaneously until process exit. Only call once NOTHING will read
+    the path again (e.g. replay sources after run_to_memory's
+    availableNow drain — the memory sink holds the rows); sims whose
+    RETURNED DataFrame still reads from scratch (warehouse-backed
+    outputs) must leave cleanup to the atexit fallback."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        _SCRATCH_DIRS.remove(path)
+    except ValueError:
+        pass  # a subdir of a registered dir, or already released
+
+
 def land_file(df: DataFrame, src_dir: str, name: str, mtime: float) -> None:
     """Materialize ``df`` as ONE plain parquet file ``src_dir/name`` with
     an explicit mtime — the deterministic way to stage a multi-batch
