@@ -67,6 +67,10 @@ _REPROVE_SINCE: dict[str, int] = {
     # r8: vote aggregation went branchless (identical signatures —
     # proven by the in-repo equivalence check — but the plan changed)
     "dedup_simhash": 8,
+    # r8: ballot build pre-partitioned on l_orderkey (plan-only change;
+    # values identical, re-proof is cheap)
+    "condorcet_pairs": 8,
+    "condorcet_winner": 8,
 }
 
 
