@@ -1,0 +1,191 @@
+"""sf1.0-scale parity spot-run (r8 order #4): the driver's hash gate
+runs at sf0.001-0.1; this tool synthesizes a 10x (sf~1.0) dataset and
+runs the SAME Spark-vs-DuckDB compare (tools/check_parity.py machinery)
+for the heaviest operators, so the at-scale story is hash-evidence, not
+extrapolation.
+
+Synthesis (cached under /tmp/grapefruit_sf1, regenerates if absent):
+
+- ``documents`` x10: doc_id offset per replica; text passed through a
+  per-replica LETTER ROTATION (translate a..z -> rotated a..z), so each
+  replica keeps the corpus' length/Zipf shape but owns a DISJOINT
+  vocabulary. Plain replication would plant 9 exact copies of every
+  doc - a pathological near-dup density that measures the degenerate
+  case, not scale.
+- ``lineitem`` x10: orderkey/partkey/suppkey offset per replica - the
+  co-purchase/supplier graphs become 10 disjoint copies (10k nodes,
+  ~6.4M distinct edges). That pushes pagerank/PPR past
+  PR_FUSED_MAX_EDGES, so this run exercises the DISTRIBUTED tier the
+  sf0.1 driver gate no longer reaches.
+- ``events`` x10: event_id/user_id offset per replica (10k users, 1M
+  events).
+- remaining tables copied as-is (none of the heavy ops join them).
+
+Replica 0 uses identity mappings, so the sf0.1 data is a strict subset.
+
+Usage: python tools/sf1_scale_parity.py [name ...]
+Default query set: the top-10 wall-time operators from the r7 bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DEST = "/tmp/grapefruit_sf1"
+REPS = 10
+# The iterative-graph ORACLES (unrolled 10-iteration / peel-level CTEs
+# in DuckDB) spill tens of GB at the full 10x graph (observed: 72 GB of
+# temp writes, 9 GB of disk left) — the Spark side is fine; the CHECKER
+# isn't. Those queries run at 4x instead: 2.56M distinct edges still
+# exceeds PR_FUSED_MAX_EDGES, so the distributed tier — the thing the
+# sf0.1 gate no longer reaches — is still what's being proven.
+GRAPH_DEST = "/tmp/grapefruit_sf04"
+GRAPH_REPS = 4
+GRAPH_HEAVIES = {"supplier_ppr", "copurchase_triangles", "copurchase_kcore"}
+
+HEAVIES = [
+    "jaccard_clusters",
+    "supplier_pagerank",
+    "supplier_ppr",
+    "copurchase_triangles",
+    "copurchase_kcore",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "events_sessionize",
+]
+
+_AB = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _single_file(df, path: str) -> None:
+    """Spark dir output -> one plain .parquet file (DuckDB view-able)."""
+    import glob as globmod
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="grapefruit_sf1_stage_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = globmod.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, path)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def synthesize(spark, dest: str = DEST, reps: int = REPS) -> dict:
+    from pyspark.sql import functions as F
+
+    meta_path = os.path.join(dest, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    os.makedirs(dest, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    doc_parts = []
+    for r in range(reps):
+        rot = _AB[r:] + _AB[:r]
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+                F.translate("text", _AB, rot).alias("text"),
+                "lang",
+                "source",
+                "n_chars",  # translate preserves length
+            )
+        )
+    out = doc_parts[0]
+    for p in doc_parts[1:]:
+        out = out.unionByName(p)
+    _single_file(out, f"{dest}/documents.parquet")
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    li_parts = [
+        li.select(
+            (F.col("l_orderkey") + r * 10_000_000).alias("l_orderkey"),
+            (F.col("l_partkey") + r * 10_000_000).alias("l_partkey"),
+            (F.col("l_suppkey") + r * 10_000).alias("l_suppkey"),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        )
+        for r in range(reps)
+    ]
+    out = li_parts[0]
+    for p in li_parts[1:]:
+        out = out.unionByName(p)
+    _single_file(out, f"{dest}/lineitem.parquet")
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ev_parts = [
+        ev.select(
+            (F.col("event_id") + r * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + r * 1_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        for r in range(reps)
+    ]
+    out = ev_parts[0]
+    for p in ev_parts[1:]:
+        out = out.unionByName(p)
+    _single_file(out, f"{dest}/events.parquet")
+
+    for t in (
+        "region nation customer supplier part orders embeddings"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dest}/{t}.parquet")
+
+    meta = {
+        "reps": reps,
+        "documents": out.sparkSession.read.parquet(
+            f"{dest}/documents.parquet"
+        ).count(),
+        "lineitem": spark.read.parquet(f"{dest}/lineitem.parquet").count(),
+        "events": spark.read.parquet(f"{dest}/events.parquet").count(),
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def main() -> int:
+    import subprocess
+    import time
+
+    from grapefruit_spark.session import get_spark
+
+    names = sys.argv[1:] or HEAVIES
+    full = [n for n in names if n not in GRAPH_HEAVIES]
+    graph = [n for n in names if n in GRAPH_HEAVIES]
+
+    spark = get_spark("sf1-synth")
+    spark.sparkContext.setLogLevel("ERROR")
+    if full:
+        print(f"# sf1 dataset: {synthesize(spark)}", file=sys.stderr)
+    if graph:
+        meta4 = synthesize(spark, GRAPH_DEST, GRAPH_REPS)
+        print(f"# sf0.4 graph dataset: {meta4}", file=sys.stderr)
+    spark.stop()
+
+    rc = 0
+    ck = os.path.join(os.path.dirname(__file__), "check_parity.py")
+    for dest, batch in ((DEST, full), (GRAPH_DEST, graph)):
+        if not batch:
+            continue
+        t0 = time.time()
+        rc = subprocess.call([sys.executable, ck, dest, *batch]) or rc
+        print(
+            f"# parity wall [{os.path.basename(dest)}, {len(batch)} queries]:"
+            f" {time.time() - t0:.1f}s",
+            file=sys.stderr,
+        )
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
