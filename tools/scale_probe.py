@@ -205,23 +205,45 @@ def skew_mode() -> None:
     )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    # pin the SHUFFLED join strategy: the probe's miniature tables
+    # compress under the broadcast threshold (observed: Spark happily
+    # broadcast the 8M-row fact — (k, v) bigints compress to single-MB
+    # parquet), which dodges the skew machinery entirely. The production
+    # scenario this probe stands in for is a fact-fact join where
+    # NEITHER side can broadcast; disabling the threshold reproduces
+    # that shape at probe scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
     def run(fact_name: str, skew_on: bool) -> tuple[float, int]:
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower()
         )
-        fact = spark.read.parquet(f"{SKEW_DIR}/{fact_name}.parquet")
-        df = (
-            fact.join(dim, "k")
-            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
-        )
-        df.collect()  # warm (file listing, codegen)
+
+        # the aggregate must CONSUME pad: column pruning would otherwise
+        # strip it from the dim scan, the 400k-row key column broadcasts
+        # (3 MB), and the probe silently measures a BroadcastHashJoin
+        # with no skew machinery in sight (observed on the first cut).
+        # A FRESH DataFrame per timed run: re-collecting one DF reuses
+        # its completed AQE query stages (shuffles included) and times
+        # only the final stage (also observed on the first cut).
+        def build():
+            fact = spark.read.parquet(f"{SKEW_DIR}/{fact_name}.parquet")
+            return fact.join(dim, "k").agg(
+                F.sum("v").alias("sv"),
+                F.sum(F.length("pad")).alias("spad"),
+                F.count(F.lit(1)).alias("n"),
+            )
+
+        build().collect()  # warm (file listing, codegen)
         best = float("inf")
+        plan = ""
         for _ in range(3):
+            df = build()
             t0 = time.perf_counter()
             df.collect()
             best = min(best, time.perf_counter() - t0)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = df._jdf.queryExecution().executedPlan().toString()
         return best, plan.count("skew=true")
 
     print("| fact | skewJoin | wall s | skew=true in final plan |")
