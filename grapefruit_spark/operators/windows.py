@@ -572,6 +572,82 @@ FROM views JOIN clicks
 """
 
 
+def stream_attribution_outer_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible stream-stream LEFT OUTER interval join (the C12
+    join's outer half): clicks with no preceding-30-minute view must
+    emit exactly once with nulls — and only after the view-side
+    watermark proves no match can still arrive. The events table lands
+    as batch 1; batch 2 is one far-future sentinel view+click pair
+    (impossible user −1, ids below every real id), which advances both
+    side watermarks past every real click so the tail's outer rows
+    flush. Oracle: the equivalent batch LEFT JOIN."""
+    import time as _time
+
+    from ..streaming.events import (
+        land_file,
+        run_to_memory,
+        scratch_dir,
+        scratch_release,
+        stream_stream_attribution_outer,
+    )
+
+    src = scratch_dir("grapefruit_attr_outer_sim_")
+    ev = table(spark, sf_dir, "events")
+    hi, lo_id = ev.agg(F.max(F.unix_micros("ts")), F.min("event_id")).first()
+    sent_us = hi + 2 * 86_400 * 1_000_000
+    sent_base = min(0, lo_id) - 1
+    sentinels = spark.createDataFrame(
+        [(sent_base - 1, -1, "view"), (sent_base - 2, -1, "click")],
+        "event_id bigint, user_id bigint, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.lit(sent_us)).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    now = _time.time()
+    land_file(ev, src, "b1.parquet", now - 100)
+    land_file(sentinels, src, "b2.parquet", now - 50)
+    out = run_to_memory(
+        stream_stream_attribution_outer(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        ),
+        "drv_stream_attr_outer",
+        output_mode="append",
+    )
+    scratch_release(src)
+    return out.where(
+        F.col("click_ts") < F.timestamp_micros(F.lit(sent_us))
+    ).select(
+        "c_user",
+        "click_id",
+        "view_id",
+        F.date_format("view_ts", _TS_FMT).alias("view_ts"),
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+    )
+
+
+ORACLE["stream_attribution_outer_sim"] = """
+WITH views AS (
+    SELECT user_id AS v_user, event_id AS view_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+clicks AS (
+    SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT c_user, click_id, view_id,
+       strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM clicks LEFT JOIN views
+  ON v_user = c_user
+ AND view_ts <= click_ts
+ AND view_ts >= click_ts - INTERVAL 30 MINUTE
+"""
+
+
 def stream_dedup_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible watermark-bounded ingest dedup (C14): the events
     table lands TWICE (an at-least-once source redelivering the whole
@@ -779,6 +855,7 @@ QUERIES = {
     "stream_sessions_sim": stream_sessions_sim,
     "stream_tumbling_sim": stream_tumbling_sim,
     "stream_attribution_sim": stream_attribution_sim,
+    "stream_attribution_outer_sim": stream_attribution_outer_sim,
     "stream_dedup_sim": stream_dedup_sim,
     "stream_rollup_sim": stream_rollup_sim,
     "events_asof_join": events_asof_join,

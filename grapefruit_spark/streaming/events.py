@@ -374,6 +374,60 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_user", "click_id", "view_id", "view_ts", "click_ts")
 
 
+def stream_stream_attribution_outer(
+    spark: SparkSession,
+    src_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click emits — with
+    its matching preceding-30-minute views when they exist, or ONCE with
+    nulls after the watermark proves no view can still arrive.
+
+    The inner variant (stream_stream_attribution) emits matches as they
+    pair; the outer side adds the semantics that make streaming outer
+    joins subtle: an unmatched click may NOT emit immediately (a
+    matching view could still be in flight), so Spark holds it in join
+    state and releases the null-padded row only when the view-side
+    watermark passes the click's match window. State stays bounded by
+    the same watermark + interval condition as the inner join.
+
+    Bounded-replay callers must push the watermark past the final
+    clicks (e.g. a far-future sentinel batch) or the tail's outer rows
+    stay buffered — see stream_attribution_outer_sim.
+    """
+    views = (
+        _event_stream(spark, src_dir, glob, max_files_per_trigger)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        _event_stream(spark, src_dir, glob, max_files_per_trigger)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    return clicks.join(
+        views,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}")
+        ),
+        "leftOuter",
+    ).select("c_user", "click_id", "view_id", "view_ts", "click_ts")
+
+
 def batch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of stream_stream_attribution (same join semantics on the
     static events table) — the streaming test asserts set-equality."""
