@@ -162,6 +162,19 @@ def build_skew(spark) -> None:
         (F.col("id") % 997).alias("v"),
     )
     uni.write.mode("overwrite").parquet(f"{SKEW_DIR}/fact_uniform.parquet")
+    # wide fact for the bloom probe: an incompressible 64-char payload
+    # makes the fact SHUFFLE the dominant cost, so pre-shuffle pruning
+    # has something to save (with narrow bigint rows the bloom build
+    # costs more than the tiny shuffle it prunes — measured)
+    wide = base.select(
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_keys + 1)).alias("k"),
+        (F.col("id") % 997).alias("v"),
+        F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("p"))),
+        ).alias("payload"),
+    )
+    wide.write.mode("overwrite").parquet(f"{SKEW_DIR}/fact_wide.parquet")
     ids = spark.range(n_keys + 1).select(F.col("id").alias("k"))
     dim = ids.select(
         "k",
@@ -255,6 +268,73 @@ def skew_mode() -> None:
                 f"| {fact_name} | {'on' if skew_on else 'off'} "
                 f"| {wall:.2f} | {nskew} |"
             )
+
+
+def bloom_mode() -> None:
+    """Runtime bloom-filter join pruning probe (`--bloom`): when one join
+    side is made selective by a filter, Spark (3.5+) can inject a bloom
+    filter built from that side into the OTHER side's scan
+    (`might_contain` in the plan), dropping non-matching fact rows
+    BEFORE the shuffle — at 100 TB that's the difference between
+    shuffling the full fact table and shuffling the ~1% that can join.
+    Reuses the skew probe's tables; dim filtered to 1% of keys.
+    Thresholds scaled to probe size (defaults expect a 10 GB application
+    side); broadcast disabled for the same reason as the skew probe."""
+    from pyspark.sql import functions as F
+
+    from grapefruit_spark.session import get_spark
+
+    spark = get_spark("bloom-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_skew(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1MB",
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+
+    def run(on: bool) -> tuple[float, int, int]:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", str(on).lower()
+        )
+
+        def build():
+            fact = spark.read.parquet(f"{SKEW_DIR}/fact_wide.parquet")
+            # the selective predicate must be on a NON-KEY column: a
+            # key-expressible filter (k % 100 == 0, the first cut)
+            # transits the equi-join via constraint propagation and
+            # lands on the fact SCAN deterministically — Catalyst makes
+            # the bloom filter redundant before it's even considered.
+            # ~1.2% of pads start below '03' in hex
+            dim = spark.read.parquet(f"{SKEW_DIR}/dim.parquet").where(
+                F.substring("pad", 1, 2) < "03"
+            )
+            return fact.join(dim, "k").agg(
+                F.sum("v").alias("sv"),
+                F.sum(F.length("payload")).alias("spay"),
+                F.sum(F.length("pad")).alias("sp"),
+                F.count(F.lit(1)).alias("n"),
+            )
+
+        build().collect()  # warm
+        best, plan, rows = float("inf"), "", 0
+        for _ in range(3):
+            df = build()
+            t0 = time.perf_counter()
+            rows = df.collect()[0]["n"]
+            best = min(best, time.perf_counter() - t0)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        return best, plan.count("might_contain"), rows
+
+    print("| bloomFilter | wall s | might_contain in plan | join rows |")
+    print("|---|---|---|---|")
+    for on in (False, True):
+        wall, nbloom, rows = run(on)
+        print(f"| {'on' if on else 'off'} | {wall:.2f} | {nbloom} | {rows} |")
 
 
 def build_embeddings(path: str, n_vecs: int, seed: int = 11) -> None:
@@ -385,5 +465,7 @@ if __name__ == "__main__":
         emb_mode()
     elif "--skew" in sys.argv:
         skew_mode()
+    elif "--bloom" in sys.argv:
+        bloom_mode()
     else:
         main()
