@@ -496,6 +496,87 @@ FROM steps s JOIN totals t USING (prev_type)
 """
 
 
+# ------------------------------------------------------------------ C30
+def events_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequence scoring under the corpus transition matrix
+    (r8): each user's time-ordered event stream scored by the summed
+    surprisal −ln P(next|prev) of its transitions, the matrix estimated
+    from the whole corpus (events_markov_transitions' model applied back
+    to its training stream). High average surprisal = the user's
+    behavior is atypical under the aggregate model — the
+    anomalous-session / bot-candidate ranking primitive, and the exact
+    shape of perplexity-filtering a training corpus against a reference
+    model (D-family quality scoring, sequence edition).
+
+    Plan: ONE shuffle on user_id feeds the lag window; the per-user agg
+    rides the same hash partitioning (no second user exchange). The
+    |types|² transition matrix is a broadcast join onto the step stream.
+    Cross-engine float device (doc_unigram_logprob's): every addend
+    −ln(n/n_from) quantizes through DECIMAL(28,12) — exact,
+    order-independent per-user sums under any partitioning — and the
+    emission is floor(sum/steps·10⁶) of the identical double.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    trans = steps.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    probs = trans.join(totals, "prev_type")
+    scored = steps.join(
+        F.broadcast(probs),
+        (steps.prev_type == probs.prev_type)
+        & (steps.event_type == probs.next_type),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.sum(
+                (-F.log(F.col("n") / F.col("n_from"))).cast("decimal(28,12)")
+            ).alias("ssum"),
+        )
+        .select(
+            "user_id",
+            "n_steps",
+            F.floor(
+                F.col("ssum").cast("double") / F.col("n_steps") * 1000000
+            ).alias("avg_surprisal_e6"),
+        )
+    )
+
+
+ORACLE["events_markov_surprisal"] = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+steps AS (SELECT * FROM seq WHERE prev_type IS NOT NULL),
+trans AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM steps GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, sum(n) AS n_from FROM trans GROUP BY 1),
+probs AS (SELECT t.*, tt.n_from FROM trans t JOIN totals tt USING (prev_type))
+SELECT s.user_id,
+       count(*)::BIGINT AS n_steps,
+       CAST(floor(sum(CAST(-ln(p.n / p.n_from) AS DECIMAL(28,12)))::DOUBLE
+                  / count(*) * 1000000) AS BIGINT) AS avg_surprisal_e6
+FROM steps s
+JOIN probs p ON s.prev_type = p.prev_type AND s.event_type = p.next_type
+GROUP BY s.user_id
+"""
+
+
 # ------------------------------------------------------------------ C22
 PATHS_TOP = 10
 
@@ -926,6 +1007,7 @@ QUERIES = {
     "events_value_mad": events_value_mad,
     "events_state_intervals": events_state_intervals,
     "events_markov_transitions": events_markov_transitions,
+    "events_markov_surprisal": events_markov_surprisal,
     "events_top_paths": events_top_paths,
     "events_pattern_search": events_pattern_search,
     "events_rolling_dau": events_rolling_dau,

@@ -90,3 +90,47 @@ def test_ewma_matches_python_reference(spark):
             ws = [a ** (len(vals) - 1 - i) for i in range(len(vals))]
             want = sum(v * w for v, w in zip(vals, ws)) / sum(ws)
             assert abs(r["ewma"] - want) < 1e-5, (r, want)
+
+
+def test_events_markov_surprisal_python_reference(spark):
+    """Per-user summed -ln P(next|prev) against a direct python
+    recomputation from the same events (matrix + scoring), including the
+    floor(avg*1e6) emission grid."""
+    import math
+    from collections import Counter, defaultdict
+
+    from grapefruit_spark.catalog import table
+
+    rows = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    seqs: dict[int, list] = defaultdict(list)
+    for r in rows:
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    steps = []
+    for u, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            steps.append((u, a, b))
+    trans = Counter((a, b) for _, a, b in steps)
+    n_from = Counter(a for _, a, _ in steps)
+    want = {}
+    per_user: dict[int, list] = defaultdict(list)
+    for u, a, b in steps:
+        per_user[u].append(-math.log(trans[(a, b)] / n_from[a]))
+    for u, surps in per_user.items():
+        # mirror the DECIMAL(28,12) quantization of each addend
+        total = sum(round(s, 12) for s in surps)
+        want[u] = (len(surps), math.floor(total / len(surps) * 1_000_000))
+    got = {
+        r["user_id"]: (r["n_steps"], r["avg_surprisal_e6"])
+        for r in event_analytics.events_markov_surprisal(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], (u, got[u], want[u])
+        # the python float sum and the exact decimal sum may straddle a
+        # floor boundary in the 12th decimal; allow 1 grid step
+        assert abs(got[u][1] - want[u][1]) <= 1, (u, got[u], want[u])
