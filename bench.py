@@ -116,6 +116,10 @@ HEADLINE = [
     "events_quantile_sample",
     # round-7 addition: seeded random-walk-with-restart ranking
     "supplier_ppr",
+    # round-8 addition: per-user sequence scoring under the corpus
+    # transition matrix (sims stay out of HEADLINE deliberately — they
+    # are correctness instruments whose wall is temp-file staging)
+    "events_markov_surprisal",
 ]
 
 
