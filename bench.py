@@ -116,10 +116,12 @@ HEADLINE = [
     "events_quantile_sample",
     # round-7 addition: seeded random-walk-with-restart ranking
     "supplier_ppr",
-    # round-8 addition: per-user sequence scoring under the corpus
-    # transition matrix (sims stay out of HEADLINE deliberately — they
-    # are correctness instruments whose wall is temp-file staging)
+    # round-8 additions: per-user sequence scoring under the corpus
+    # transition matrix; quality-aware dedup keeper selection (sims stay
+    # out of HEADLINE deliberately — they are correctness instruments
+    # whose wall is temp-file staging)
     "events_markov_surprisal",
+    "dedup_keep_best",
 ]
 
 

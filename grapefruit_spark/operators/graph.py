@@ -124,6 +124,69 @@ SELECT node AS doc_id, min(comp) AS keep_doc_id FROM walk GROUP BY node
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper selection (r8, D43): within every
+    MinHash near-dup cluster keep the HIGHEST-QUALITY member, not the
+    smallest id. This is the policy real training-data pipelines want —
+    'drop all but one' should keep the best copy (longest clean text,
+    least boilerplate), and min-id is only a tie-break. Singletons (docs
+    in no cluster) keep themselves.
+
+    Composition of two driver-verified pieces: dedup_clusters (MinHash →
+    LSH → CC) for membership, doc_quality's integer-exact quality_e6 for
+    ranking. ONE extra shuffle on cluster_id for the keeper window
+    (clusters are tiny relative to the corpus; singleton rows — the vast
+    majority at real dup rates — pass through with cluster_id = doc_id
+    and never inflate a window partition past its own cluster). The
+    keeper is first_value ordered by (quality_e6 DESC, doc_id ASC) —
+    a total order, so both engines agree deterministically."""
+    from pyspark.sql.window import Window as _W
+
+    from .text import doc_quality
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = doc_quality(spark, sf_dir).select("doc_id", "quality_e6")
+    member = quality.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("keep_doc_id", "doc_id").alias("cluster_id"),
+        "quality_e6",
+    )
+    w = _W.partitionBy("cluster_id").orderBy(
+        F.desc("quality_e6"), F.asc("doc_id")
+    )
+    return member.select(
+        "doc_id",
+        "cluster_id",
+        "quality_e6",
+        F.first("doc_id").over(w).alias("best_doc_id"),
+    ).withColumn("is_keeper", F.col("doc_id") == F.col("best_doc_id"))
+
+
+def _dedup_keep_best_oracle() -> str:
+    from .text import ORACLE as TEXT_ORACLE
+
+    return f"""
+WITH clusters AS ({_dedup_clusters_oracle()}),
+q AS (SELECT doc_id, quality_e6 FROM ({TEXT_ORACLE["doc_quality"]}) dq),
+member AS (
+    SELECT q.doc_id,
+           coalesce(c.keep_doc_id, q.doc_id) AS cluster_id,
+           q.quality_e6
+    FROM q LEFT JOIN clusters c ON q.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, quality_e6,
+       first_value(doc_id) OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality_e6 DESC, doc_id ASC
+       ) AS best_doc_id,
+       doc_id = first_value(doc_id) OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality_e6 DESC, doc_id ASC
+       ) AS is_keeper
+FROM member
+"""
+
+
 def jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the EXACT n-gram-Jaccard pair graph —
     the oracle-checkable twin of dedup_clusters (whose MinHash pair source
@@ -990,9 +1053,12 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["jaccard_clusters"] = _jaccard_clusters_oracle()
 ORACLE["dedup_clusters"] = _dedup_clusters_oracle()
 
+ORACLE["dedup_keep_best"] = _dedup_keep_best_oracle()
+
 QUERIES = {
     "jaccard_clusters": jaccard_clusters,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
     "supplier_pagerank": supplier_pagerank,
     "supplier_ppr": supplier_ppr,
     "copurchase_triangles": copurchase_triangles,

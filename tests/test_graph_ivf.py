@@ -397,3 +397,34 @@ def test_kcore_min_degree_invariant_cross_sf(spark, sf_dir):
         return  # empty core is a legal fixed point at tiny SF
     ok = deg.where(F.col("d") >= KCORE_K).count()
     assert ok == deg.count() == n_core
+
+
+def test_dedup_keep_best_invariants(spark):
+    """Quality-aware keeper selection: exactly one keeper per cluster,
+    the keeper holds its cluster's max quality, every doc appears once,
+    and the policy genuinely differs from min-id keeping on this data
+    (some keepers are not the cluster's smallest doc_id)."""
+    from pyspark.sql.window import Window
+
+    from grapefruit_spark.operators.graph import dedup_keep_best
+
+    df = dedup_keep_best(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})  # one row per doc
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r for r in members if r["is_keeper"]]
+        assert len(keepers) == 1, (cid, keepers)
+        best = keepers[0]
+        mx = max(m["quality_e6"] for m in members)
+        assert best["quality_e6"] == mx
+        # deterministic tie-break: min doc_id among max-quality members
+        assert best["doc_id"] == min(
+            m["doc_id"] for m in members if m["quality_e6"] == mx
+        )
+        assert all(m["best_doc_id"] == best["doc_id"] for m in members)
+    assert any(
+        r["is_keeper"] and r["best_doc_id"] != r["cluster_id"] for r in rows
+    ), "policy never differed from min-id keeping - vacuous on this data"
