@@ -533,11 +533,63 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+# ----------------------------------------------------------------- D5d
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index quality evaluation (r8): per-query recall@k of the LSH
+    index against the exact cosine top-k — the QA primitive every ANN
+    deployment needs ("is the approximate index still good enough after
+    this data drift?"). Recall is emitted as integer-exact ppm
+    (hits·10⁶ div k), so there is no float surface at all.
+
+    Plan: both sides are k·|queries| rows (tiny — the heavy lifting
+    happened inside the two knn operators); the approx side broadcasts
+    into a left join from the exact side so never-retrieved neighbors
+    count as misses, then one |queries|-row aggregate."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        knn_lsh(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.expr("(n_hit * 1000000L) div k").alias("recall_ppm"),
+        )
+    )
+
+
+ORACLE["knn_recall_eval"] = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_bruteforce"]}) bf),
+approx AS (SELECT query_id, neighbor_id FROM ({_lsh_oracle()}) ls),
+j AS (
+    SELECT e.query_id,
+           CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       count(*)::BIGINT AS k,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY query_id
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_topk_partitioned": knn_topk_partitioned,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
     "knn_ivf_trained": knn_ivf_trained,
+    "knn_recall_eval": knn_recall_eval,
     "embedding_neardup": embedding_neardup,
 }

@@ -428,3 +428,29 @@ def test_dedup_keep_best_invariants(spark):
     assert any(
         r["is_keeper"] and r["best_doc_id"] != r["cluster_id"] for r in rows
     ), "policy never differed from min-id keeping - vacuous on this data"
+
+
+def test_knn_recall_eval_consistent_with_sets(spark):
+    """recall_ppm must equal the directly-computed overlap of the two
+    operators' neighbor sets, with k rows per query and integer-exact
+    ppm."""
+    from grapefruit_spark.operators.similarity import (
+        TOP_K,
+        knn_bruteforce,
+        knn_lsh,
+        knn_recall_eval,
+    )
+
+    bf: dict = {}
+    for r in knn_bruteforce(spark, SF_DIR).collect():
+        bf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ls: dict = {}
+    for r in knn_lsh(spark, SF_DIR).collect():
+        ls.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {r["query_id"]: r for r in knn_recall_eval(spark, SF_DIR).collect()}
+    assert set(got) == set(bf)
+    for q, exact in bf.items():
+        hits = len(exact & ls.get(q, set()))
+        assert got[q]["k"] == TOP_K == len(exact)
+        assert got[q]["n_hit"] == hits
+        assert got[q]["recall_ppm"] == hits * 1_000_000 // TOP_K
