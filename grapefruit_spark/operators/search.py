@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions import ws_tokens
+from ..functions import word_ngrams, ws_tokens
 
 ORACLE: dict[str, str] = {}
 
@@ -329,9 +329,90 @@ FROM (SELECT c FROM tf ORDER BY c DESC, term ASC LIMIT {k})
 ORACLE["vocab_coverage"] = _vocab_coverage_oracle()
 
 
+# ------------------------------------------------------------------ D45
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware corpus-LM quality score (r8): per-doc mean
+    surprisal −ln P(w₂|w₁) of its token BIGRAMS under the corpus bigram
+    model (P estimated as n(w₁w₂)/n(w₁·), the Markov estimator). The
+    sequence-structure upgrade of doc_unigram_logprob: a doc built from
+    common words in UNUSUAL ORDER scores normal there but high here —
+    the shape perplexity-based data curation actually keys on.
+
+    Docs with < 2 tokens have no bigrams and are absent (the same
+    contract as events_markov_surprisal's single-event users). Plan:
+    bigrams via the zip_with shingle fold (no per-gram slicing), per-
+    (doc, bigram) tf first so the stats joins see collapsed rows, corpus
+    stats via groupBy + join-back (skew-proof partial aggs, the tfidf
+    layout). Cross-engine ln parity: per-addend DECIMAL(28,12)
+    quantization, floor(avg·10⁶) emission.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    bgs = docs.select(
+        "doc_id", F.explode(word_ngrams(toks, 2)).alias("bg")
+    )
+    tf = bgs.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    bgc = tf.groupBy("bg").agg(F.sum("tf").alias("n_bg"))
+    w1c = (
+        bgc.select(F.split("bg", " ").getItem(0).alias("w1"), "n_bg")
+        .groupBy("w1")
+        .agg(F.sum("n_bg").alias("n_from"))
+    )
+    scored = (
+        tf.join(bgc, "bg")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(w1c, "w1")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                (F.col("tf") * -F.log(F.col("n_bg") / F.col("n_from"))).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("ssum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.floor(
+                F.col("ssum").cast("double") / F.col("n_bigrams") * 1000000
+            ).alias("avg_surprisal_e6"),
+        )
+    )
+
+
+ORACLE["doc_bigram_surprisal"] = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+bgs AS (
+    SELECT doc_id,
+           unnest([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]) AS bg
+    FROM toks WHERE len(tk) >= 2
+),
+tf AS (SELECT doc_id, bg, count(*) AS tf FROM bgs GROUP BY 1, 2),
+bgc AS (SELECT bg, sum(tf) AS n_bg FROM tf GROUP BY 1),
+w1c AS (
+    SELECT string_split(bg, ' ')[1] AS w1, sum(n_bg) AS n_from
+    FROM bgc GROUP BY 1
+)
+SELECT t.doc_id,
+       sum(t.tf)::BIGINT AS n_bigrams,
+       CAST(floor(sum(CAST(t.tf * -ln(b.n_bg / w.n_from) AS DECIMAL(28,12)))::DOUBLE
+                  / sum(t.tf) * 1000000) AS BIGINT) AS avg_surprisal_e6
+FROM tf t
+JOIN bgc b USING (bg)
+JOIN w1c w ON string_split(t.bg, ' ')[1] = w.w1
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_bigram_surprisal": doc_bigram_surprisal,
     "vocab_coverage": vocab_coverage,
 }

@@ -43,3 +43,42 @@ def test_unigram_logprob_bounds(spark):
     rows = search.doc_unigram_logprob(spark, SF_DIR).collect()
     assert rows and all(r["avg_neg_logp_e6"] > 0 for r in rows)
     assert all(r["n_tokens"] >= 1 for r in rows)
+
+
+def test_doc_bigram_surprisal_python_reference(spark):
+    """Per-doc mean bigram surprisal against a direct python
+    recomputation (corpus bigram model + per-doc scoring), including the
+    <2-token absence contract and the floor(avg*1e6) grid."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.operators.search import doc_bigram_surprisal
+
+    from .conftest import SF_DIR
+
+    rows = table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    doc_bgs: dict[int, list] = {}
+    for r in rows:
+        toks = [t for t in re.split(r"\s+", r["text"].lower().strip()) if t]
+        doc_bgs[r["doc_id"]] = list(zip(toks, toks[1:]))
+    bgc: Counter = Counter()
+    for bgs in doc_bgs.values():
+        bgc.update(bgs)
+    n_from: dict = defaultdict(int)
+    for (w1, _), n in bgc.items():
+        n_from[w1] += n
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_surprisal_e6"])
+        for r in doc_bigram_surprisal(spark, SF_DIR).collect()
+    }
+    for doc_id, bgs in doc_bgs.items():
+        if not bgs:
+            assert doc_id not in got  # <2 tokens -> absent
+            continue
+        total = sum(round(-math.log(bgc[b] / n_from[b[0]]), 12) for b in bgs)
+        want = math.floor(total / len(bgs) * 1_000_000)
+        assert got[doc_id][0] == len(bgs)
+        # python float sum vs exact decimal sum may straddle one grid step
+        assert abs(got[doc_id][1] - want) <= 1, (doc_id, got[doc_id], want)
