@@ -196,3 +196,44 @@ def test_stream_attribution_outer_sim_matches_batch(spark):
     nulls = [r for r in got if r[2] is None]
     assert nulls, "no unmatched clicks - outer path untested"
     assert len({r[1] for r in nulls}) == len(nulls)
+
+
+def test_stream_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """THE streaming scale claim, measured instead of asserted: after a
+    whole-table redelivery drains, dropDuplicatesWithinWatermark's state
+    holds only rows younger than the 1-hour horizon — not the stream's
+    lifetime. On the sf0.01 events table (spanning days), that's a few
+    dozen rows of 10k, with the rest recorded as removed by the state
+    store itself (query.lastProgress stateOperators metrics)."""
+    import time as _time
+
+    from grapefruit_spark.catalog import table
+    from grapefruit_spark.streaming.events import (
+        land_file,
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    ev = table(spark, SF_DIR, "events")
+    n = ev.count()
+    now = _time.time()
+    land_file(ev, src, "events_b1.parquet", now - 100)
+    land_file(ev, src, "events_b2.parquet", now - 50)
+    q = (
+        stream_dedup_within_watermark(spark, src, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("t_state_bound")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = q.lastProgress["stateOperators"]
+    assert ops and ops[0]["operatorName"] == "dedupeWithinWatermark"
+    total, removed = ops[0]["numRowsTotal"], ops[0]["numRowsRemoved"]
+    # the horizon is 1 hour of a multi-day stream: state must be a tiny
+    # fraction of the corpus, and the expired rows must actually have
+    # been REMOVED from the store (not retained invisibly)
+    assert 0 < total < n * 0.05, (total, n)
+    assert removed > n * 0.9, (removed, n)
+    assert spark.table("t_state_bound").count() == n  # output still exact
