@@ -454,3 +454,22 @@ def test_knn_recall_eval_consistent_with_sets(spark):
         assert got[q]["k"] == TOP_K == len(exact)
         assert got[q]["n_hit"] == hits
         assert got[q]["recall_ppm"] == hits * 1_000_000 // TOP_K
+
+
+def test_pagerank_tiers_agree_on_supplier_graph(spark):
+    """Fused kernel vs distributed loop on the PRODUCTION-shaped graph
+    (sf0.001 supplier co-purchase edges), not just the toy fixtures:
+    every node's rank must agree within the documented summation-order
+    band, far inside the 6-dp emission grid."""
+    from grapefruit_spark.operators.graph import pagerank, supplier_edges
+
+    edges = supplier_edges(spark, SF_DIR)
+    fused = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    dist = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, fused_max_edges=0).collect()
+    }
+    assert set(fused) == set(dist) and len(fused) >= 10
+    for v in fused:
+        assert abs(fused[v] - dist[v]) < 1e-12, (v, fused[v], dist[v])
+    assert abs(sum(fused.values()) - 1.0) < 1e-9
