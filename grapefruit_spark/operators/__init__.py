@@ -55,22 +55,19 @@ def all_queries() -> dict[str, QueryFn]:
 # Queries whose oracle text or Spark emission changed AFTER their last
 # green driver row. Each stays front-loaded until it earns a hash-green
 # row in a round whose number is >= the listed one; then the rule
-# self-clears. All r6/r7 entries earned their re-proof rows (verified
-# against the CORRECTNESS history in the r8 registry audit) and were
-# pruned; only live entries remain.
+# self-clears. All r8 entries (pagerank/ppr fused tier, branchless
+# simhash, condorcet pre-partition) earned their r8 greens — verified
+# against CORRECTNESS_r08 in the r9 registry audit — and were pruned;
+# only live entries remain.
 _REPROVE_SINCE: dict[str, int] = {
-    # round-8 change after the r7 green rows: pagerank/PPR gained the
-    # fused small-graph kernel tier (graph.py _pr_fused) — the
-    # driver-scale supplier graphs now run the numpy kernel path
-    "supplier_pagerank": 8,
-    "supplier_ppr": 8,
-    # r8: vote aggregation went branchless (identical signatures —
-    # proven by the in-repo equivalence check — but the plan changed)
-    "dedup_simhash": 8,
-    # r8: ballot build pre-partitioned on l_orderkey (plan-only change;
-    # values identical, re-proof is cheap)
-    "condorcet_pairs": 8,
-    "condorcet_winner": 8,
+    # r9: the membership join dropped its forced F.broadcast(clusters)
+    # (the one unbounded broadcast in the repo — VERDICT_r8 order #1);
+    # values identical, plan changed
+    "dedup_keep_best": 9,
+    # r9: customer-side broadcast hints removed from Q7/Q8 (customer
+    # scales with SF); AQE picks the strategy — plan-only change
+    "q7_volume_shipping": 9,
+    "q8_market_share": 9,
 }
 
 

@@ -319,6 +319,105 @@ WHERE trail_n >= 12 AND trail_var > 0
 """
 
 
+# ------------------------------------------------------------------ C31
+#: CUSUM allowance (slack per observation) = mean/2; alarm threshold =
+#: 3×mean. Both derived from the per-type mean so the detector is
+#: scale-free across event types with very different base rates.
+CUSUM_K_DIV = 2
+CUSUM_H_MULT = 3
+
+
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection on hourly event volume per
+    event_type (Page 1954) — the drift detector that catches a SUSTAINED
+    small rate shift the per-hour z-score (events_rate_anomaly) misses,
+    because CUSUM accumulates evidence across hours instead of testing
+    each hour in isolation.
+
+    The textbook recursion S_t = max(0, S_{t-1} + y_t) is not a window
+    aggregate, but its closed form is: with W_t the running prefix sum
+    of deviations y_t, S_t = W_t − min(0, min_{j≤t} W_j) — so the whole
+    detector is two window passes (running sum, running min) over the
+    hourly rollup, sharing one event_type partitioning. Everything is
+    INTEGER micro-units: y_t = n·10⁶ − μ_e6 − k_e6 with μ_e6 the
+    bigint-div per-type mean, allowance k = μ/2, alarm at S ≥ 3μ — no
+    float fold order to drift cross-engine.
+
+    Scale: shuffle 1 is the map-side-combined hourly rollup (moves
+    (type,hour) partials, never raw events); shuffle 2 re-partitions the
+    ROLLED-UP frame (types × hours rows) for the windows. Gaps (hours
+    with zero events) are absent from the rollup by construction; the
+    CUSUM runs over observed hours, which biases it conservative —
+    missing hours contribute no positive drift.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.expr("(sum(n) * 1000000L) div count(*)").alias("mu_e6")
+    )
+    scored = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "y_e6",
+        F.col("n") * F.lit(1_000_000)
+        - F.col("mu_e6")
+        - F.expr(f"mu_e6 div {CUSUM_K_DIV}"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = F.sum("y_e6").over(w)
+    run = scored.select(
+        "event_type", "hour", "n", "mu_e6", wt.alias("w_e6")
+    ).withColumn("wmin_e6", F.min("w_e6").over(w))
+    cusum = F.col("w_e6") - F.least(F.lit(0), F.col("wmin_e6"))
+    return run.select(
+        "event_type",
+        "hour",
+        "n",
+        cusum.alias("cusum_e6"),
+        (cusum >= F.lit(CUSUM_H_MULT) * F.col("mu_e6")).alias("alarm"),
+    )
+
+
+ORACLE["events_cusum_drift"] = f"""
+WITH hourly AS (
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           CAST(CAST(sum(n) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS mu_e6
+    FROM hourly GROUP BY 1
+),
+run AS (
+    SELECT h.event_type, h.hour, h.n, s.mu_e6,
+           sum(h.n * 1000000 - s.mu_e6 - s.mu_e6 // {CUSUM_K_DIV}) OVER w AS w_e6
+    FROM hourly h JOIN stats s USING (event_type)
+    WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+clamped AS (
+    SELECT event_type, hour, n, mu_e6,
+           CAST(w_e6 - least(0, min(w_e6) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS BIGINT) AS cusum_e6
+    FROM run
+)
+SELECT event_type, hour, n, cusum_e6,
+       cusum_e6 >= {CUSUM_H_MULT} * mu_e6 AS alarm
+FROM clamped
+"""
+
+
 # ------------------------------------------------------------------ C17
 def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2-style interval construction from a change log: collapse each
@@ -1014,6 +1113,7 @@ QUERIES = {
     "events_bot_score": events_bot_score,
     "events_ewma_hourly": events_ewma_hourly,
     "events_rate_anomaly": events_rate_anomaly,
+    "events_cusum_drift": events_cusum_drift,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_heavy_hitters": events_heavy_hitters,

@@ -139,14 +139,23 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority at real dup rates — pass through with cluster_id = doc_id
     and never inflate a window partition past its own cluster). The
     keeper is first_value ordered by (quality_e6 DESC, doc_id ASC) —
-    a total order, so both engines agree deterministically."""
+    a total order, so both engines agree deterministically.
+
+    The membership join is deliberately UNHINTED (r9): cluster
+    membership scales with the corpus's duplicate mass — 20-50% of docs
+    on realistic web corpora — so a forced broadcast is a
+    multi-hundred-GB executor OOM at 100 TB. AQE still picks a broadcast
+    join whenever the cluster frame actually fits under
+    spark.sql.adaptive.autoBroadcastJoinThreshold (it does at driver
+    scale), and degrades to a shuffle hash join on doc_id past it —
+    pinned by a plan test that forces the threshold to -1."""
     from pyspark.sql.window import Window as _W
 
     from .text import doc_quality
 
     clusters = dedup_clusters(spark, sf_dir)
     quality = doc_quality(spark, sf_dir).select("doc_id", "quality_e6")
-    member = quality.join(F.broadcast(clusters), "doc_id", "left").select(
+    member = quality.join(clusters, "doc_id", "left").select(
         "doc_id",
         F.coalesce("keep_doc_id", "doc_id").alias("cluster_id"),
         "quality_e6",
@@ -366,6 +375,14 @@ def pagerank(
     ranks sum to 1 every iteration (a one-row agg, broadcast back).
     Edge sets ≤ fused_max_edges skip the iteration loop entirely and run
     the fused numpy kernel (see PR_FUSED_MAX_EDGES).
+
+    NOTE: this builder is EAGER, not a lazy plan constructor — the links
+    frame is checkpoint-materialized up front (iterative lineage
+    truncation) and tier selection then runs a count job over it, so
+    jobs execute at call time even if the returned DataFrame is never
+    consumed. ``fused_max_edges=0`` skips the tier-sizing count (the
+    distributed loop runs unconditionally); the links materialization is
+    inherent to the iteration design.
     """
     # ONE materialization for the whole edge pipeline: out-degree rides a
     # window over src instead of a groupBy+self-join, so the (possibly
@@ -373,7 +390,7 @@ def pagerank(
     # audit showed the former e-pin + links-pin pair re-materializing the
     # same 640k-row frame twice for >3 s of the query's wall time
     links = _pr_links(edges)
-    if links.count() <= fused_max_edges:
+    if fused_max_edges > 0 and links.count() <= fused_max_edges:
         # small-graph tier: all iterations in one numpy kernel (see
         # PR_FUSED_MAX_EDGES) — skips the nodes/dangling setup jobs too
         return _pr_fused(links, damping, iters, None)
@@ -525,6 +542,32 @@ LIMIT 20""")
 ORACLE["supplier_pagerank"] = _pagerank_oracle()
 
 
+def supplier_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier_pagerank with the fused small-graph tier DISABLED
+    (``fused_max_edges=0``): forces the DISTRIBUTED broadcast /
+    co-partition power-iteration loop — the tier that actually runs at
+    100 TB — onto the driver graph, under the SAME unrolled-CTE oracle.
+
+    Standing evidence (r9, VERDICT_r8 order #4): once the fused numpy
+    kernel took over below 2M edges, the driver gate and the sf0.1 bench
+    exercised only the kernel; the distributed loop's proof lived in a
+    one-off sf1.0 tool run whose evidence ages. As a registry query it
+    is re-proven hash-green every rotation and its wall is tracked by
+    bench.py."""
+    ranks = pagerank(supplier_edges(spark, sf_dir), fused_max_edges=0)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+# identical math, identical emission → identical oracle text: the two
+# tiers must agree at the 6-dp grid (pinned additionally by the
+# cross-tier pytest), so both registry rows share one SQL twin
+ORACLE["supplier_pagerank_dist"] = _pagerank_oracle()
+
+
 # ------------------------------------------------------------------ A19
 PPR_SEEDS = 5
 
@@ -552,9 +595,10 @@ def personalized_pagerank(
     the graph has no dangling nodes (single consumer per generation) and
     1 otherwise (two consumer branches must see one materialized
     snapshot). Edge sets ≤ fused_max_edges take the fused numpy tier
-    (see PR_FUSED_MAX_EDGES)."""
+    (see PR_FUSED_MAX_EDGES). Like pagerank(), this builder is EAGER —
+    see the NOTE there."""
     links = _pr_links(edges)
-    if links.count() <= fused_max_edges:
+    if fused_max_edges > 0 and links.count() <= fused_max_edges:
         return _pr_fused(links, damping, iters, n_seeds)
     nodes, n, dangling_nodes, no_dangling = _pr_graph_setup(links)
     seeds = nodes.orderBy("node").limit(n_seeds).transform(pin)
@@ -673,6 +717,22 @@ LIMIT 20""")
 
 
 ORACLE["supplier_ppr"] = _ppr_oracle()
+
+
+def supplier_ppr_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier_ppr with the fused tier DISABLED (``fused_max_edges=0``)
+    — the distributed seeded-restart loop re-proven every rotation
+    against the same unrolled-CTE oracle (see supplier_pagerank_dist's
+    rationale)."""
+    ranks = personalized_pagerank(supplier_edges(spark, sf_dir), fused_max_edges=0)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("ppr"))
+        .orderBy(F.desc("ppr"), F.asc("node"))
+        .limit(20)
+    )
+
+
+ORACLE["supplier_ppr_dist"] = _ppr_oracle()
 
 
 # ------------------------------------------------------------------ A16
@@ -1061,6 +1121,8 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "supplier_pagerank": supplier_pagerank,
     "supplier_ppr": supplier_ppr,
+    "supplier_pagerank_dist": supplier_pagerank_dist,
+    "supplier_ppr_dist": supplier_ppr_dist,
     "copurchase_triangles": copurchase_triangles,
     "copurchase_lift": copurchase_lift,
     "copurchase_kcore": copurchase_kcore,

@@ -115,7 +115,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both nation dims broadcast (aliased to disambiguate); the disjunctive
     nation-pair predicate is applied post-join — at scale the supplier and
-    customer nationkey IN-lists push to the fact scans.
+    customer nationkey IN-lists push to the fact scans. customer is NOT
+    hinted (r9): it scales with SF (~15B rows at 100 TB TPC-H), so the
+    join strategy is left to AQE — which still broadcasts wherever the
+    runtime size fits, and shuffle-hash-joins past that.
     """
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between("1996-01-01", "1997-12-31")
@@ -135,7 +138,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .where(pair)
@@ -166,7 +169,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: NATION_9's share of ECONOMY-part revenue sold into ASIA.
 
     Conditional-sum-over-sum per year; nullif guards 0/0 identically on
-    both engines.
+    both engines. customer is NOT hinted (r9, same rationale as Q7):
+    it scales with SF, so AQE picks the strategy at runtime.
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").where(
@@ -189,7 +193,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(broadcast(region), F.col("c_regionkey") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))

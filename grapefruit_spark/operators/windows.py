@@ -768,10 +768,16 @@ def stream_ttl_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a plain -user_id would collide with real ids for user_id 0 or any
     # dataset carrying negative ids, making the within-batch
     # (ts, event_id) tie-break ambiguous against a same-timestamp real
-    # event
+    # event. ZigZag-encode the user id (u≥0 → 2u, u<0 → −2u−1 — a
+    # bijection ℤ→ℕ) so sentinels are ALSO unique across users: the
+    # former abs(user_id) offset collided for a dataset carrying both
+    # user u and user −u
     sent_base = min(0, lo_id) - 1
+    zz = F.when(F.col("user_id") >= 0, 2 * F.col("user_id")).otherwise(
+        -2 * F.col("user_id") - 1
+    )
     sentinels = ev.select("user_id").distinct().select(
-        (F.lit(sent_base) - F.abs("user_id")).alias("event_id"),
+        (F.lit(sent_base) - zz).alias("event_id"),
         F.timestamp_micros(F.lit(sent_us)).alias("ts"),
         "user_id",
         F.lit("sentinel").alias("event_type"),

@@ -93,7 +93,13 @@ def synthesize(spark, dest: str = DEST, reps: int = REPS) -> dict:
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
-                F.translate("text", _AB, rot).alias("text"),
+                # rotate BOTH cases so no token survives as shared
+                # vocabulary across replicas (lowercase-only rotation
+                # left uppercase words identical in every replica,
+                # weakening the disjoint-vocabulary claim)
+                F.translate(
+                    "text", _AB + _AB.upper(), rot + rot.upper()
+                ).alias("text"),
                 "lang",
                 "source",
                 "n_chars",  # translate preserves length
@@ -142,9 +148,7 @@ def synthesize(spark, dest: str = DEST, reps: int = REPS) -> dict:
 
     meta = {
         "reps": reps,
-        "documents": out.sparkSession.read.parquet(
-            f"{dest}/documents.parquet"
-        ).count(),
+        "documents": spark.read.parquet(f"{dest}/documents.parquet").count(),
         "lineitem": spark.read.parquet(f"{dest}/lineitem.parquet").count(),
         "events": spark.read.parquet(f"{dest}/events.parquet").count(),
     }
