@@ -68,6 +68,9 @@ _REPROVE_SINCE: dict[str, int] = {
     # scales with SF); AQE picks the strategy — plan-only change
     "q7_volume_shipping": 9,
     "q8_market_share": 9,
+    # r9: same unbounded-membership hint dropped from the cluster-map
+    # join (the dedup_keep_best precedent applied repo-wide)
+    "split_leakage_safe": 9,
 }
 
 

@@ -84,16 +84,19 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition: exact n-gram-Jaccard pair graph → connected components
     (graph.jaccard_clusters) → split on the keeper id, not the doc id.
-    Docs outside the pair graph key on themselves. One broadcast-size
-    join over the (tiny) cluster map; the split itself stays a narrow
-    map. A pytest asserts the invariant directly: no near-dup pair
-    straddles a split boundary.
+    Docs outside the pair graph key on themselves. The cluster-map join
+    is UNHINTED (r9, same rationale as dedup_keep_best): cluster
+    membership scales with the corpus's duplicate mass, so a forced
+    broadcast is an executor OOM at 100 TB — AQE still broadcasts it
+    wherever it actually fits. The split itself stays a narrow map. A
+    pytest asserts the invariant directly: no near-dup pair straddles a
+    split boundary.
     """
     from .graph import jaccard_clusters
 
     docs = table(spark, sf_dir, "documents")
     clusters = jaccard_clusters(spark, sf_dir)
-    keyed = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+    keyed = docs.join(clusters, "doc_id", "left").select(
         "doc_id",
         F.coalesce("keep_doc_id", F.col("doc_id")).alias("split_key"),
     )

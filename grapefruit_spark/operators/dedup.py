@@ -364,17 +364,14 @@ WHERE {JACCARD_DEN} * n_inter >= {JACCARD_NUM} * (sa.n_grams + sb.n_grams - n_in
 
 
 # ------------------------------------------------------------------ D2
-def minhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
-    """doc_id + MinHash signature over word shingles (JVM-side, no UDF).
-
-    Shape matters: explode shingles once, hash each ONCE, then take the
-    64 permutation minima as groupBy aggregates. (A pure column-expression
-    formulation inlines the shingle pipeline into all 64 permutations —
-    Catalyst's projection collapse recomputes regex+ngrams 64× per row,
-    ~300× slower at sf0.1.) The shuffle carries only partial minima per
-    doc thanks to map-side combine.
+def minhash_grams(docs: DataFrame, seed: int = 42) -> DataFrame:
+    """(doc_id, gh): each doc's DISTINCT shingle-hash set — the exact set
+    the MinHash signature estimates Jaccard over. Extracted from
+    minhash_signatures (r9) so the estimator-QA operator
+    (minhash_est_error) can compare est vs exact on the SAME universe;
+    expressions are unchanged, so dedup_minhash's values are identical.
     """
-    from ..functions import MINHASH_P, hash_param, md5_hash60
+    from ..functions import MINHASH_P, md5_hash60
 
     docs = _spread(docs)
     # shingle hashes without building gram strings: hash each token once,
@@ -404,11 +401,31 @@ def minhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
             F.transform(F.sequence(F.lit(0), F.size("th") - SHINGLE_N), _gram_at)
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    # per-row array_min over each permutation: identical arithmetic to an
-    # explode + 64-min groupBy but with NO shuffle at all — the signature
-    # stage stays a narrow map (measured ~25% faster at sf0.1, and at
-    # cluster scale it removes an O(total_shingles) network hop)
-    gh = toks.select("doc_id", gram_hashes.alias("gh"))
+    return toks.select("doc_id", gram_hashes.alias("gh"))
+
+
+def minhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
+    """doc_id + MinHash signature over word shingles (JVM-side, no UDF).
+
+    Shape matters: explode shingles once, hash each ONCE, then take the
+    64 permutation minima as groupBy aggregates. (A pure column-expression
+    formulation inlines the shingle pipeline into all 64 permutations —
+    Catalyst's projection collapse recomputes regex+ngrams 64× per row,
+    ~300× slower at sf0.1.) The shuffle carries only partial minima per
+    doc thanks to map-side combine.
+    """
+    return _sigs_from_gram_arrays(minhash_grams(docs, seed), seed)
+
+
+def _sigs_from_gram_arrays(gh: DataFrame, seed: int = 42) -> DataFrame:
+    """(doc_id, gh) → (doc_id, sig): the 64 permutation minima.
+
+    per-row array_min over each permutation: identical arithmetic to an
+    explode + 64-min groupBy but with NO shuffle at all — the signature
+    stage stays a narrow map (measured ~25% faster at sf0.1, and at
+    cluster scale it removes an O(total_shingles) network hop)."""
+    from ..functions import MINHASH_P, hash_param
+
     mins = []
     for i in range(NUM_PERM):
         a = (hash_param(seed, 2 * i) | 1) % MINHASH_P
@@ -555,6 +572,113 @@ WHERE est_jaccard >= {MINHASH_TAU}
 
 
 ORACLE["dedup_minhash"] = _minhash_oracle()
+
+
+# ------------------------------------------------------------------ D46
+def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator QA (r9): for every pair the LSH dedup pipeline
+    emits, compare the SIGNATURE-estimated Jaccard against the EXACT
+    Jaccard of the same distinct-shingle sets — the dedup counterpart of
+    knn_recall_eval's ANN QA loop. A production dedup deployment tunes
+    (num_perm, bands, rows, τ) on exactly this table: err_ppm is the
+    per-pair estimator bias, bounded in probability by ~1/√64 per
+    Broder's analysis, and a drifting distribution here means the
+    threshold no longer cuts where the policy thinks it does.
+
+    All-integer emission: est_ppm = matches·10⁶ div 64 (filter
+    est_ppm ≥ τ·10⁶ is exactly the production est ≥ τ cut), exact_ppm
+    via bigint div on intersect/union counts. Identical-empty gram sets
+    (both docs shorter than one shingle) define exact = 1 — the estimator
+    also says 1 there, by the same all-sentinel-signature argument.
+
+    Scale: same O(n·bands) candidate shuffle as dedup_minhash; the gram
+    ARRAYS rejoin only for the candidate pairs (never ride the band
+    join), so the wide rows move O(candidates), not O(corpus).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    gh = minhash_grams(table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    gh.count()  # materialize: grams feed signatures AND the exact verify
+    sigs = _sigs_from_gram_arrays(gh).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    banded = sigs.select(
+        "doc_id", F.explode(band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    ga = gh.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gh_a"))
+    gb = gh.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("gh_b"))
+    n_match = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    inter = F.size(F.array_intersect("gh_a", "gh_b"))
+    union = F.size("gh_a") + F.size("gh_b") - inter
+    return (
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_match", n_match)
+        .drop("sig_a", "sig_b")
+        .join(ga, "doc_a").join(gb, "doc_b")
+        .withColumn("_inter", inter)
+        .withColumn("_union", union)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"(n_match * 1000000L) div {NUM_PERM}").alias("est_ppm"),
+            F.when(F.col("_union") == 0, F.lit(1_000_000).cast("bigint"))
+            .otherwise(F.expr("(CAST(_inter AS BIGINT) * 1000000L) div _union"))
+            .alias("exact_ppm"),
+        )
+        .where(F.col("est_ppm") >= int(MINHASH_TAU * 1_000_000))
+        .withColumn("err_ppm", F.col("est_ppm") - F.col("exact_ppm"))
+    )
+
+
+ORACLE["minhash_est_error"] = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                       t -> length(t) > 0) AS tks
+    FROM documents
+),
+{_minhash_sig_ctes("tk", "")}
+{_band_cte("sigs", "bands")}
+cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len([i FOR i IN range(1, {NUM_PERM + 1})
+                     IF sa.sig[i] = sb.sig[i]]) * 1000000 // {NUM_PERM}
+                AS BIGINT) AS est_ppm,
+           CASE WHEN len(ga.grams) + len(gb.grams)
+                     - len(list_intersect(ga.grams, gb.grams)) = 0
+                THEN CAST(1000000 AS BIGINT)
+                ELSE CAST(CAST(len(list_intersect(ga.grams, gb.grams)) AS BIGINT)
+                          * 1000000
+                          // (len(ga.grams) + len(gb.grams)
+                              - len(list_intersect(ga.grams, gb.grams)))
+                     AS BIGINT)
+           END AS exact_ppm
+    FROM cands c
+    JOIN sigs sa ON c.doc_a = sa.doc_id
+    JOIN sigs sb ON c.doc_b = sb.doc_id
+    JOIN grams ga ON c.doc_a = ga.doc_id
+    JOIN grams gb ON c.doc_b = gb.doc_id
+)
+SELECT doc_a, doc_b, est_ppm, exact_ppm, est_ppm - exact_ppm AS err_ppm
+FROM scored
+WHERE est_ppm >= {int(MINHASH_TAU * 1_000_000)}
+"""
 
 
 # ------------------------------------------------------------------ D3
@@ -974,6 +1098,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "dedup_minhash": dedup_minhash,
+    "minhash_est_error": minhash_est_error,
     "dedup_simhash": dedup_simhash,
     "fuzzy_name_pairs": fuzzy_name_pairs,
 }

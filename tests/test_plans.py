@@ -287,6 +287,19 @@ def test_keep_best_clusters_join_broadcasts_at_small_scale(spark):
     assert "BroadcastHashJoin" in plan, plan[:800]
 
 
+def test_leakage_safe_cluster_join_can_shuffle(spark):
+    """split_leakage_safe's cluster-map join carries the same unbounded
+    membership frame as dedup_keep_best — it must degrade to a shuffle
+    join when no broadcast fits (r9; a forced hint would fail here)."""
+    from grapefruit_spark.operators.datapipe import split_leakage_safe
+    from grapefruit_spark.plans import executed_plan
+
+    with _with_conf(spark, _NO_BCAST):
+        plan = executed_plan(split_leakage_safe(spark, SF_DIR))
+    assert "BroadcastHashJoin" not in plan, plan[:800]
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan[:800]
+
+
 @pytest.mark.parametrize("qname", ["q7_volume_shipping", "q8_market_share"])
 def test_q7_q8_customer_join_unforced(spark, qname):
     """VERDICT_r8 order #5: customer scales with SF (~15B rows at 100 TB
