@@ -128,6 +128,11 @@ HEADLINE = [
     # (VERDICT_r8 order #4)
     "supplier_pagerank_dist",
     "supplier_ppr_dist",
+    # round-9 new operators: CUSUM drift detection, MinHash estimator
+    # QA, held-out stupid-backoff LM scoring
+    "events_cusum_drift",
+    "minhash_est_error",
+    "doc_backoff_surprisal",
 ]
 
 

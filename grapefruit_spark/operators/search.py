@@ -409,10 +409,154 @@ GROUP BY t.doc_id
 """
 
 
+# ------------------------------------------------------------------ D47
+#: stupid-backoff discount (Brants et al., "Large Language Models in
+#: Machine Translation", EMNLP 2007 — the score that replaces smoothed
+#: probabilities at corpus scale)
+BACKOFF_ALPHA = 0.4
+#: model split: docs whose hash bucket falls below 50% train the model
+BACKOFF_MODEL_FRAC = 0.5
+
+
+def doc_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out corpus-LM scoring with STUPID BACKOFF (r9): per-doc mean
+    −ln S(w₂|w₁) where the bigram model is trained on a deterministic
+    50% hash split of the corpus and ALL docs are scored against it.
+
+    This closes the realism gap in doc_bigram_surprisal: a model built
+    from the full corpus has seen every bigram it scores, so the backoff
+    path of a real perplexity filter never executes. With a held-out
+    model, scored docs genuinely contain unseen bigrams (and unseen
+    words), and the operator exercises the full Brants recursion:
+
+        S(w₂|w₁) = c(w₁w₂)/c(w₁·)      if the bigram is in the model
+                 = α · c(w₂)/N          else, if w₂ is a model unigram
+                 = α · 1/N              else (OOV word scored as count 1)
+
+    backoff_bigrams counts how often the doc fell off the bigram model —
+    itself a distribution-shift signal (high = the doc's word sequences
+    are foreign to the reference corpus). Membership is the same narrow
+    md5-bucket map as split_train_val, so the split is reproducible on
+    any cluster. Plan: one explode per doc for bigram tf, model stats by
+    groupBy + join-back (skew-proof partial aggs), the 1-row token total
+    broadcast; per-addend DECIMAL(28,12) ln quantization, floor(avg·10⁶)
+    emission — the doc_bigram_surprisal parity contract."""
+    from .datapipe import _U32, _bucket
+
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    is_model = _bucket(F.col("doc_id")) < int(BACKOFF_MODEL_FRAC * _U32)
+    base = docs.select("doc_id", is_model.alias("is_model"), toks.alias("tk"))
+    bgs = base.select(
+        "doc_id", "is_model", F.explode(word_ngrams(F.col("tk"), 2)).alias("bg")
+    )
+    tf = bgs.groupBy("doc_id", "is_model", "bg").agg(F.count(F.lit(1)).alias("tf"))
+    bgc_m = (
+        tf.where("is_model").groupBy("bg").agg(F.sum("tf").alias("n_bg"))
+    )
+    w1c_m = (
+        bgc_m.select(F.split("bg", " ").getItem(0).alias("w1"), "n_bg")
+        .groupBy("w1")
+        .agg(F.sum("n_bg").alias("n_from"))
+    )
+    uni_m = (
+        base.where("is_model")
+        .select(F.explode("tk").alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    ntot = uni_m.agg(F.sum("n_w").cast("bigint").alias("n_total"))
+    s = (
+        F.when(F.col("n_bg").isNotNull(), F.col("n_bg") / F.col("n_from"))
+        .when(
+            F.col("n_w").isNotNull(),
+            F.lit(BACKOFF_ALPHA) * F.col("n_w") / F.col("n_total"),
+        )
+        .otherwise(F.lit(BACKOFF_ALPHA) / F.col("n_total"))
+    )
+    scored = (
+        tf.withColumn("w2", F.split("bg", " ").getItem(1))
+        .join(bgc_m, "bg", "left")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(w1c_m, "w1", "left")
+        .join(uni_m, "w2", "left")
+        .join(F.broadcast(ntot))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("n_bg").isNull(), F.col("tf")).otherwise(F.lit(0))
+            ).cast("bigint").alias("backoff_bigrams"),
+            F.sum((F.col("tf") * -F.log(s)).cast("decimal(28,12)")).alias("ssum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "backoff_bigrams",
+            F.floor(
+                F.col("ssum").cast("double") / F.col("n_bigrams") * 1000000
+            ).alias("avg_surprisal_e6"),
+        )
+    )
+
+
+def _backoff_oracle() -> str:
+    from .datapipe import _U32, _duck_bucket
+
+    thr = int(BACKOFF_MODEL_FRAC * _U32)
+    a = f"CAST({BACKOFF_ALPHA} AS DOUBLE)"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {_duck_bucket("doc_id")} < {thr} AS is_model,
+           {_DUCK_TOKENS} AS tk
+    FROM documents
+),
+bgs AS (
+    SELECT doc_id, is_model,
+           unnest([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]) AS bg
+    FROM toks WHERE len(tk) >= 2
+),
+tf AS (SELECT doc_id, is_model, bg, count(*) AS tf FROM bgs GROUP BY 1, 2, 3),
+bgc_m AS (SELECT bg, sum(tf) AS n_bg FROM tf WHERE is_model GROUP BY 1),
+w1c_m AS (
+    SELECT string_split(bg, ' ')[1] AS w1, sum(n_bg) AS n_from
+    FROM bgc_m GROUP BY 1
+),
+uni_m AS (
+    SELECT w2, count(*) AS n_w FROM (
+        SELECT unnest(tk) AS w2 FROM toks WHERE is_model
+    ) GROUP BY 1
+),
+ntot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni_m)
+SELECT t.doc_id,
+       sum(t.tf)::BIGINT AS n_bigrams,
+       CAST(sum(CASE WHEN b.n_bg IS NULL THEN t.tf ELSE 0 END) AS BIGINT)
+           AS backoff_bigrams,
+       CAST(floor(sum(CAST(t.tf * -ln(
+               CASE WHEN b.n_bg IS NOT NULL THEN b.n_bg / w.n_from
+                    WHEN u.n_w IS NOT NULL THEN {a} * u.n_w / n.n_total
+                    ELSE {a} / n.n_total END
+           ) AS DECIMAL(28,12)))::DOUBLE / sum(t.tf) * 1000000) AS BIGINT)
+           AS avg_surprisal_e6
+FROM tf t
+LEFT JOIN bgc_m b USING (bg)
+LEFT JOIN w1c_m w ON string_split(t.bg, ' ')[1] = w.w1
+LEFT JOIN uni_m u ON string_split(t.bg, ' ')[2] = u.w2
+CROSS JOIN ntot n
+GROUP BY t.doc_id
+"""
+
+
+ORACLE["doc_backoff_surprisal"] = _backoff_oracle()
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
     "doc_unigram_logprob": doc_unigram_logprob,
     "doc_bigram_surprisal": doc_bigram_surprisal,
+    "doc_backoff_surprisal": doc_backoff_surprisal,
     "vocab_coverage": vocab_coverage,
 }

@@ -181,3 +181,103 @@ def test_minhash_est_error_branch_points(spark, esterr_dir):
     assert near["err_ppm"] == near["est_ppm"] - near["exact_ppm"]
     # the unrelated doc never pairs
     assert not any(6 in k for k in rows)
+
+
+# --------------------------------------------------- doc_backoff_surprisal
+def _bucket_py(doc_id: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def backoff_dir(tmp_path_factory):
+    """Docs placed on known sides of the 50% model split so every
+    stupid-backoff branch executes: in-model bigram, backed-off bigram of
+    known words, OOV word, and the <2-token absence contract."""
+    from grapefruit_spark.operators.search import BACKOFF_MODEL_FRAC
+
+    thr = int(BACKOFF_MODEL_FRAC * 4294967296)
+    model_ids = [i for i in range(1, 200) if _bucket_py(i) < thr]
+    held_ids = [i for i in range(1, 200) if _bucket_py(i) >= thr]
+    d = tmp_path_factory.mktemp("backoffadv")
+    docs = [
+        (model_ids[0], "a b c a b"),   # model: bigrams ab:2 bc:1 ca:1
+        (model_ids[1], "c d e"),       # model: cd:1 de:1
+        (held_ids[0], "a b c x"),      # scored: ab,bc in model; "c x" OOV
+        (held_ids[1], "b a"),          # scored: "b a" unseen, both words known
+        (held_ids[2], "hello"),        # scored: <2 tokens -> absent
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["web"] * len(docs)),
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d), docs, set(model_ids[:2])
+
+
+def test_backoff_surprisal_branch_points(spark, backoff_dir):
+    import math
+    from collections import Counter, defaultdict
+
+    from grapefruit_spark.operators.search import BACKOFF_ALPHA
+
+    d, docs, model_set = backoff_dir
+    queries, oracles = _entry()
+    con = _duck_for(d, ["documents"])
+    assert_matches_oracle(
+        queries["doc_backoff_surprisal"](spark, d),
+        con,
+        oracles["doc_backoff_surprisal"],
+    )
+    # python reference of the full stupid-backoff recursion
+    uni: Counter = Counter()
+    bgc: Counter = Counter()
+    for doc_id, text in docs:
+        toks = text.split()
+        if doc_id in model_set:
+            uni.update(toks)
+            bgc.update(zip(toks, toks[1:]))
+    n_total = sum(uni.values())
+    n_from: dict = defaultdict(int)
+    for (w1, _), n in bgc.items():
+        n_from[w1] += n
+
+    def score(bg):
+        if bg in bgc:
+            return bgc[bg] / n_from[bg[0]]
+        if bg[1] in uni:
+            return BACKOFF_ALPHA * uni[bg[1]] / n_total
+        return BACKOFF_ALPHA / n_total
+
+    got = {
+        r["doc_id"]: r
+        for r in queries["doc_backoff_surprisal"](spark, d).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split()
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            assert doc_id not in got  # <2 tokens -> absent
+            continue
+        total = sum(round(-math.log(score(b)), 12) for b in bgs)
+        want = math.floor(total / len(bgs) * 1_000_000)
+        assert got[doc_id]["n_bigrams"] == len(bgs)
+        assert got[doc_id]["backoff_bigrams"] == sum(b not in bgc for b in bgs)
+        assert abs(got[doc_id]["avg_surprisal_e6"] - want) <= 1, (
+            doc_id, got[doc_id], want,
+        )
+    # the branch points actually happened: a fully-in-model doc, a doc
+    # that backed off to a known unigram, and a doc that hit the OOV floor
+    scored_held = [i for i, t in docs if i not in model_set and len(t.split()) >= 2]
+    assert got[scored_held[0]]["backoff_bigrams"] == 1  # "c x" -> OOV path
+    assert got[scored_held[1]]["backoff_bigrams"] == 1  # "b a" -> unigram path
+    model_docs = [i for i, _ in docs if i in model_set]
+    assert all(got[i]["backoff_bigrams"] == 0 for i in model_docs)
