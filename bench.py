@@ -133,6 +133,7 @@ HEADLINE = [
     "events_cusum_drift",
     "minhash_est_error",
     "doc_backoff_surprisal",
+    "embedding_drift_aa",
 ]
 
 

@@ -584,6 +584,93 @@ FROM j GROUP BY query_id
 """
 
 
+# ----------------------------------------------------------------- D48
+#: per-element quantization grid for drift sums: floor(x·10³) is a
+#: single IEEE op on the exactly-promoted float32, so both engines
+#: derive the same integer and every downstream sum is exact. (Casting
+#: raw floats to DECIMAL is NOT portable — measured r9: Spark's
+#: shortest-repr double→decimal vs DuckDB's exact-expansion rounding
+#: diverge at the ~7th decimal per element.)
+DRIFT_Q = 1_000
+#: flag dims whose centroid gap exceeds this (in 10⁻⁹ embedding units);
+#: generous — an A/A split of i.i.d. data should sit far below it
+DRIFT_TOL_E9 = 50_000_000
+
+
+def embedding_drift_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution A/A drift test (r9): split the corpus into
+    two deterministic md5 halves and compare per-dimension centroids.
+    Two random halves of the same distribution must agree — a dimension
+    whose centroid gap exceeds the tolerance means the ingest is biased
+    (ordering leaks into the hash key, a shard went missing, a source
+    changed encoders mid-stream). Run it A/B instead by keying the split
+    on time or source and the same operator becomes the real drift
+    monitor embedding pipelines page on.
+
+    All-integer math: each element quantizes to floor(x·10³) (see
+    DRIFT_Q — DECIMAL casts of raw floats are engine-divergent), sums
+    are exact bigints, centroids emit as sum·10⁶ div n (micro-grid per
+    10⁻⁹ embedding units). One explode + one (dim)-keyed aggregate —
+    map-side combine collapses each partition to |dims| partial rows, so
+    the shuffle is O(dims × partitions) regardless of corpus size."""
+    from .datapipe import _U32, _bucket
+
+    emb = table(spark, sf_dir, "embeddings")
+    in_a = _bucket(F.col("vec_id")) < int(0.5 * _U32)
+    q = emb.select(
+        in_a.alias("in_a"), F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "in_a",
+        "dim",
+        F.floor(F.col("x").cast("double") * DRIFT_Q).cast("bigint").alias("q"),
+    )
+    agg = q.groupBy("dim").agg(
+        F.sum(F.when(F.col("in_a"), F.col("q"))).alias("s_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("q"))).alias("s_b"),
+        F.sum(F.when(F.col("in_a"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("n_b"),
+    )
+    mean_a = F.expr("(s_a * 1000000L) div nullif(n_a, 0L)")
+    mean_b = F.expr("(s_b * 1000000L) div nullif(n_b, 0L)")
+    return agg.select(
+        "dim",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a_e9"),
+        mean_b.alias("mean_b_e9"),
+        (mean_a - mean_b).alias("delta_e9"),
+        (F.abs(mean_a - mean_b) > DRIFT_TOL_E9).alias("drifted"),
+    )
+
+
+ORACLE["embedding_drift_aa"] = f"""
+WITH q AS (
+    SELECT ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               < {int(0.5 * 4294967296)} AS in_a,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {DRIFT_Q}) AS BIGINT) AS q
+    FROM embeddings
+),
+agg AS (
+    SELECT dim,
+           CAST(sum(CASE WHEN in_a THEN q END) AS BIGINT) AS s_a,
+           CAST(sum(CASE WHEN NOT in_a THEN q END) AS BIGINT) AS s_b,
+           CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM q GROUP BY dim
+)
+SELECT dim, n_a, n_b,
+       CAST((s_a * 1000000) // nullif(n_a, 0) AS BIGINT) AS mean_a_e9,
+       CAST((s_b * 1000000) // nullif(n_b, 0) AS BIGINT) AS mean_b_e9,
+       CAST((s_a * 1000000) // nullif(n_a, 0) - (s_b * 1000000) // nullif(n_b, 0) AS BIGINT) AS delta_e9,
+       abs((s_a * 1000000) // nullif(n_a, 0) - (s_b * 1000000) // nullif(n_b, 0)) > {DRIFT_TOL_E9}
+           AS drifted
+FROM agg
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_topk_partitioned": knn_topk_partitioned,
@@ -592,4 +679,5 @@ QUERIES = {
     "knn_ivf_trained": knn_ivf_trained,
     "knn_recall_eval": knn_recall_eval,
     "embedding_neardup": embedding_neardup,
+    "embedding_drift_aa": embedding_drift_aa,
 }

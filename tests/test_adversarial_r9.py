@@ -281,3 +281,76 @@ def test_backoff_surprisal_branch_points(spark, backoff_dir):
     assert got[scored_held[1]]["backoff_bigrams"] == 1  # "b a" -> unigram path
     model_docs = [i for i, _ in docs if i in model_set]
     assert all(got[i]["backoff_bigrams"] == 0 for i in model_docs)
+
+
+# --------------------------------------------------- embedding_drift_aa
+@pytest.fixture(scope="module")
+def drift_dir(tmp_path_factory):
+    """A planted biased split: dim 0 carries a +1.0 offset for every
+    half-A vector (a real ingest bias), dim 1 is identical everywhere
+    (zero drift), dim 2 carries sign-mixed values exercising the
+    negative-sum // truncation path."""
+    import math
+
+    d = tmp_path_factory.mktemp("driftadv")
+    thr = int(0.5 * 4294967296)
+    ids = list(range(1, 60))
+    vecs = []
+    for i in ids:
+        in_a = _bucket_py(i) < thr
+        base = [0.25 if in_a else -0.75, 0.5, -0.125 * (i % 3)]
+        vecs.append((i, [float(x) for x in base]))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d), vecs, thr
+
+
+def test_embedding_drift_branch_points(spark, drift_dir):
+    import math
+
+    d, vecs, thr = drift_dir
+    queries, oracles = _entry()
+    con = _duck_for(d, ["embeddings"])
+    assert_matches_oracle(
+        queries["embedding_drift_aa"](spark, d),
+        con,
+        oracles["embedding_drift_aa"],
+    )
+    rows = {
+        r["dim"]: r for r in queries["embedding_drift_aa"](spark, d).collect()
+    }
+    # python reference: floor(float32_as_double * 1e3) integer sums
+    import numpy as np
+
+    sums = {True: [0, 0, 0], False: [0, 0, 0]}
+    ns = {True: 0, False: 0}
+    for vid, vec in vecs:
+        in_a = _bucket_py(vid) < thr
+        ns[in_a] += 1
+        for dim, x in enumerate(vec):
+            sums[in_a][dim] += math.floor(float(np.float32(x)) * 1_000)
+
+    def tdiv(a, b):  # truncating div, matching Spark div / DuckDB //
+        q = abs(a) * 1_000_000 // b
+        return q if a >= 0 else -q
+
+    for dim in range(3):
+        ma = tdiv(sums[True][dim], ns[True])
+        mb = tdiv(sums[False][dim], ns[False])
+        assert rows[dim]["mean_a_e9"] == ma, (dim, rows[dim], ma)
+        assert rows[dim]["mean_b_e9"] == mb
+        assert rows[dim]["delta_e9"] == ma - mb
+    # the planted bias is caught, the identical dim is clean
+    assert rows[0]["drifted"] is True
+    assert rows[1]["drifted"] is False
+    assert rows[1]["delta_e9"] == 0
