@@ -196,6 +196,76 @@ FROM member
 """
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the MinHash near-dup graph (r9, D49):
+    (cluster_size, n_clusters, n_docs) including the size-1 row for
+    singletons — THE summary a dedup run is judged by (dup mass = 1 −
+    keepers/docs; a fat tail of giant clusters means boilerplate, not
+    prose, is driving the pair graph).
+
+    Two tiny aggregates over the (already driver-verified)
+    dedup_clusters frame — sizes per keeper, then counts per size — plus
+    a 1-row corpus count for the singleton remainder; everything after
+    the CC output is O(clusters), so the report is free at any scale."""
+    from ..catalog import table as _table
+
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("keep_doc_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    n_docs = _table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    n_clustered = clusters.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_in")
+    )
+    singletons = (
+        n_docs.join(F.broadcast(n_clustered))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_in")).cast("bigint").alias("n_clusters"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return (
+        hist.select(F.col("cluster_size").cast("bigint"), "n_clusters")
+        .unionByName(singletons)
+        .withColumn(
+            "n_docs", (F.col("cluster_size") * F.col("n_clusters")).cast("bigint")
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _dedup_cluster_stats_oracle() -> str:
+    return f"""
+WITH clusters AS ({_dedup_clusters_oracle()}),
+sizes AS (
+    SELECT keep_doc_id, count(*) AS cluster_size FROM clusters GROUP BY 1
+),
+hist AS (
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY 1
+),
+singles AS (
+    SELECT CAST(1 AS BIGINT) AS cluster_size,
+           CAST((SELECT count(*) FROM documents)
+                - (SELECT count(*) FROM clusters) AS BIGINT) AS n_clusters
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+FROM (
+    SELECT * FROM hist
+    UNION ALL
+    SELECT * FROM singles WHERE n_clusters > 0
+)
+ORDER BY cluster_size
+"""
+
+
 def jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the EXACT n-gram-Jaccard pair graph —
     the oracle-checkable twin of dedup_clusters (whose MinHash pair source
@@ -1114,11 +1184,13 @@ ORACLE["jaccard_clusters"] = _jaccard_clusters_oracle()
 ORACLE["dedup_clusters"] = _dedup_clusters_oracle()
 
 ORACLE["dedup_keep_best"] = _dedup_keep_best_oracle()
+ORACLE["dedup_cluster_stats"] = _dedup_cluster_stats_oracle()
 
 QUERIES = {
     "jaccard_clusters": jaccard_clusters,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_cluster_stats": dedup_cluster_stats,
     "supplier_pagerank": supplier_pagerank,
     "supplier_ppr": supplier_ppr,
     "supplier_pagerank_dist": supplier_pagerank_dist,

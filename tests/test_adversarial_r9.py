@@ -354,3 +354,58 @@ def test_embedding_drift_branch_points(spark, drift_dir):
     assert rows[0]["drifted"] is True
     assert rows[1]["drifted"] is False
     assert rows[1]["delta_e9"] == 0
+
+
+# -------------------------------------------------- dedup_cluster_stats
+def test_cluster_stats_histogram(spark, esterr_dir):
+    """The esterr corpus has a known cluster structure: {1,2,5} (run +
+    substitution chain), {3,4} (both sub-shingle -> empty-gram est 1.0),
+    and singleton 6 -> histogram rows (3,1), (2,1), (1,1)."""
+    queries, oracles = _entry()
+    con = _duck_for(esterr_dir, ["documents"])
+    assert_matches_oracle(
+        queries["dedup_cluster_stats"](spark, esterr_dir),
+        con,
+        oracles["dedup_cluster_stats"],
+    )
+    rows = {
+        r["cluster_size"]: r
+        for r in queries["dedup_cluster_stats"](spark, esterr_dir).collect()
+    }
+    assert rows[3]["n_clusters"] == 1 and rows[3]["n_docs"] == 3
+    assert rows[2]["n_clusters"] == 1
+    assert rows[1]["n_clusters"] == 1  # doc 6
+    assert sum(r["n_docs"] for r in rows.values()) == 6  # partition of corpus
+
+
+def test_cluster_stats_all_singletons(spark, tmp_path):
+    """No near-dup pairs at all -> the report is exactly one size-1 row
+    covering the whole corpus (the CC frame is empty; the singleton
+    remainder must not be dropped)."""
+    texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel",
+        "completely different words about parquet row groups here",
+        "third document discussing watermark state eviction policies",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 3),
+                "source": pa.array(["web"] * 3),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    assert_matches_oracle(
+        queries["dedup_cluster_stats"](spark, str(tmp_path)),
+        con,
+        oracles["dedup_cluster_stats"],
+    )
+    rows = queries["dedup_cluster_stats"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["cluster_size"] == 1 and rows[0]["n_clusters"] == 3
