@@ -54,6 +54,19 @@ RICH_QUERIES = [
     # sample counts, and LCG seeds cover different residues than sf0.01)
     ("multimodal", "multimodal_features"),
     ("multimodal", "multimodal_transform"),
+    # r9 audit: the r6-r8 documents-only additions were never appended
+    # here — the portable-md5 LSH family and the corpus-LM scorers now
+    # also re-prove on the hostile corpus (planted dups + Zipf vocab are
+    # exactly their branch-heavy inputs)
+    ("dedup", "dedup_minhash"),
+    ("dedup", "dedup_simhash"),
+    ("dedup", "minhash_est_error"),
+    ("graph", "dedup_clusters"),
+    ("graph", "dedup_keep_best"),
+    ("graph", "dedup_cluster_stats"),
+    ("search", "doc_bigram_surprisal"),
+    ("search", "doc_backoff_surprisal"),
+    ("datapipe", "split_leakage_safe"),
 ]
 
 
