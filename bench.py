@@ -134,6 +134,7 @@ HEADLINE = [
     "minhash_est_error",
     "doc_backoff_surprisal",
     "embedding_drift_aa",
+    "events_seasonal_ratio",
 ]
 
 

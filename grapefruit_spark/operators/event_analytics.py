@@ -418,6 +418,67 @@ FROM clamped
 """
 
 
+# ------------------------------------------------------------------ C32
+def events_seasonal_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline deviation (r9): each hour's volume vs the SAME
+    HOUR-OF-DAY baseline for that event_type — the "is 3am traffic low
+    for a 3am?" comparison that de-seasonalizes before alerting, where a
+    trailing-window z-score (events_rate_anomaly) would flag every
+    diurnal swing. CUSUM, z-score, and this seasonal ratio are the three
+    detectors a rate-monitoring stack runs side by side.
+
+    Exact integers end-to-end: ratio vs the baseline MEAN folds into a
+    single bigint division n·cnt·10⁶ div Σn (never a float mean).
+    Shuffle 1 = map-side-combined hourly rollup; the profile aggregate
+    and join-back touch only the rolled-up frame (types × 24 rows of
+    profile), so cost is independent of raw event volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    profile = hourly.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("seasonal_hours"),
+        F.sum("n").cast("bigint").alias("seasonal_n"),
+    )
+    return (
+        hourly.join(F.broadcast(profile), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            "hod",
+            "n",
+            "seasonal_hours",
+            F.expr("(n * seasonal_hours * 1000000L) div seasonal_n").alias(
+                "ratio_ppm"
+            ),
+        )
+    )
+
+
+ORACLE["events_seasonal_ratio"] = """
+WITH hourly AS (
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           hour(ts) AS hod,
+           count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+),
+profile AS (
+    SELECT event_type, hod,
+           CAST(count(*) AS BIGINT) AS seasonal_hours,
+           CAST(sum(n) AS BIGINT) AS seasonal_n
+    FROM hourly GROUP BY 1, 2
+)
+SELECT h.event_type, h.hour, h.hod, h.n, p.seasonal_hours,
+       CAST((h.n * p.seasonal_hours * 1000000) // p.seasonal_n AS BIGINT)
+           AS ratio_ppm
+FROM hourly h JOIN profile p USING (event_type, hod)
+"""
+
+
 # ------------------------------------------------------------------ C17
 def events_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2-style interval construction from a change log: collapse each
@@ -1114,6 +1175,7 @@ QUERIES = {
     "events_ewma_hourly": events_ewma_hourly,
     "events_rate_anomaly": events_rate_anomaly,
     "events_cusum_drift": events_cusum_drift,
+    "events_seasonal_ratio": events_seasonal_ratio,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_heavy_hitters": events_heavy_hitters,

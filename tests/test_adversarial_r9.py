@@ -409,3 +409,60 @@ def test_cluster_stats_all_singletons(spark, tmp_path):
     rows = queries["dedup_cluster_stats"](spark, str(tmp_path)).collect()
     assert len(rows) == 1
     assert rows[0]["cluster_size"] == 1 and rows[0]["n_clusters"] == 3
+
+
+# ------------------------------------------------- events_seasonal_ratio
+def test_seasonal_ratio_branch_points(spark, tmp_path):
+    """Planted diurnal pattern: type 'diurnal' runs 20/hour at hod 12 and
+    5/hour at hod 3 across 4 days, except ONE low noon (10) and one
+    doubled 3am (10). The hod-12 baseline mean is (3*20+10)/4 = 17.5 ->
+    the low noon scores 571428 ppm while a raw z-score over the whole
+    series would have called every 3am anomalous. Exact-integer
+    assertions straight from the bigint-div contract."""
+    rows = []
+    base = 1_704_067_200_000_000  # 2024-01-01 00:00 UTC
+    day = 86_400_000_000
+    hr = 3_600_000_000
+    for d in range(4):
+        n_noon = 10 if d == 2 else 20
+        for j in range(n_noon):
+            rows.append(base + d * day + 12 * hr + j * 60_000_000)
+        n_3am = 10 if d == 1 else 5
+        for j in range(n_3am):
+            rows.append(base + d * day + 3 * hr + j * 60_000_000)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(rows, pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["diurnal"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([None] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["events"])
+    assert_matches_oracle(
+        queries["events_seasonal_ratio"](spark, str(tmp_path)),
+        con,
+        oracles["events_seasonal_ratio"],
+    )
+    out = {
+        (r["hod"], r["hour"]): r
+        for r in queries["events_seasonal_ratio"](spark, str(tmp_path)).collect()
+    }
+    noon = sorted(r for (h, _), r in out.items() if h == 12)
+    am3 = sorted(r for (h, _), r in out.items() if h == 3)
+    # hod-12 baseline: sum 70 over 4 hours; low noon = 10*4e6//70
+    low = [r for r in noon if r["n"] == 10][0]
+    assert low["ratio_ppm"] == 10 * 4 * 1_000_000 // 70
+    assert all(r["ratio_ppm"] == 20 * 4 * 1_000_000 // 70 for r in noon if r["n"] == 20)
+    # hod-3 baseline: sum 25 over 4 hours; the doubled 3am is HIGH within
+    # its own hod even though 10 events is "low" globally
+    high = [r for r in am3 if r["n"] == 10][0]
+    assert high["ratio_ppm"] == 10 * 4 * 1_000_000 // 25
+    assert high["ratio_ppm"] > 1_000_000  # above ITS baseline
+    assert low["ratio_ppm"] < 1_000_000
