@@ -266,6 +266,69 @@ ORDER BY cluster_size
 """
 
 
+def doc_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup mass per source domain (r9, D50): for each `source`, how
+    many docs sit in a near-dup cluster and what fraction they lose to
+    dedup (docs − keepers, in ppm) — the "which domains are polluted"
+    report that decides per-source sampling rates in a curation
+    pipeline. A keeper here is cluster-min-id *within the source's own
+    docs* when the cluster spans sources? No — keeper is the GLOBAL
+    cluster keeper (keep_doc_id), so a source whose docs always lose to
+    another source's copies shows 100% loss: exactly the signal (its
+    content exists elsewhere first).
+
+    Plan: the docs→cluster membership join is unhinted (the r9 rule for
+    membership frames); everything else is one groupBy over the corpus
+    projection. removed = docs whose id is NOT their cluster's keeper.
+    """
+    from ..catalog import table as _table
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = dedup_clusters(spark, sf_dir)
+    marked = docs.join(clusters, "doc_id", "left").select(
+        "source",
+        F.col("keep_doc_id").isNotNull().alias("clustered"),
+        (
+            F.col("keep_doc_id").isNotNull()
+            & (F.col("keep_doc_id") != F.col("doc_id"))
+        ).alias("removed"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("clustered").cast("int")).cast("bigint").alias("n_clustered"),
+            F.sum(F.col("removed").cast("int")).cast("bigint").alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_clustered",
+            "n_removed",
+            F.expr("(n_removed * 1000000L) div n_docs").alias("removed_ppm"),
+        )
+    )
+
+
+def _doc_dup_ratio_oracle() -> str:
+    return f"""
+WITH clusters AS ({_dedup_clusters_oracle()}),
+marked AS (
+    SELECT d.source,
+           c.keep_doc_id IS NOT NULL AS clustered,
+           (c.keep_doc_id IS NOT NULL AND c.keep_doc_id != d.doc_id) AS removed
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST((sum(CASE WHEN removed THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS removed_ppm
+FROM marked GROUP BY source
+"""
+
+
 def jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the EXACT n-gram-Jaccard pair graph —
     the oracle-checkable twin of dedup_clusters (whose MinHash pair source
@@ -1185,12 +1248,14 @@ ORACLE["dedup_clusters"] = _dedup_clusters_oracle()
 
 ORACLE["dedup_keep_best"] = _dedup_keep_best_oracle()
 ORACLE["dedup_cluster_stats"] = _dedup_cluster_stats_oracle()
+ORACLE["doc_dup_ratio_by_source"] = _doc_dup_ratio_oracle()
 
 QUERIES = {
     "jaccard_clusters": jaccard_clusters,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "dedup_cluster_stats": dedup_cluster_stats,
+    "doc_dup_ratio_by_source": doc_dup_ratio_by_source,
     "supplier_pagerank": supplier_pagerank,
     "supplier_ppr": supplier_ppr,
     "supplier_pagerank_dist": supplier_pagerank_dist,

@@ -584,6 +584,52 @@ FROM j GROUP BY query_id
 """
 
 
+def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the TRAINED IVF index vs the exact top-k (r9) — the
+    LSH twin (knn_recall_eval) completed into a QA matrix: a production
+    ANN deployment tracks every index variant's recall side by side,
+    and the two rows directly answer 'which index family degrades first
+    as the corpus drifts'. Same integer-ppm contract and the same
+    k·|queries|-row plan; composes two already-verified oracles."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        knn_ivf_trained(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.expr("(n_hit * 1000000L) div k").alias("recall_ppm"),
+        )
+    )
+
+
+ORACLE["knn_ivf_recall_eval"] = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_bruteforce"]}) bf),
+approx AS (SELECT query_id, neighbor_id FROM ({_ivf_trained_oracle()}) iv),
+j AS (
+    SELECT e.query_id,
+           CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       count(*)::BIGINT AS k,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY query_id
+"""
+
+
 # ----------------------------------------------------------------- D48
 #: per-element quantization grid for drift sums: floor(x·10³) is a
 #: single IEEE op on the exactly-promoted float32, so both engines
@@ -678,6 +724,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "knn_ivf_trained": knn_ivf_trained,
     "knn_recall_eval": knn_recall_eval,
+    "knn_ivf_recall_eval": knn_ivf_recall_eval,
     "embedding_neardup": embedding_neardup,
     "embedding_drift_aa": embedding_drift_aa,
 }

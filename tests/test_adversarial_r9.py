@@ -466,3 +466,90 @@ def test_seasonal_ratio_branch_points(spark, tmp_path):
     assert high["ratio_ppm"] == 10 * 4 * 1_000_000 // 25
     assert high["ratio_ppm"] > 1_000_000  # above ITS baseline
     assert low["ratio_ppm"] < 1_000_000
+
+
+# ----------------------------------------------- doc_dup_ratio_by_source
+@pytest.fixture(scope="module")
+def dupsrc_dir(tmp_path_factory):
+    """Cross-source clusters: blog's near-dup copy loses to web's keeper
+    (the 'its content exists elsewhere first' signal), wiki has an
+    internal pair, and each source also demonstrates the keeper-stays
+    branch."""
+    d = tmp_path_factory.mktemp("dupsrcadv")
+    run = ("the quick brown fox jumps over the lazy dog while rain falls "
+           "on the quiet grey town and the river keeps moving slowly north")
+    wiki = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = [
+        (1, run, "web"),
+        (2, run, "web"),
+        (3, wiki, "wiki"),
+        (4, wiki, "wiki"),
+        (5, run.replace("river", "ocean"), "blog"),  # loses to keeper 1
+        (6, "completely unrelated text about database shuffle planning", "blog"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array([r[2] for r in docs]),
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_dup_ratio_by_source_branch_points(spark, dupsrc_dir):
+    queries, oracles = _entry()
+    con = _duck_for(dupsrc_dir, ["documents"])
+    assert_matches_oracle(
+        queries["doc_dup_ratio_by_source"](spark, dupsrc_dir),
+        con,
+        oracles["doc_dup_ratio_by_source"],
+    )
+    rows = {
+        r["source"]: r
+        for r in queries["doc_dup_ratio_by_source"](spark, dupsrc_dir).collect()
+    }
+    # web keeps the global keeper (1), loses its copy (2)
+    assert rows["web"]["n_docs"] == 2 and rows["web"]["n_clustered"] == 2
+    assert rows["web"]["n_removed"] == 1
+    assert rows["web"]["removed_ppm"] == 500_000
+    # wiki's internal pair behaves identically
+    assert rows["wiki"]["n_removed"] == 1
+    # blog's clustered doc is NOT a keeper anywhere -> 100% of its
+    # clustered mass is removed (cross-source loss), singleton survives
+    assert rows["blog"]["n_docs"] == 2
+    assert rows["blog"]["n_clustered"] == 1
+    assert rows["blog"]["n_removed"] == 1
+
+
+# ------------------------------------------------- knn_ivf_recall_eval
+def test_ivf_recall_matches_set_overlap(spark):
+    """n_hit must equal the literal set overlap of the two composed
+    (already driver-verified) queries — the same contract the LSH twin
+    pins in test_adversarial_r8."""
+    from grapefruit_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_recall_eval,
+        knn_ivf_trained,
+    )
+
+    from .conftest import SF_DIR
+
+    exact: dict[int, set] = {}
+    for r in knn_bruteforce(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict[int, set] = {}
+    for r in knn_ivf_trained(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {r["query_id"]: r for r in knn_ivf_recall_eval(spark, SF_DIR).collect()}
+    assert set(got) == set(exact)
+    for qid, ex in exact.items():
+        hits = len(ex & approx.get(qid, set()))
+        assert got[qid]["n_hit"] == hits
+        assert got[qid]["k"] == len(ex)
+        assert got[qid]["recall_ppm"] == hits * 1_000_000 // len(ex)
