@@ -55,22 +55,33 @@ def all_queries() -> dict[str, QueryFn]:
 # Queries whose oracle text or Spark emission changed AFTER their last
 # green driver row. Each stays front-loaded until it earns a hash-green
 # row in a round whose number is >= the listed one; then the rule
-# self-clears. All r8 entries (pagerank/ppr fused tier, branchless
-# simhash, condorcet pre-partition) earned their r8 greens — verified
-# against CORRECTNESS_r08 in the r9 registry audit — and were pruned;
-# only live entries remain.
+# self-clears. All r9 entries (dedup_keep_best, q7/q8 customer side,
+# split_leakage_safe) earned their r9 greens — verified against
+# CORRECTNESS_r09 in the r10 registry audit — and were pruned; only
+# live entries remain.
 _REPROVE_SINCE: dict[str, int] = {
-    # r9: the membership join dropped its forced F.broadcast(clusters)
-    # (the one unbounded broadcast in the repo — VERDICT_r8 order #1);
-    # values identical, plan changed
-    "dedup_keep_best": 9,
-    # r9: customer-side broadcast hints removed from Q7/Q8 (customer
-    # scales with SF); AQE picks the strategy — plan-only change
-    "q7_volume_shipping": 9,
-    "q8_market_share": 9,
-    # r9: same unbounded-membership hint dropped from the cluster-map
-    # join (the dedup_keep_best precedent applied repo-wide)
-    "split_leakage_safe": 9,
+    # r10 (VERDICT_r9 order #1): ALL remaining forced broadcast() hints
+    # on SF-scaling tables (customer/part/supplier and frames derived
+    # from them) removed — AQE picks the strategy from runtime size
+    # stats. Values identical, plan changed; every touched query must
+    # re-earn a hash-green driver row.
+    "q3_shipping_priority": 10,
+    "q5_local_supplier": 10,
+    "q10_returned_items": 10,
+    "q14_promo_effect": 10,
+    "q18_large_volume": 10,
+    "q2_min_cost_supplier": 10,
+    "q7_volume_shipping": 10,   # supplier side this round (customer was r9)
+    "q8_market_share": 10,      # part+supplier sides (customer was r9)
+    "q9_product_profit": 10,
+    "q11_important_parts": 10,
+    "q15_top_supplier": 10,
+    "q16_supplier_part_types": 10,
+    "q17_small_qty_revenue": 10,
+    "q19_discounted_revenue": 10,
+    "q20_promotion_suppliers": 10,
+    "q21_late_suppliers": 10,
+    "supplier_hhi": 10,
 }
 
 

@@ -701,7 +701,9 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double round() whose last ulp could differ cross-engine
     cents = F.expr("CAST(supp_rev * 100 AS DECIMAL(18,0))")
     return (
-        srev.join(F.broadcast(sup), srev.l_suppkey == sup.s_suppkey)
+        # supplier is UNHINTED (scales with SF, r10): AQE broadcasts it
+        # at small scale from size stats; nation (25 rows) keeps its hint
+        srev.join(sup, srev.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("n_name")
         .agg(

@@ -10,10 +10,15 @@ comparison with the oracle:
 - timestamps emitted as 'yyyy-MM-dd' strings
 - LIMIT queries ordered by a key-unique tiebreak
 
-Scale notes: dimension tables (region/nation/supplier/part, and customer
-in dim position) are explicitly broadcast() — at 100 TB the fact tables
-are lineitem/orders/events, dims stay ≤ GBs. Fact-fact joins
-(orders⋈lineitem) shuffle on the join key and AQE handles skew.
+Scale notes: only the FIXED-SIZE dimensions (region = 5 rows, nation =
+25 rows) carry explicit broadcast() hints. customer/part/supplier SCALE
+WITH SF (~150k/200k/10k rows per SF unit → 10⁹–10¹⁰ rows at the 100 TB
+design point), so their join strategy is left to AQE: it still picks a
+broadcast from runtime size stats at small scale, and degrades to a
+shuffle join when the side outgrows the threshold — a forced hint would
+be an executor OOM instead (r10; both directions pinned by plan tests,
+tests/test_plans.py). Fact-fact joins (orders⋈lineitem) shuffle on the
+join key and AQE handles skew.
 """
 
 from __future__ import annotations
@@ -78,16 +83,17 @@ GROUP BY l_returnflag, l_linestatus
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (adapted: o_orderpriority in place of shippriority).
 
-    customer is the dim side → broadcast; orders⋈lineitem shuffles on
-    orderkey. Top-10 via orderBy+limit (Spark runs TakeOrdered, no global
-    sort materialization).
+    customer scales with SF, so its join is UNHINTED — AQE broadcasts it
+    at small scale from size stats and shuffle-joins at 100 TB (r10).
+    orders⋈lineitem shuffles on orderkey. Top-10 via orderBy+limit (Spark
+    runs TakeOrdered, no global sort materialization).
     """
     cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1997-01-01")
     li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-01-01")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select(
@@ -122,8 +128,9 @@ LIMIT 10
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: local supplier volume (6-way join, region filter).
 
-    region→nation→(customer,supplier) chain is all broadcast; only the
-    orders⋈lineitem fact join shuffles. Catalyst pushes r_name='ASIA'
+    region/nation (fixed-size) broadcast by hint; customer and supplier
+    scale with SF so their joins are UNHINTED (r10) — AQE broadcasts them
+    at small scale, shuffle-joins at 100 TB. Catalyst pushes r_name='ASIA'
     through the join chain to the region scan.
     """
     region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
@@ -136,9 +143,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -197,7 +204,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 
 # ------------------------------------------------------------------ B5
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10: returned-item revenue ranking, top 20."""
+    """TPC-H Q10: returned-item revenue ranking, top 20.
+
+    customer is unhinted (scales with SF, r10); nation keeps its hint.
+    """
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     orders = table(spark, sf_dir, "orders").where(
@@ -206,7 +216,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -273,14 +283,15 @@ GROUP BY c_count
 # ------------------------------------------------------------------ B7
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (adapted: promo class = p_type 'ECONOMY'). Conditional agg
-    over a broadcast join with part."""
+    over an UNHINTED join with part (part scales with SF, r10) — AQE
+    broadcasts it at small scale, shuffle-joins at 100 TB."""
     part = table(spark, sf_dir, "part")
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "ECONOMY", rev)
@@ -320,6 +331,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The qty-per-order agg runs first (one shuffle on orderkey), its tiny
     result joins back — AQE converts that join to broadcast at runtime.
+    customer is unhinted too (scales with SF, r10).
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
@@ -331,7 +343,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",

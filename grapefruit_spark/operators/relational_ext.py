@@ -14,7 +14,11 @@ cs425/mp3/MapleJuice.java:677` hash partitioning) to the full relational
 algebra the demo apps sample from.
 
 Scale conventions (same as relational.py):
-- dims broadcast; fact-fact joins shuffle on key, AQE skew-handles
+- only fixed-size dims (region=5, nation=25 rows) carry broadcast()
+  hints; customer/part/supplier scale with SF (10⁹–10¹⁰ rows at 100 TB)
+  so their joins are UNHINTED — AQE broadcasts at small scale from size
+  stats, shuffle-joins past the threshold (r10, pinned by plan tests)
+- fact-fact joins shuffle on key, AQE skew-handles
 - correlated scalar subqueries become broadcast single-row cross joins —
   never a driver collect
 - every computed column aliased identically in Spark and oracle SQL;
@@ -44,7 +48,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correlated ``cost = min(cost over part)`` becomes a groupBy-min
     joined back on (partkey, cost) — two shuffles on partkey that AQE
-    coalesces; the supplier/nation/region chain is broadcast.
+    coalesces. part and the supplier-derived eur frame scale with SF, so
+    their joins are UNHINTED (r10); only nation/region keep hints.
     """
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").where(
@@ -56,7 +61,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shrinks both the agg and the min branch to the filtered subset —
     # a pushdown Catalyst can't see across our groupBy+join rewrite.
     li = li.join(
-        broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
@@ -71,12 +76,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "EUROPE")
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    cost_eur = cost.join(broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+    cost_eur = cost.join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
     min_cost = cost_eur.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
     return (
         cost_eur.join(min_cost, "l_partkey")
         .where(F.col("cost") == F.col("min_cost"))
-        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -115,10 +120,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both nation dims broadcast (aliased to disambiguate); the disjunctive
     nation-pair predicate is applied post-join — at scale the supplier and
-    customer nationkey IN-lists push to the fact scans. customer is NOT
-    hinted (r9): it scales with SF (~15B rows at 100 TB TPC-H), so the
-    join strategy is left to AQE — which still broadcasts wherever the
-    runtime size fits, and shuffle-hash-joins past that.
+    customer nationkey IN-lists push to the fact scans. customer (r9) and
+    supplier (r10) are NOT hinted: both scale with SF, so the join
+    strategy is left to AQE — which still broadcasts wherever the runtime
+    size fits, and shuffle-hash-joins past that.
     """
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between("1996-01-01", "1997-12-31")
@@ -137,7 +142,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
@@ -169,8 +174,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: NATION_9's share of ECONOMY-part revenue sold into ASIA.
 
     Conditional-sum-over-sum per year; nullif guards 0/0 identically on
-    both engines. customer is NOT hinted (r9, same rationale as Q7):
-    it scales with SF, so AQE picks the strategy at runtime.
+    both engines. customer (r9), part and supplier (r10) are NOT hinted:
+    all three scale with SF, so AQE picks the strategy at runtime.
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").where(
@@ -190,8 +195,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(F.lit(0.0))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
@@ -236,16 +241,20 @@ GROUP BY 1
 # ------------------------------------------------------------------ B23
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (no ps_supplycost → profit = discounted revenue) for
-    'widget' parts, by supplier nation × order year."""
+    'widget' parts, by supplier nation × order year.
+
+    part and supplier are UNHINTED (scale with SF, r10); nation keeps
+    its hint.
+    """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     part = table(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         # decimal sum: exact and summation-order-independent, so the 2 dp
@@ -278,7 +287,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scalar total is a single-row aggregate broadcast-cross-joined onto
     the per-part aggregate — no driver-side collect, so the plan stays one
-    job at any scale.
+    job at any scale. The region-filtered supplier list still scales with
+    SF (1/5 of suppliers), so its semi-join is UNHINTED (r10).
     """
     li = table(spark, sf_dir, "lineitem")
     asia_supp = (
@@ -288,7 +298,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
         .select("s_suppkey")
     )
-    base = li.join(broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    base = li.join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
     per_part = base.groupBy("l_partkey").agg(
         dec_sum("l_extendedprice").alias("part_value")
     )
@@ -361,7 +371,8 @@ GROUP BY 1
 # ------------------------------------------------------------------ B26
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) achieving max quarterly revenue; the max is
-    a single-row broadcast (scalar-subquery shape, no view needed)."""
+    a single-row broadcast (scalar-subquery shape, no view needed).
+    supplier is UNHINTED (scales with SF, r10)."""
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between("1996-01-01", "1996-03-31")
     )
@@ -371,7 +382,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(broadcast(mx))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -394,7 +405,8 @@ ORDER BY s_suppkey
 # ------------------------------------------------------------------ B27
 def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (no partsupp → supplier×part pairs observed in
-    lineitem): distinct-supplier counts per brand/type/size slice."""
+    lineitem): distinct-supplier counts per brand/type/size slice.
+    part is UNHINTED (scales with SF, r10)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
@@ -402,7 +414,7 @@ def q16_supplier_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
     )
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -424,14 +436,15 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue from small-quantity lines (< 50% of the part's
     average quantity). The correlated avg becomes a per-part aggregate
-    joined back on partkey — a shuffle Catalyst reuses for both sides."""
+    joined back on partkey — a shuffle Catalyst reuses for both sides.
+    part is UNHINTED (scales with SF, r10)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
     avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.avg("l_quantity") * 0.5).alias("qty_threshold")
     )
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("sdec"))
@@ -458,8 +471,9 @@ WHERE p_brand = 'Brand#13'
 # ------------------------------------------------------------------ B29
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunctive brand/size/quantity predicate — one scan,
-    the OR-of-ANDs evaluated post-broadcast-join (partkey IN pushes to
-    the lineitem scan at scale via DPP/runtime filters)."""
+    the OR-of-ANDs evaluated post-join (partkey IN pushes to the lineitem
+    scan at scale via DPP/runtime filters). part is UNHINTED (scales
+    with SF, r10) — AQE broadcasts it at small scale."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     cond = (
@@ -480,7 +494,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
         .agg(dec_sum(_rev()).alias("revenue"))
     )
@@ -500,13 +514,15 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 
 def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers who moved an above-average volume of
     'red' parts in 1996 (semi-join chain: part → lineitem agg → scalar
-    threshold → supplier)."""
+    threshold → supplier). The name-filtered part list and supplier both
+    still scale with SF, so those joins are UNHINTED (r10); only the
+    single-row threshold and nation keep hints."""
     li = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate").between("1996-01-01", "1996-12-31")
     )
     red = table(spark, sf_dir, "part").where(F.col("p_name").startswith("red")).select("p_partkey")
     vol = (
-        li.join(broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("red_qty"))
     )
@@ -516,7 +532,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vol.join(broadcast(thresh))
         .where(F.col("red_qty") > F.col("qty_threshold"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", F.col("n_name").alias("nation"), F.round("red_qty", 2).alias("red_qty"))
         .orderBy("s_name")
@@ -550,7 +566,8 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the per-(order, supplier) max shipdate.
 
     One shuffle on orderkey serves the groupBy and the window; the
-    original's two correlated sub-scans of lineitem disappear.
+    original's two correlated sub-scans of lineitem disappear. supplier
+    is UNHINTED (scales with SF, r10).
     """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
@@ -572,7 +589,7 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = table(spark, sf_dir, "supplier")
     return (
-        late.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        late.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

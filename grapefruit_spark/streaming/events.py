@@ -320,15 +320,18 @@ def stream_sessions_ttl(
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the events stream joined to the customer
-    dim. The static side broadcasts per microbatch — no stream state, the
-    canonical dimension-enrichment shape at any scale."""
-    from pyspark.sql.functions import broadcast
+    dim — no stream state, the canonical dimension-enrichment shape.
 
+    The static side is UNHINTED (r10): customer scales with SF, so the
+    planner picks broadcast per microbatch from the parquet relation's
+    size stats while it fits the threshold, and degrades to a per-batch
+    shuffle join at 100 TB — a forced hint would OOM the executors there.
+    """
     ev = read_event_stream(spark, sf_dir)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
-    return ev.join(broadcast(cust), ev.user_id == cust.c_custkey, "left").select(
+    return ev.join(cust, ev.user_id == cust.c_custkey, "left").select(
         "event_id", "user_id", "event_type", "value", "c_mktsegment"
     )
 

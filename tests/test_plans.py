@@ -332,3 +332,75 @@ def test_q7_q8_customer_join_broadcasts_by_choice(spark, qname):
         if "BroadcastHashJoin" in ln and "c_custkey" in ln
     ]
     assert chosen, f"customer join no longer broadcast at small scale:\n{plan[:800]}"
+
+
+# ------------------------------------------------------------- r10 unhinting
+# VERDICT_r9 order #1: ZERO forced broadcast() hints on SF-scaling tables
+# (customer ~150k×SF, part ~200k×SF, supplier ~10k×SF — 10⁹–10¹⁰ rows at
+# the 100 TB design point). Only region (5 rows) and nation (25 rows) keep
+# hints. Both directions pinned per query: with thresholds disabled the
+# scaling-table join must degrade to a shuffle join (a forced hint would
+# survive and fail), and at driver scale the optimizer must still CHOOSE
+# the broadcast from size stats alone (dropping the hint is free where
+# the broadcast was legitimate).
+
+# query → the scaling-table join keys its plan carries (c_custkey /
+# s_suppkey / p_partkey — n.b. *_nationkey does not collide with these)
+_UNHINTED_SCALING = {
+    "q2_min_cost_supplier": ["s_suppkey", "p_partkey"],
+    "q3_shipping_priority": ["c_custkey"],
+    "q5_local_supplier": ["c_custkey", "s_suppkey"],
+    "q7_volume_shipping": ["c_custkey", "s_suppkey"],
+    "q8_market_share": ["c_custkey", "s_suppkey", "p_partkey"],
+    "q9_product_profit": ["s_suppkey", "p_partkey"],
+    "q10_returned_items": ["c_custkey"],
+    "q11_important_parts": ["s_suppkey"],
+    "q14_promo_effect": ["p_partkey"],
+    "q15_top_supplier": ["s_suppkey"],
+    "q16_supplier_part_types": ["p_partkey"],
+    "q17_small_qty_revenue": ["p_partkey"],
+    "q18_large_volume": ["c_custkey"],
+    "q19_discounted_revenue": ["p_partkey"],
+    "q20_promotion_suppliers": ["s_suppkey", "p_partkey"],
+    "q21_late_suppliers": ["s_suppkey"],
+    "supplier_hhi": ["s_suppkey"],
+}
+
+_SCALING_KEYS = ("c_custkey", "s_suppkey", "p_partkey")
+
+
+@pytest.mark.parametrize("qname", sorted(_UNHINTED_SCALING))
+def test_scaling_table_joins_can_shuffle(spark, qname):
+    """100 TB direction: with every broadcast threshold disabled, no
+    BroadcastHashJoin may carry a customer/supplier/part join key — a
+    forced hint would survive the disabled thresholds and fail here."""
+    from grapefruit_spark.plans import executed_plan
+
+    fn = all_queries()[qname]
+    with _with_conf(spark, _NO_BCAST):
+        plan = executed_plan(fn(spark, SF_DIR))
+    bad = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and any(k in ln for k in _SCALING_KEYS)
+    ]
+    assert not bad, f"{qname}: scaling-table join still forced broadcast: {bad}"
+
+
+@pytest.mark.parametrize("qname", sorted(_UNHINTED_SCALING))
+def test_scaling_table_joins_broadcast_by_choice(spark, qname):
+    """Small-scale direction: at driver scale the planner must still pick
+    a broadcast for EVERY previously-hinted scaling-table join from size
+    stats alone — the hint removal must not cost the small-scale plan."""
+    from grapefruit_spark.plans import executed_plan
+
+    fn = all_queries()[qname]
+    plan = executed_plan(fn(spark, SF_DIR))
+    for key in _UNHINTED_SCALING[qname]:
+        chosen = [
+            ln for ln in plan.splitlines()
+            if "BroadcastHashJoin" in ln and key in ln
+        ]
+        assert chosen, (
+            f"{qname}: {key} join no longer broadcast at small scale:\n"
+            + plan[:800]
+        )
