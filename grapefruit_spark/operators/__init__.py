@@ -82,6 +82,13 @@ _REPROVE_SINCE: dict[str, int] = {
     "q20_promotion_suppliers": 10,
     "q21_late_suppliers": 10,
     "supplier_hhi": 10,
+    # r10 (ADVICE_r9): minhash_est_error's persist+count became eager
+    # localCheckpoint (storage reclaimed with the returned frame) —
+    # values identical, plan changed
+    "minhash_est_error": 10,
+    # r10 (ADVICE_r9): dedup_cluster_stats dropped a dead coalesce
+    # around count() — emission text changed
+    "dedup_cluster_stats": 10,
 }
 
 

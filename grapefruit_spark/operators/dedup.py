@@ -594,15 +594,20 @@ def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same O(n·bands) candidate shuffle as dedup_minhash; the gram
     ARRAYS rejoin only for the candidate pairs (never ride the band
     join), so the wide rows move O(candidates), not O(corpus).
-    """
-    from pyspark.storagelevel import StorageLevel
 
-    gh = minhash_grams(table(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    EAGER NOTE: this builder materializes the gram and signature frames
+    at plan-construction time (two Spark jobs fire before the caller
+    acts) — same eagerness as graph.py pagerank()/personalized_pagerank.
+    localCheckpoint (not persist) bounds the storage lifetime: the
+    checkpointed blocks are reclaimed by the ContextCleaner once the
+    returned DataFrame is dropped, so a long-lived session sweeping many
+    queries doesn't retain the O(corpus) gram arrays forever (r10,
+    ADVICE_r9).
+    """
+    gh = minhash_grams(table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True  # grams feed signatures AND the exact verify
     )
-    gh.count()  # materialize: grams feed signatures AND the exact verify
-    sigs = _sigs_from_gram_arrays(gh).persist(StorageLevel.MEMORY_AND_DISK)
-    sigs.count()
+    sigs = _sigs_from_gram_arrays(gh).localCheckpoint(eager=True)
     banded = sigs.select(
         "doc_id", F.explode(band_keys(F.col("sig"), LSH_BANDS, LSH_ROWS)).alias("bk")
     )

@@ -219,9 +219,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = _table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_total")
     )
-    n_clustered = clusters.agg(
-        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("n_in")
-    )
+    n_clustered = clusters.agg(F.count(F.lit(1)).alias("n_in"))
     singletons = (
         n_docs.join(F.broadcast(n_clustered))
         .select(
