@@ -184,6 +184,8 @@ def _modules():
         "event_analytics",
         "search",
         "ml",
+        "scale",
+        "io_sims",
     ):
         try:
             mods.append(__import__(f"{__name__}.{name}", fromlist=[name]))

@@ -12,6 +12,8 @@ convergence is a handful of rounds; the cap bounds the worst case.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -20,6 +22,61 @@ from ..reliability import pin, unpin
 ORACLE: dict[str, str] = {}
 
 MAX_ITERS = 10
+
+# ------------------------------------------------------------- r10 memo
+# Session-scoped cluster-frame memo (VERDICT_r9 order #4). Five gate
+# queries consume a connected-components output (dedup_clusters feeds
+# dedup_keep_best / dedup_cluster_stats / doc_dup_ratio_by_source;
+# jaccard_clusters feeds split_leakage_safe), and each independently
+# recomputes the pair graph + iterative CC so the driver's correctness
+# gate stays a from-scratch proof. A real pipeline computes the cluster
+# map ONCE per corpus snapshot and fans it out to every consumer, so
+# bench / pipeline runs opt in via GRAPEFRUIT_CLUSTER_MEMO=1: the first
+# build per (applicationId, sf_dir, builder) is re-pinned into its own
+# self-contained checkpoint blocks and every later consumer scans those
+# blocks instead of recomputing. Keyed by applicationId so a restarted
+# session can never read a stale frame; results are bit-identical either
+# way (the memo only skips recomputation of a deterministic frame).
+_CLUSTER_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo_enabled() -> bool:
+    return os.environ.get("GRAPEFRUIT_CLUSTER_MEMO") == "1"
+
+
+def _memoized_clusters(spark: SparkSession, sf_dir: str, kind: str, build):
+    if not _memo_enabled():
+        return build()
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
+    if key not in _CLUSTER_MEMO:
+        # re-pin the final frame: its blocks are then independent of the
+        # CC loop's intermediate pins, which periodic cleanups (bench's
+        # per-query unpersist sweep) are free to drop
+        _CLUSTER_MEMO[key] = pin(build())
+    return _CLUSTER_MEMO[key]
+
+
+def cluster_memo_rdd_ids(spark: SparkSession) -> set[int]:
+    """RDD ids backing live memoized cluster frames for THIS session —
+    a block-storage sweep (bench.py's per-query cleanup) must spare
+    these, because a localCheckpointed frame whose blocks are dropped
+    cannot recompute (its lineage is truncated by design)."""
+    app = spark.sparkContext.applicationId
+    return {
+        rid
+        for (a, _, _), df in _CLUSTER_MEMO.items()
+        if a == app and (rid := getattr(df, "_pin_rdd_id", None)) is not None
+    }
+
+
+def clear_cluster_memo() -> None:
+    """Release every memoized cluster frame's storage and empty the memo."""
+    for df in _CLUSTER_MEMO.values():
+        try:
+            unpin(df)
+        except Exception:  # noqa: BLE001 — context may already be stopped
+            pass
+    _CLUSTER_MEMO.clear()
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -93,14 +150,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked since the MinHash base hash became the SQL-portable
     md5_hash60 (r6): the oracle replays the whole signature → band →
     verify pipeline and closes the pair graph with a recursive CTE, so
-    the iterative min-label loop is driver-verified end-to-end."""
+    the iterative min-label loop is driver-verified end-to-end.
+
+    Honors the session cluster memo (GRAPEFRUIT_CLUSTER_MEMO=1): the
+    four dedup-family consumers then share one CC computation per
+    corpus snapshot instead of rebuilding it, as a real pipeline would.
+    """
     from .dedup import dedup_minhash
 
-    pairs = dedup_minhash(spark, sf_dir)
-    comps = connected_components(pairs, "doc_a", "doc_b")
-    return comps.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id")
-    )
+    def build() -> DataFrame:
+        pairs = dedup_minhash(spark, sf_dir)
+        comps = connected_components(pairs, "doc_a", "doc_b")
+        return comps.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id")
+        )
+
+    return _memoized_clusters(spark, sf_dir, "minhash_cc", build)
 
 
 def _dedup_clusters_oracle() -> str:
@@ -334,14 +399,21 @@ def jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label machinery (connected_components), but the edge set is the
     SQL-expressible ngram_jaccard_pairs, so DuckDB can replay the whole
     thing as a recursive transitive closure and the driver hash-checks
-    the iterative loop end-to-end."""
+    the iterative loop end-to-end.
+
+    Honors the session cluster memo (GRAPEFRUIT_CLUSTER_MEMO=1), which
+    split_leakage_safe rides — the exact-join pair graph is the repo's
+    heaviest single computation, and a pipeline builds it once."""
     from .dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir)
-    comps = connected_components(pairs, "doc_a", "doc_b")
-    return comps.select(
-        F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id")
-    )
+    def build() -> DataFrame:
+        pairs = ngram_jaccard_pairs(spark, sf_dir)
+        comps = connected_components(pairs, "doc_a", "doc_b")
+        return comps.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id")
+        )
+
+    return _memoized_clusters(spark, sf_dir, "jaccard_cc", build)
 
 
 def _jaccard_clusters_oracle() -> str:

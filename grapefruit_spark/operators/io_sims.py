@@ -1,0 +1,185 @@
+"""Driver-visible source/sink sims (SURVEY §2 E3/E5) — r10, VERDICT_r9
+order #5. The write paths themselves live in sources/io.py and are
+footer/behavior-asserted in pytest; these sims drive the same engine
+features end-to-end (stage files → mutate → read back → profile) so the
+driver's row/schema/hash gate proves the round trip on its own data,
+exactly the sdfs_sim / write_layout_sim precedent.
+
+Both sims are pure functions of the orders table (restricted to
+non-null orderkeys so the profile is well-defined on hostile inputs),
+so a plain-SQL oracle replays them with no filesystem at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+ORACLE: dict[str, str] = {}
+
+
+# ------------------------------------------------------------------- E3
+def write_partition_overwrite_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite round trip: stage orders
+    hive-partitioned by o_orderpriority, then OVERWRITE only the
+    1-URGENT partition with doubled totalprice under
+    ``partitionOverwriteMode=dynamic`` (per-write option — no session
+    conf mutation). The read-back per-partition profile hashes against
+    an oracle holding doubled prices for exactly that slice — proof the
+    dynamic overwrite replaced the one partition present in the
+    incoming frame and left every other partition byte-identical (a
+    STATIC overwrite would have deleted them; a botched append would
+    double-count).
+
+    At 100 TB this is the nightly-restatement shape: rewrite one day /
+    one priority class in place without touching sibling partitions.
+    """
+    import os
+
+    from ..streaming.events import scratch_dir
+
+    base = os.path.join(scratch_dir("gf_dynovr_sim_"), "orders_by_prio")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(base)
+    restated = orders.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2  # ×2 is exact in binary fp
+    )
+    (
+        restated.write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE["write_partition_overwrite_sim"] = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(sum((CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN o_totalprice * 2 ELSE o_totalprice
+                  END)::DECIMAL(18,6)), 2)::DOUBLE AS total
+FROM orders
+WHERE o_orderkey IS NOT NULL
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------------- E5
+def schema_evolution_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution + bad-record quarantine round trip, two staged
+    legs sharing one (stage, n_rows, n_flagged, checksum) profile row:
+
+    - ``merge_schema``: even-keyed orders written WITHOUT
+      o_orderpriority, odd-keyed WITH it; both batches read back under
+      ``mergeSchema=true``. n_flagged counts read-back NULL priorities —
+      exactly the rows the narrow batch contributed (plus any genuinely
+      null source priorities, so the oracle stays correct on hostile
+      data). A reader that dropped the narrow batch or misaligned the
+      evolved column breaks n_rows/checksum.
+    - ``permissive_quarantine``: one JSON line per order, every 7th key
+      deliberately corrupted; read back PERMISSIVE with a
+      columnNameOfCorruptRecord sink. n_flagged counts quarantined
+      lines, checksum sums the keys that survived parsing — the
+      poison-pill contract (corrupt rows quarantine, they never abort
+      the job and never leak into the parsed column).
+    """
+    import os
+
+    from ..streaming.events import scratch_dir
+
+    base = scratch_dir("gf_schevo_sim_")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+    # --- merge_schema leg
+    narrow = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    wide = orders.where(F.col("o_orderkey") % 2 == 1)
+    p1 = os.path.join(base, "m", "b1")
+    p2 = os.path.join(base, "m", "b2")
+    narrow.write.mode("overwrite").parquet(p1)
+    wide.write.mode("overwrite").parquet(p2)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    merge_row = merged.agg(
+        F.lit("merge_schema").alias("stage"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("n_flagged"),
+        F.sum("o_orderkey").alias("checksum"),
+    )
+
+    # --- permissive_quarantine leg
+    raw = os.path.join(base, "raw_json")
+    lines = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit('{"k": oops'))
+        .otherwise(
+            F.concat(F.lit('{"k":'), F.col("o_orderkey").cast("string"), F.lit("}"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(raw)
+    parsed = (
+        spark.read.schema("k bigint, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(raw)
+    )
+    quarantine_row = parsed.agg(
+        F.lit("permissive_quarantine").alias("stage"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_bad").isNotNull().cast("long")).alias("n_flagged"),
+        F.sum("k").alias("checksum"),
+    )
+
+    return merge_row.unionByName(quarantine_row).orderBy("stage")
+
+
+ORACLE["schema_evolution_sim"] = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey IS NOT NULL)
+SELECT * FROM (
+    SELECT 'merge_schema' AS stage,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 OR o_orderpriority IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(o_orderkey) AS BIGINT) AS checksum
+    FROM o
+    UNION ALL
+    SELECT 'permissive_quarantine' AS stage,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey END)
+                AS BIGINT) AS checksum
+    FROM o
+)
+ORDER BY stage
+"""
+
+
+QUERIES = {
+    "write_partition_overwrite_sim": write_partition_overwrite_sim,
+    "schema_evolution_sim": schema_evolution_sim,
+}

@@ -1,13 +1,21 @@
-"""Scale-out primitives (SURVEY §6): skew salting and bucketed co-located
-joins. These are engine utilities rather than queries — a 100 TB job
-reaches for them when AQE alone isn't enough (extreme single-key skew,
-repeated fact-fact joins on the same key).
+"""Scale-out primitives (SURVEY §2 A13 / §6): skew salting and bucketed
+co-located joins. These are engine utilities rather than queries — a
+100 TB job reaches for them when AQE alone isn't enough (extreme
+single-key skew, repeated fact-fact joins on the same key).
+
+`scale_skew_sim` (r10, VERDICT_r9 order #5) drives both primitives
+through the driver's hash gate: plan-shape guarantees (two-phase
+exchange count, zero-exchange bucketed join) stay in test_scale.py
+where they belong; the sim proves the REWRITES ARE SEMANTICS-PRESERVING
+against a plain-SQL oracle on the same inputs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+ORACLE: dict[str, str] = {}
 
 
 def salted_agg(
@@ -64,3 +72,82 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two same-bucketed tables; plan tests assert no Exchange."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+# ------------------------------------------------------------------ A13
+def scale_skew_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible A13 round trip: per-supplier revenue via
+    ``salted_agg`` (two-phase, skew-immune), both sides persisted with
+    ``write_bucketed`` on the join key, re-joined with ``bucketed_join``
+    (zero exchange — pinned in test_scale.py), rolled up per nation.
+
+    Every aggregate is DECIMAL (exact, order-independent), so the hash
+    can only match if the salted two-phase rewrite and the bucketed
+    write→read→join path preserve semantics bit-for-bit vs the oracle's
+    plain GROUP BY + JOIN.
+    """
+    import os
+
+    from ..catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    srev = salted_agg(
+        li,
+        "l_suppkey",
+        {"rev_dec": F.sum("rev"), "n_items": F.count(F.lit(1))},
+        salt_buckets=8,
+    ).withColumnRenamed("l_suppkey", "s_suppkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    for t in ("gf_scale_sim_srev", "gf_scale_sim_supp"):
+        # a managed-table dir left by a PREVIOUS process survives the
+        # in-memory catalog, and saveAsTable refuses to adopt an
+        # existing location — drop both the entry and the directory
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:"):
+            import shutil
+            from urllib.parse import urlparse
+
+            shutil.rmtree(
+                os.path.join(urlparse(wh).path, t.lower()), ignore_errors=True
+            )
+    write_bucketed(srev, "gf_scale_sim_srev", "s_suppkey", 8)
+    write_bucketed(supp, "gf_scale_sim_supp", "s_suppkey", 8)
+    joined = bucketed_join(
+        spark, "gf_scale_sim_srev", "gf_scale_sim_supp", "s_suppkey"
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("n_items").alias("n_items"),
+            F.round(F.sum("rev_dec"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+ORACLE["scale_skew_sim"] = """
+WITH srev AS (
+    SELECT l_suppkey AS s_suppkey,
+           sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS rev_dec,
+           count(*) AS n_items
+    FROM lineitem GROUP BY 1
+)
+SELECT s_nationkey, count(*) AS n_suppliers,
+       CAST(sum(n_items) AS BIGINT) AS n_items,
+       round(sum(rev_dec), 2)::DOUBLE AS revenue
+FROM srev JOIN supplier USING (s_suppkey)
+GROUP BY 1
+ORDER BY s_nationkey
+"""
+
+
+QUERIES = {
+    "scale_skew_sim": scale_skew_sim,
+}
