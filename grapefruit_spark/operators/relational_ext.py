@@ -50,6 +50,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back on (partkey, cost) — two shuffles on partkey that AQE
     coalesces. part and the supplier-derived eur frame scale with SF, so
     their joins are UNHINTED (r10); only nation/region keep hints.
+
+    cost_e4 is the unit cost in exact integer e4 units (micro-unit sum
+    div count·100) — r10: the former round(double, 4) average flipped a
+    half-ulp against DuckDB at sf0.1 (1145.9638 vs .9637), the known
+    cross-engine round() trap; bigint div truncates identically on both
+    engines, and the min-cost selection compares the same integers.
     """
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").where(
@@ -65,9 +71,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)")
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
-        .agg(dec_avg(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("cost"))
+        .agg(F.sum(unit).alias("sdec"), F.count(unit).alias("n"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr("CAST(sdec * 1000000 AS DECIMAL(38,0)) div (n * 100L)").alias(
+                "cost_e4"
+            ),
+        )
     )
     eur = (
         table(spark, sf_dir, "supplier")
@@ -77,12 +91,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost_eur = cost.join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
-    min_cost = cost_eur.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    min_cost = cost_eur.groupBy("l_partkey").agg(F.min("cost_e4").alias("min_cost"))
     return (
         cost_eur.join(min_cost, "l_partkey")
-        .where(F.col("cost") == F.col("min_cost"))
+        .where(F.col("cost_e4") == F.col("min_cost"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost")
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost_e4")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
@@ -91,8 +105,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q2_min_cost_supplier"] = """
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         round(sum((l_extendedprice / l_quantity)::DECIMAL(38,6))::DOUBLE
-               / count(l_extendedprice / l_quantity), 4) AS cost
+         CAST(CAST(sum((l_extendedprice / l_quantity)::DECIMAL(18,6))
+                   * 1000000 AS HUGEINT)
+              // (count(l_extendedprice / l_quantity) * 100)
+              AS BIGINT) AS cost_e4
   FROM lineitem GROUP BY 1, 2
 ), eur AS (
   SELECT s_suppkey, s_name, s_acctbal, n_name
@@ -101,14 +117,14 @@ WITH cost AS (
   JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'EUROPE'
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost_e4
 FROM cost c
 JOIN eur ON c.l_suppkey = s_suppkey
 JOIN part ON c.l_partkey = p_partkey
 WHERE (p_size = 15 OR p_type = 'LARGE')
-  AND cost = (SELECT min(c2.cost) FROM cost c2
-              JOIN eur e2 ON c2.l_suppkey = e2.s_suppkey
-              WHERE c2.l_partkey = c.l_partkey)
+  AND cost_e4 = (SELECT min(c2.cost_e4) FROM cost c2
+                 JOIN eur e2 ON c2.l_suppkey = e2.s_suppkey
+                 WHERE c2.l_partkey = c.l_partkey)
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """

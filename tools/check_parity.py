@@ -16,6 +16,7 @@ Usage: python tools/check_parity.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -96,6 +97,14 @@ def main() -> int:
     from grapefruit_spark.session import get_spark
 
     spark = get_spark("parity-check")
+    if os.environ.get("SPARK_GRAFT_NO_BCAST") == "1":
+        # 100 TB-shape rerun (r10, VERDICT_r9 #8): disable every
+        # broadcast threshold so the unhinted scaling-table joins run
+        # their shuffle-join plans — the hash gate then proves the
+        # degraded plans are value-identical, not just that they exist
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        print("# SPARK_GRAFT_NO_BCAST=1: broadcast thresholds disabled", file=sys.stderr)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
