@@ -146,6 +146,11 @@ HEADLINE = [
     "split_leakage_safe",
     "dedup_cluster_stats",
     "doc_dup_ratio_by_source",
+    # round-10 new operators: CCNet-style perplexity bucketing (rides
+    # the backoff LM), token-mass dedup savings (a cluster-memo
+    # consumer)
+    "doc_perplexity_buckets",
+    "dedup_token_savings",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10
@@ -155,6 +160,7 @@ CLUSTER_FAMILY = [
     "dedup_keep_best",
     "dedup_cluster_stats",
     "doc_dup_ratio_by_source",
+    "dedup_token_savings",
     "jaccard_clusters",
     "split_leakage_safe",
 ]

@@ -392,6 +392,86 @@ FROM marked GROUP BY source
 """
 
 
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass cost of dedup per source (r10, D52): how many TOKENS
+    (not docs) each domain loses when every near-dup cluster keeps one
+    member — the number that actually moves a training-data budget
+    (Lee et al. 2022 report dedup savings in tokens for exactly this
+    reason; a source losing 40% of its docs but 5% of its tokens is
+    boilerplate-spam, the reverse is a long-form mirror).
+
+    Composition of two driver-verified frames: dedup_clusters membership
+    (min-id keeper; unhinted join — membership scales with dup mass) ×
+    token_count's ws_tokens. One groupBy(source) after the joins; the
+    ppm ratio is exact bigint div with a nullif(0) guard on both
+    engines. Honors the session cluster memo like its siblings.
+    """
+    from ..catalog import table as _table
+    from .text import token_count
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    toks = token_count(spark, sf_dir).select("doc_id", "ws_tokens")
+    clusters = dedup_clusters(spark, sf_dir)
+    marked = (
+        docs.join(toks, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "source",
+            "ws_tokens",
+            (
+                F.col("keep_doc_id").isNotNull()
+                & (F.col("keep_doc_id") != F.col("doc_id"))
+            ).alias("removed"),
+        )
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(F.col("removed"), F.col("ws_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_total",
+            "tokens_removed",
+            F.expr("(tokens_removed * 1000000L) div nullif(tokens_total, 0L)").alias(
+                "removed_token_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_token_savings_oracle() -> str:
+    from .text import ORACLE as TEXT_ORACLE
+
+    return f"""
+WITH clusters AS ({_dedup_clusters_oracle()}),
+tok AS (SELECT doc_id, ws_tokens FROM ({TEXT_ORACLE["token_count"]}) tc),
+marked AS (
+    SELECT d.source, t.ws_tokens,
+           (c.keep_doc_id IS NOT NULL AND c.keep_doc_id != d.doc_id) AS removed
+    FROM documents d
+    JOIN tok t USING (doc_id)
+    LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN removed THEN ws_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_removed,
+       CAST(CAST(sum(CASE WHEN removed THEN ws_tokens ELSE 0 END) AS BIGINT)
+            * 1000000
+            // nullif(CAST(sum(ws_tokens) AS BIGINT), 0) AS BIGINT)
+           AS removed_token_ppm
+FROM marked GROUP BY source ORDER BY source
+"""
+
+
 def jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the EXACT n-gram-Jaccard pair graph —
     the oracle-checkable twin of dedup_clusters (whose MinHash pair source
@@ -1319,6 +1399,7 @@ ORACLE["dedup_clusters"] = _dedup_clusters_oracle()
 ORACLE["dedup_keep_best"] = _dedup_keep_best_oracle()
 ORACLE["dedup_cluster_stats"] = _dedup_cluster_stats_oracle()
 ORACLE["doc_dup_ratio_by_source"] = _doc_dup_ratio_oracle()
+ORACLE["dedup_token_savings"] = _dedup_token_savings_oracle()
 
 QUERIES = {
     "jaccard_clusters": jaccard_clusters,
@@ -1326,6 +1407,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_cluster_stats": dedup_cluster_stats,
     "doc_dup_ratio_by_source": doc_dup_ratio_by_source,
+    "dedup_token_savings": dedup_token_savings,
     "supplier_pagerank": supplier_pagerank,
     "supplier_ppr": supplier_ppr,
     "supplier_pagerank_dist": supplier_pagerank_dist,

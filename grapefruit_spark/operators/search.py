@@ -552,11 +552,106 @@ GROUP BY t.doc_id
 ORACLE["doc_backoff_surprisal"] = _backoff_oracle()
 
 
+# ------------------------------------------------------------------ D51
+#: perplexity-bucket bin width: 0.01 nat in e6 surprisal units. CCNet's
+#: head/middle/tail cut needs the two tertile THRESHOLDS, not exact
+#: per-doc ranks — binning the surprisal axis keeps the cumulative pass
+#: O(bins) (≤ a few thousand rows at ANY corpus size: surprisals live
+#: in ~[0, 25] nats) instead of a corpus-wide single-partition window.
+PPLX_BIN_E6 = 10_000
+
+
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020, r10):
+    every scorable doc lands in a head / middle / tail bucket by its
+    held-out stupid-backoff surprisal tertile, reported per source —
+    THE quality-stratification step a pretraining pipeline runs before
+    sampling (head = fluent reference-like text, tail = noise/foreign).
+
+    Cut semantics: per-bin doc counts (bin = avg_surprisal_e6 div 10⁴,
+    a 0.01-nat grid) → cumulative counts over the ≤2.5k-row bin frame
+    (the one tiny ordered pass; O(bins), never O(docs)) → b1/b2 = first
+    bins where 3·cum ≥ n and ≥ 2n → docs bucket by integer bin compare
+    against the broadcast 1-row thresholds. Bin-boundary ties all fall
+    on the same side on both engines — no rank nondeterminism. Docs
+    with <2 tokens are unscorable by the bigram LM and are excluded, as
+    in doc_backoff_surprisal (disclosed; CCNet likewise scores only
+    tokenizable text).
+    """
+    scored = doc_backoff_surprisal(spark, sf_dir).select(
+        "doc_id",
+        "n_bigrams",
+        F.expr(f"avg_surprisal_e6 div {PPLX_BIN_E6}").alias("bin"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    bins = scored.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    w = _W.orderBy("bin").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cum = bins.withColumn("cum", F.sum("c").over(w))
+    thresholds = cum.join(F.broadcast(cum.agg(F.max("cum").alias("n")))).agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("n"), F.col("bin"))).alias("b1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("n"), F.col("bin"))).alias("b2"),
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = (
+        F.when(F.col("bin") <= F.col("b1"), "head")
+        .when(F.col("bin") <= F.col("b2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(docs, "doc_id")
+        .join(F.broadcast(thresholds))
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+def _pplx_buckets_oracle() -> str:
+    return f"""
+WITH scored AS ({_backoff_oracle()}),
+binned AS (
+    SELECT s.doc_id, s.n_bigrams,
+           s.avg_surprisal_e6 // {PPLX_BIN_E6} AS bin
+    FROM scored s
+),
+bins AS (SELECT bin, count(*) AS c FROM binned GROUP BY 1),
+cum AS (
+    SELECT bin, sum(c) OVER (ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM bins
+),
+thr AS (
+    SELECT min(CASE WHEN 3 * cum >= n THEN bin END) AS b1,
+           min(CASE WHEN 3 * cum >= 2 * n THEN bin END) AS b2
+    FROM cum CROSS JOIN (SELECT max(cum) AS n FROM cum) t
+)
+SELECT d.source,
+       CASE WHEN b.bin <= thr.b1 THEN 'head'
+            WHEN b.bin <= thr.b2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(b.n_bigrams) AS BIGINT) AS n_bigrams
+FROM binned b
+JOIN documents d USING (doc_id)
+CROSS JOIN thr
+GROUP BY 1, 2
+ORDER BY source, bucket
+"""
+
+
+ORACLE["doc_perplexity_buckets"] = _pplx_buckets_oracle()
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
     "doc_unigram_logprob": doc_unigram_logprob,
     "doc_bigram_surprisal": doc_bigram_surprisal,
     "doc_backoff_surprisal": doc_backoff_surprisal,
+    "doc_perplexity_buckets": doc_perplexity_buckets,
     "vocab_coverage": vocab_coverage,
 }
