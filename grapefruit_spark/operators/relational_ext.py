@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..catalog import table
-from ..functions import dec_avg, dec_sum
+from ..functions import dec_sum
 
 ORACLE: dict[str, str] = {}
 
