@@ -148,9 +148,12 @@ HEADLINE = [
     "doc_dup_ratio_by_source",
     # round-10 new operators: CCNet-style perplexity bucketing (rides
     # the backoff LM), token-mass dedup savings (a cluster-memo
-    # consumer)
+    # consumer), and the alternating-star CC tier (NOT memoized by
+    # design — its row tracks the second implementation's own wall
+    # against dedup_clusters' min-label build)
     "doc_perplexity_buckets",
     "dedup_token_savings",
+    "dedup_clusters_star",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

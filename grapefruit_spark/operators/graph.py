@@ -142,6 +142,93 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     return labels
 
 
+#: round cap for the alternating star algorithm — it converges in
+#: O(log n) rounds on ANY graph (Kiveris et al.), so 20 covers graphs
+#: far past 2⁶⁰ nodes; the cap is a runaway backstop, not a tuning knob
+STAR_MAX_ROUNDS = 20
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Connected components via the ALTERNATING large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014): same (node, component=min reachable id)
+    contract as :func:`connected_components`, different convergence
+    class — O(log n) rounds on ANY graph versus min-label's O(diameter).
+
+    Dedup pair graphs have tiny diameters, so min-label wins there (and
+    stays the default); this is the tier for HIGH-DIAMETER graphs at
+    100 TB — chain-like link graphs, road-network-shaped data — where
+    O(d) rounds of a label join is the scale killer. Each round is two
+    groupBy-join passes over the current edge set:
+
+    - large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+      v > u      [symmetric neighborhood]
+    - small-star(c): m = min(parents(c)); emit (c, m) and (p, m) for
+      the other parents  [edges already parent < child]
+
+    Both passes only ever LOWER parent pointers, and the final state is
+    a star per component rooted at its min id. Convergence is an exact
+    set-equality check (counts equal + exceptAll empty — no hash
+    collision risk), one extra job per round on the pinned edge frame.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("c"), F.col(dst).alias("p"))
+        .where(F.col("c") != F.col("p"))
+        .distinct()
+        .transform(pin)
+    )
+    all_nodes = (
+        e.select(F.col("c").alias("node"))
+        .union(e.select(F.col("p").alias("node")))
+        .distinct()
+        .transform(pin)
+    )
+    n_edges = e.count()
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000))
+    pinned = e
+    for _ in range(STAR_MAX_ROUNDS):
+        # large-star over the symmetric adjacency
+        sym = e.select(F.col("c").alias("u"), F.col("p").alias("v")).union(
+            e.select(F.col("p").alias("u"), F.col("c").alias("v"))
+        )
+        mn = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("c"),
+                F.least(F.col("mn"), F.col("u")).alias("p"),
+            )
+            .distinct()
+        )
+        # small-star over the (child, parent) edges, parent < child
+        pm = ls.groupBy("c").agg(F.min("p").alias("m"))
+        ss = (
+            ls.join(pm, "c")
+            .where(F.col("p") != F.col("m"))
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+            .union(pm.select(F.col("c"), F.col("m").alias("p")))
+            .distinct()
+            .repartition(parts, "c")
+            .transform(pin)
+        )
+        same = ss.count() == e.count() and ss.exceptAll(e).limit(1).count() == 0
+        unpin(pinned)
+        pinned = ss
+        e = ss
+        if same:
+            break
+    # stars: child → root; roots (and isolated inputs, excluded above
+    # with self-loops) label themselves
+    return (
+        all_nodes.join(e.select(F.col("c").alias("node"), "p"), "node", "left")
+        .select("node", F.coalesce("p", F.col("node")).alias("component"))
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from MinHash-LSH pairs: every doc in a cluster
     maps to its keeper (min doc_id in the connected component). The final
@@ -187,6 +274,24 @@ walk(node, comp) AS (
 )
 SELECT node AS doc_id, min(comp) AS keep_doc_id FROM walk GROUP BY node
 """
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters computed by the ALTERNATING star algorithm (r10,
+    D53) instead of min-label propagation — same MinHash-LSH pair graph,
+    same (doc_id, keep_doc_id) contract, same DuckDB oracle, different
+    round complexity: O(log n) for any graph shape vs min-label's
+    O(diameter). The driver hash-checking BOTH against one oracle pins
+    that the two distributed CC implementations agree end-to-end — the
+    cross-implementation property a 100 TB dedup run relies on when it
+    switches tiers for a high-diameter graph."""
+    from .dedup import dedup_minhash
+
+    pairs = dedup_minhash(spark, sf_dir)
+    comps = connected_components_star(pairs, "doc_a", "doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keep_doc_id")
+    )
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,6 +1500,9 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["jaccard_clusters"] = _jaccard_clusters_oracle()
 ORACLE["dedup_clusters"] = _dedup_clusters_oracle()
+# same contract, second distributed implementation (alternating star) —
+# hash-checking both against ONE oracle pins cross-implementation parity
+ORACLE["dedup_clusters_star"] = _dedup_clusters_oracle()
 
 ORACLE["dedup_keep_best"] = _dedup_keep_best_oracle()
 ORACLE["dedup_cluster_stats"] = _dedup_cluster_stats_oracle()
@@ -1408,6 +1516,7 @@ QUERIES = {
     "dedup_cluster_stats": dedup_cluster_stats,
     "doc_dup_ratio_by_source": doc_dup_ratio_by_source,
     "dedup_token_savings": dedup_token_savings,
+    "dedup_clusters_star": dedup_clusters_star,
     "supplier_pagerank": supplier_pagerank,
     "supplier_ppr": supplier_ppr,
     "supplier_pagerank_dist": supplier_pagerank_dist,
