@@ -1,0 +1,240 @@
+"""Round-10 targeted adversarial cases: each r10-new oracle gets a
+dataset planted exactly at its branch points, then runs through the
+same Spark↔DuckDB gate the driver uses (the r9 module's pattern).
+
+- dedup_token_savings: known cluster structure with hand-computed token
+  expectations, incl. the 100%-cross-source-loss domain and a
+  zero-token domain (the nullif ppm branch).
+- doc_perplexity_buckets: three surprisal families separated by orders
+  of magnitude, so the binned tertile cut must land family = bucket.
+- scale_skew_sim: one supplier holding 90% of the fact rows — the
+  salted two-phase agg must be value-identical under real skew.
+- schema_evolution_sim / write_partition_overwrite_sim: NULL order keys
+  (excluded by contract) and a NULL priority partition
+  (__HIVE_DEFAULT_PARTITION__ round trip).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from .util import assert_matches_oracle
+
+sys.path.insert(0, "/root/repo")
+
+
+def _duck_for(d: str, tables: list[str]):
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    return con
+
+
+def _entry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries(), entrymod.oracle_sql()
+
+
+def _write_docs(d, docs):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array([r[2] for r in docs]),
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+
+# ------------------------------------------------------ dedup_token_savings
+RUN10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 tokens
+
+
+@pytest.fixture(scope="module")
+def toksav_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("toksavadv")
+    docs = [
+        # source A: a 3-doc identical cluster (keeper = min id = 1)
+        (1, RUN10, "srcA"),
+        (2, RUN10, "srcA"),
+        (3, RUN10, "srcA"),
+        # source B: two singletons, 5 tokens each — zero removal
+        (4, "one two three four five", "srcB"),
+        (5, "six seven eight nine ten", "srcB"),
+        # source C: empty text — tokens_total 0, ppm must be NULL (nullif)
+        (6, "", "srcC"),
+        # source D: identical to A's cluster but a LARGER id — always
+        # loses to A's keeper: the 100%-token-loss cross-source signal
+        (9, RUN10, "srcD"),
+    ]
+    _write_docs(d, docs)
+    return str(d)
+
+
+def test_token_savings_known_structure(spark, toksav_dir):
+    queries, oracles = _entry()
+    sdf = queries["dedup_token_savings"](spark, toksav_dir)
+    con = _duck_for(toksav_dir, ["documents"])
+    assert_matches_oracle(sdf, con, oracles["dedup_token_savings"])
+    got = {r["source"]: r.asDict() for r in sdf.collect()}
+    assert got["srcA"]["tokens_total"] == 30
+    assert got["srcA"]["tokens_removed"] == 20
+    assert got["srcA"]["removed_token_ppm"] == 666_666
+    assert got["srcB"]["tokens_removed"] == 0
+    assert got["srcB"]["removed_token_ppm"] == 0
+    assert got["srcC"]["tokens_total"] == 0
+    assert got["srcC"]["removed_token_ppm"] is None  # the nullif branch
+    assert got["srcD"]["tokens_removed"] == 10  # lost to srcA's keeper
+    assert got["srcD"]["removed_token_ppm"] == 1_000_000
+
+
+# --------------------------------------------------- doc_perplexity_buckets
+def _md5_bucket(doc_id: int) -> int:
+    """Python replica of datapipe._bucket (uint32 from md5 prefix)."""
+    import hashlib
+
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+
+def _pick_ids(start: int, n: int, in_model: bool) -> list[int]:
+    """n consecutive-ish doc ids on the requested side of the 50% model
+    split — a doc IN the model scores its own unique bigrams as seen,
+    so the OOV family must sit entirely OUTSIDE the split."""
+    thr = int(0.5 * 4294967296)
+    out, k = [], start
+    while len(out) < n:
+        if (_md5_bucket(k) < thr) == in_model:
+            out.append(k)
+        k += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def pplx_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pplxadv")
+    docs = []
+    # 'low': one shared sentence — every bigram dominates the model, so
+    # surprisal is minimal whichever docs land in the hash split
+    for i in range(10):
+        docs.append((i + 1, "the cat sat on the mat and the cat sat", "low"))
+    # 'mid': shared vocabulary, varied order — seen unigrams, mostly
+    # unseen bigrams → the α·unigram backoff range
+    mid_words = ["red", "blue", "green", "stone", "river", "cloud"]
+    for i in range(10):
+        w = mid_words[i % 6 :] + mid_words[: i % 6]
+        docs.append((100 + i, " ".join(w + w[::-1]), "mid"))
+    # 'high': per-doc unique gibberish, ids chosen OUTSIDE the model
+    # split — every bigram unseen, every word OOV → the α/N floor,
+    # orders of magnitude above 'low'
+    for i, k in enumerate(_pick_ids(200, 10, in_model=False)):
+        docs.append((k, " ".join(f"zq{i}x{j}" for j in range(8)), "high"))
+    _write_docs(d, docs)
+    return str(d)
+
+
+def test_perplexity_buckets_families(spark, pplx_dir):
+    queries, oracles = _entry()
+    sdf = queries["doc_perplexity_buckets"](spark, pplx_dir)
+    con = _duck_for(pplx_dir, ["documents"])
+    assert_matches_oracle(sdf, con, oracles["doc_perplexity_buckets"])
+    rows = [r.asDict() for r in sdf.collect()]
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["bucket"])
+    # extreme separation → family == bucket, one row per source
+    assert by_src["low"] == {"head"}
+    assert by_src["high"] == {"tail"}
+    assert sum(r["n_docs"] for r in rows) == 30  # every doc scored once
+
+
+# ------------------------------------------------------- scale_skew_sim
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("skewadv")
+    n = 1000
+    supp = [1] * 900 + [2, 3] * 50  # supplier 1 owns 90% of the rows
+    pq.write_table(
+        pa.table(
+            {
+                "l_suppkey": pa.array(supp, pa.int64()),
+                "l_extendedprice": pa.array(
+                    [100.0 + (i % 7) for i in range(n)], pa.float64()
+                ),
+                "l_discount": pa.array([0.05] * n, pa.float64()),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_nationkey": pa.array([7, 7, 8], pa.int64()),
+            }
+        ),
+        str(d / "supplier.parquet"),
+    )
+    return str(d)
+
+
+def test_scale_skew_sim_hot_key(spark, skew_dir):
+    """90% single-key skew: the salted two-phase agg and the bucketed
+    join must still produce the plain-SQL answer exactly."""
+    queries, oracles = _entry()
+    con = _duck_for(skew_dir, ["lineitem", "supplier"])
+    assert_matches_oracle(
+        queries["scale_skew_sim"](spark, skew_dir),
+        con,
+        oracles["scale_skew_sim"],
+    )
+
+
+# ------------------------------------------- io sims: nulls at the edges
+@pytest.fixture(scope="module")
+def nullorders_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nullordadv")
+    keys = list(range(1, 29)) + [None, None]  # null keys: excluded by contract
+    prios = []
+    for k in keys:
+        if k is None:
+            prios.append("1-URGENT")
+        elif k % 5 == 0:
+            prios.append(None)  # NULL partition round trip
+        elif k % 2 == 0:
+            prios.append("1-URGENT")
+        else:
+            prios.append("3-MEDIUM")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_totalprice": pa.array(
+                    [float(100 + (k or 0)) for k in keys], pa.float64()
+                ),
+                "o_orderpriority": pa.array(prios),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "qname", ["schema_evolution_sim", "write_partition_overwrite_sim"]
+)
+def test_io_sims_null_edges(spark, nullorders_dir, qname):
+    queries, oracles = _entry()
+    con = _duck_for(nullorders_dir, ["orders"])
+    assert_matches_oracle(
+        queries[qname](spark, nullorders_dir), con, oracles[qname]
+    )
