@@ -154,6 +154,8 @@ HEADLINE = [
     "doc_perplexity_buckets",
     "dedup_token_savings",
     "dedup_clusters_star",
+    "phrase_search",
+    "events_transition_dwell",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

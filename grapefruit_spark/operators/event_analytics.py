@@ -656,6 +656,79 @@ FROM steps s JOIN totals t USING (prev_type)
 """
 
 
+# ------------------------------------------------------------------ C33
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition DWELL TIME statistics (r10): for every
+    (prev_type → next_type) edge of the behavior graph, how long users
+    actually sit between the two events — the latency companion to
+    events_markov_transitions' probability matrix (funnels optimize the
+    slow edges, not the rare ones).
+
+    Same one shuffle on user_id as the markov estimator (lag window
+    over ts, event_id tiebreak), then a |types|² map-side aggregate.
+    All-integer emission: total/min/max dwell in exact microseconds,
+    mean via bigint div — no double anywhere.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_us", F.lag(_US("ts")).over(w))
+        .where(F.col("prev_type").isNotNull())
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            (_US("ts") - F.col("prev_us")).alias("dwell_us"),
+        )
+    )
+    return (
+        steps.groupBy("prev_type", "next_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dwell_us").cast("bigint").alias("total_dwell_us"),
+            F.min("dwell_us").cast("bigint").alias("min_dwell_us"),
+            F.max("dwell_us").cast("bigint").alias("max_dwell_us"),
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            "total_dwell_us",
+            F.expr("total_dwell_us div n").alias("mean_dwell_us"),
+            "min_dwell_us",
+            "max_dwell_us",
+        )
+    )
+
+
+ORACLE["events_transition_dwell"] = """
+WITH steps AS (
+    SELECT prev_type, event_type AS next_type,
+           epoch_us(ts) - prev_us AS dwell_us
+    FROM (
+        SELECT event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_us
+        FROM events
+    )
+    WHERE prev_type IS NOT NULL
+)
+SELECT prev_type, next_type, count(*) AS n,
+       CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+       CAST(CAST(sum(dwell_us) AS BIGINT) // count(*) AS BIGINT) AS mean_dwell_us,
+       CAST(min(dwell_us) AS BIGINT) AS min_dwell_us,
+       CAST(max(dwell_us) AS BIGINT) AS max_dwell_us
+FROM steps
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------------ C30
 def events_markov_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user sequence scoring under the corpus transition matrix
@@ -1167,6 +1240,7 @@ QUERIES = {
     "events_value_mad": events_value_mad,
     "events_state_intervals": events_state_intervals,
     "events_markov_transitions": events_markov_transitions,
+    "events_transition_dwell": events_transition_dwell,
     "events_markov_surprisal": events_markov_surprisal,
     "events_top_paths": events_top_paths,
     "events_pattern_search": events_pattern_search,

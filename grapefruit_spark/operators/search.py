@@ -646,6 +646,92 @@ ORDER BY source, bucket
 ORACLE["doc_perplexity_buckets"] = _pplx_buckets_oracle()
 
 
+# ------------------------------------------------------------------ D54
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase matching (r10): find every CONSECUTIVE
+    occurrence of a phrase via a position join over token postings —
+    the inverted-index way, not a LIKE scan. BM25 (D23) is bag-of-words;
+    this is the missing exact-phrase tier of a search stack.
+
+    The query phrase is the corpus's own most frequent bigram (count
+    DESC, bigram ASC — a total order both engines agree on), so the
+    operator is self-contained and non-trivial on any input corpus.
+
+    Plan: one posexplode produces (doc_id, pos, word) postings; the
+    phrase terms filter the postings BEFORE the position self-join, so
+    the join input is O(postings of the two phrase words), not the
+    corpus; the join key (doc_id, pos) co-partitions in one shuffle.
+    At 100 TB this is the standard positional-posting merge — postings
+    lists of the query terms only, never a full-corpus pass past the
+    initial posting build a real index would have materialized already.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens(F.lower(F.col("text"))).alias("tk"))
+    top_bg = (
+        toks.select(F.explode(word_ngrams(F.col("tk"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bg"))
+        .limit(1)
+        .select(
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+            F.col("bg").alias("phrase"),
+        )
+    )
+    post = toks.select(
+        "doc_id", F.posexplode("tk").alias("pos", "w")
+    )
+    p1 = post.join(F.broadcast(top_bg), post.w == F.col("w1")).select(
+        "doc_id", F.col("pos").alias("pos1"), "phrase"
+    )
+    p2 = post.join(F.broadcast(top_bg.select("w2")), post.w == F.col("w2")).select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2")
+    )
+    hits = p1.join(
+        p2,
+        (p1.doc_id == p2.d2) & (F.col("pos2") == F.col("pos1") + 1),
+    )
+    return (
+        hits.groupBy("doc_id", "phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos1").cast("bigint").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE["phrase_search"] = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+bgs AS (
+    SELECT unnest([array_to_string(tk[i:i+1], ' ')
+                   FOR i IN range(1, len(tk))]) AS bg
+    FROM toks WHERE len(tk) >= 2
+),
+top_bg AS (
+    SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+           bg AS phrase
+    FROM (SELECT bg, count(*) AS cnt FROM bgs GROUP BY 1
+          ORDER BY cnt DESC, bg ASC LIMIT 1)
+),
+post AS (
+    SELECT doc_id, u.p AS pos, u.w AS w
+    FROM toks, unnest([{{'p': i, 'w': tk[i + 1]}} FOR i IN range(0, len(tk))]) AS t(u)
+)
+SELECT h1.doc_id, tb.phrase,
+       count(*) AS n_hits,
+       CAST(min(h1.pos) AS BIGINT) AS first_pos
+FROM post h1
+JOIN top_bg tb ON h1.w = tb.w1
+JOIN post h2 ON h2.doc_id = h1.doc_id AND h2.pos = h1.pos + 1 AND h2.w = tb.w2
+GROUP BY h1.doc_id, tb.phrase
+ORDER BY h1.doc_id
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_search": bm25_search,
@@ -653,5 +739,6 @@ QUERIES = {
     "doc_bigram_surprisal": doc_bigram_surprisal,
     "doc_backoff_surprisal": doc_backoff_surprisal,
     "doc_perplexity_buckets": doc_perplexity_buckets,
+    "phrase_search": phrase_search,
     "vocab_coverage": vocab_coverage,
 }
