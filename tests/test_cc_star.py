@@ -63,3 +63,57 @@ def test_star_min_in_middle(spark):
     e = _edges(spark, [(3, 1), (3, 2), (5, 4), (2, 5)])
     got = _cc(connected_components_star(e))
     assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)]
+
+
+# -------------------------------------------------------- property check
+def _uf_components(edges):
+    """Python union-find reference: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_star_random_graphs_match_union_find(spark):
+    """Randomized structural check: the alternating-star output equals a
+    python union-find on dozens of random edge sets (dense blobs, sparse
+    chains, multi-component mixes). Deterministic seed; one Spark run
+    per case is slow, so the cases are batched into one frame keyed by
+    a graph id offset — each graph's ids live in a disjoint range, so a
+    single CC call checks all of them at once."""
+    import random
+
+    from grapefruit_spark.operators.graph import connected_components_star
+
+    rng = random.Random(0xC0FFEE)
+    all_edges = []
+    expected = {}
+    for g in range(25):
+        base = g * 10_000
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 80)
+        edges = []
+        for _ in range(m):
+            a, b = rng.randint(1, n), rng.randint(1, n)
+            if a != b:
+                edges.append((base + a, base + b))
+        if not edges:
+            edges = [(base + 1, base + 2)]
+        all_edges.extend(edges)
+        expected.update(_uf_components(edges))
+    df = _edges(spark, all_edges)
+    got = dict(_cc(connected_components_star(df)))
+    assert got == expected
