@@ -404,3 +404,15 @@ def test_scaling_table_joins_broadcast_by_choice(spark, qname):
             f"{qname}: {key} join no longer broadcast at small scale:\n"
             + plan[:800]
         )
+
+
+def test_phrase_search_position_join_equi(spark):
+    """The positional phrase match must plan as an equi join on
+    (doc_id, pos+1) — never a nested-loop/cartesian scan of postings
+    (the difference between an index merge and a corpus product)."""
+    from grapefruit_spark.operators.search import phrase_search
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(phrase_search(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
