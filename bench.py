@@ -156,6 +156,7 @@ HEADLINE = [
     "dedup_clusters_star",
     "phrase_search",
     "events_transition_dwell",
+    "contamination_report",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -89,6 +89,11 @@ _REPROVE_SINCE: dict[str, int] = {
     # r10 (ADVICE_r9): dedup_cluster_stats dropped a dead coalesce
     # around count() — emission text changed
     "dedup_cluster_stats": 10,
+    # r10: gram pipeline extracted into _decon_gram_frame for the new
+    # contamination_report (pure extraction, emission byte-identical —
+    # re-proved at sf0.01 AND sf0.1 locally; front-loaded anyway per
+    # the contract)
+    "decontaminate_ngrams": 10,
 }
 
 

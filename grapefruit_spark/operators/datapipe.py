@@ -401,16 +401,10 @@ DECON_N = 5  # n-gram size; eval membership: doc_id % DECON_MOD == 0
 DECON_MOD = 97
 
 
-def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag training documents sharing any
-    normalized 5-gram with the held-out eval slice (doc_id % 97 == 0 is
-    the stand-in benchmark set).
-
-    The eval n-gram set is tiny relative to the corpus at any scale
-    (benchmarks are fixed-size), so it broadcasts and the training scan
-    never shuffles its exploded grams — the standard decontamination
-    shape (e.g. GPT-3 appendix C) as one broadcast semi-join + count.
-    """
+def _decon_gram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, grams) with DECON_N-gram 62-bit hash keys — the shared
+    gram pipeline of decontaminate_ngrams and contamination_report
+    (pure extraction, r10; the emission is byte-identical)."""
     from ..functions import MINHASH_P, normalize_text, ws_tokens
 
     docs = table(spark, sf_dir, "documents")
@@ -442,27 +436,93 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    gdf = docs.select("doc_id", _th(1).alias("th1"), _th(2).alias("th2")).select(
+    return docs.select("doc_id", _th(1).alias("th1"), _th(2).alias("th2")).select(
         "doc_id", grams.alias("grams")
     )
 
+
+def _decon_xpl(df: DataFrame) -> DataFrame:
     # explode_outer, NOT explode: plain explode triggers
     # InferFiltersFromGenerate, whose size(grams)>0 predicate is pushed
     # to the scan with the whole gram pipeline inlined PER element_at —
     # measured ~100× slower. The null-filter after the generate is free.
-    def _xpl(df):
-        return df.select("doc_id", F.explode_outer("grams").alias("gram")).where(
-            F.col("gram").isNotNull()
-        )
+    return df.select("doc_id", F.explode_outer("grams").alias("gram")).where(
+        F.col("gram").isNotNull()
+    )
 
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    normalized 5-gram with the held-out eval slice (doc_id % 97 == 0 is
+    the stand-in benchmark set).
+
+    The eval n-gram set is tiny relative to the corpus at any scale
+    (benchmarks are fixed-size), so it broadcasts and the training scan
+    never shuffles its exploded grams — the standard decontamination
+    shape (e.g. GPT-3 appendix C) as one broadcast semi-join + count.
+    """
+    gdf = _decon_gram_frame(spark, sf_dir)
     is_eval = F.col("doc_id") % DECON_MOD == 0
-    eval_grams = _xpl(gdf.where(is_eval)).select("gram").distinct()
-    train = _xpl(gdf.where(~is_eval))
+    eval_grams = _decon_xpl(gdf.where(is_eval)).select("gram").distinct()
+    train = _decon_xpl(gdf.where(~is_eval))
     return (
         train.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("doc_id")
+    )
+
+
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-doc contamination report (r10, D55): the benchmark
+    owner's view of decontaminate_ngrams — for each eval doc, how many
+    of its 5-grams exist in the training corpus and how widely
+    (n_hit / hit_ppm / sum+max train document frequency). A benchmark
+    with hit_ppm near 10⁶ is memorized, not measured.
+
+    Scale shape: the train gram stream is FIRST semi-joined against the
+    broadcast eval-gram set (bounded — benchmarks are fixed-size), so
+    the per-gram train_df aggregate runs over contaminating grams only;
+    the final join back to eval pairs is bounded by eval grams. No
+    eval_doc × train_doc pair frame ever materializes — a single hot
+    gram (a boilerplate 5-gram in millions of train docs) contributes
+    one train_df row, not millions of pairs.
+
+    Eval docs shorter than DECON_N tokens have no grams and are absent,
+    like every gram-based op here.
+    """
+    gdf = _decon_gram_frame(spark, sf_dir)
+    is_eval = F.col("doc_id") % DECON_MOD == 0
+    ev_pairs = _decon_xpl(gdf.where(is_eval))
+    eval_gram_set = ev_pairs.select("gram").distinct()
+    train_df_per_gram = (
+        _decon_xpl(gdf.where(~is_eval))
+        .join(F.broadcast(eval_gram_set), "gram")
+        .groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("train_df"))
+    )
+    return (
+        ev_pairs.join(train_df_per_gram, "gram", "left")
+        .groupBy(F.col("doc_id").alias("eval_doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("train_df").alias("n_hit"),
+            F.coalesce(F.sum("train_df"), F.lit(0)).cast("bigint").alias(
+                "sum_train_df"
+            ),
+            F.coalesce(F.max("train_df"), F.lit(0)).cast("bigint").alias(
+                "max_train_df"
+            ),
+        )
+        .select(
+            "eval_doc_id",
+            "n_grams",
+            "n_hit",
+            "sum_train_df",
+            "max_train_df",
+            F.expr("(n_hit * 1000000L) div n_grams").alias("hit_ppm"),
+        )
+        .orderBy("eval_doc_id")
     )
 
 
@@ -492,6 +552,43 @@ SELECT doc_id, count(*) AS n_shared_grams
 FROM tr JOIN ev USING (gram)
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+ORACLE["contamination_report"] = f"""
+WITH g AS (
+    SELECT doc_id,
+           list_distinct([
+               array_to_string(toks[i:i+{DECON_N - 1}], ' ')
+               FOR i IN range(1, len(toks) - {DECON_N - 2})
+           ]) AS grams
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex({_DUCK_NORM_TXT}, '\\s+'),
+                           t -> length(t) > 0) AS toks
+        FROM documents
+    )
+    WHERE len(toks) >= {DECON_N}
+),
+evp AS (
+    SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} = 0
+),
+tr AS (
+    SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {DECON_MOD} != 0
+),
+tg AS (
+    SELECT tr.gram, count(DISTINCT tr.doc_id) AS train_df
+    FROM tr JOIN (SELECT DISTINCT gram FROM evp) e USING (gram)
+    GROUP BY 1
+)
+SELECT evp.doc_id AS eval_doc_id,
+       count(*) AS n_grams,
+       CAST(count(tg.train_df) AS BIGINT) AS n_hit,
+       CAST(coalesce(sum(tg.train_df), 0) AS BIGINT) AS sum_train_df,
+       CAST(coalesce(max(tg.train_df), 0) AS BIGINT) AS max_train_df,
+       CAST(count(tg.train_df) * 1000000 // count(*) AS BIGINT) AS hit_ppm
+FROM evp LEFT JOIN tg USING (gram)
+GROUP BY 1
+ORDER BY 1
 """
 
 
@@ -909,6 +1006,7 @@ QUERIES = {
     "sample_k_per_group": sample_k_per_group,
     "seq_packing": seq_packing,
     "decontaminate_ngrams": decontaminate_ngrams,
+    "contamination_report": contamination_report,
     "doc_chunking": doc_chunking,
     "shuffle_order": shuffle_order,
     "profile_orders": profile_orders,
