@@ -67,6 +67,16 @@ RICH_QUERIES = [
     ("search", "doc_bigram_surprisal"),
     ("search", "doc_backoff_surprisal"),
     ("datapipe", "split_leakage_safe"),
+    # r10 additions: the Zipf vocab + planted dups are the branch-heavy
+    # regime for the tertile cut (many distinct surprisal bins), the
+    # positional phrase join (boilerplate makes the top bigram hot),
+    # the star CC (real dup clusters), and the per-eval contamination
+    # view (boilerplate grams carry high train_df)
+    ("search", "doc_perplexity_buckets"),
+    ("search", "phrase_search"),
+    ("graph", "dedup_clusters_star"),
+    ("graph", "dedup_token_savings"),
+    ("datapipe", "contamination_report"),
 ]
 
 

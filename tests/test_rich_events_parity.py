@@ -49,6 +49,9 @@ RICH_EVENT_QUERIES = [
     ("event_analytics", "events_bot_score"),
     ("event_analytics", "events_ewma_hourly"),
     ("event_analytics", "events_value_mad"),
+    # r10: dwell-time stats per transition — the adversarial streams'
+    # equal-timestamp ties exercise the (ts, event_id) ordering contract
+    ("event_analytics", "events_transition_dwell"),
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
