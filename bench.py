@@ -157,6 +157,8 @@ HEADLINE = [
     "phrase_search",
     "events_transition_dwell",
     "contamination_report",
+    # pre-ANN embedding-table QC gate (three single-scan aggregates)
+    "embedding_qc",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -717,6 +717,129 @@ FROM agg
 """
 
 
+# ----------------------------------------------------------------- D56
+def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QC report (r10): the gate an ANN/semantic-dedup
+    pipeline runs BEFORE indexing — null vectors, wrong-dimension rows,
+    non-finite elements (NaN/±Inf/null element), dead (all-near-zero)
+    vectors, and a magnitude histogram. One bad shard of zero vectors
+    silently poisons every cosine downstream; this surfaces it as rows.
+
+    Emission is one (metric, k, n) frame:
+      n_vectors / null_vec / wrong_dim / nonfinite / zero_vec — counts
+      expected_dim — k = the modal dimension (count DESC, dim ASC),
+        n = rows at that dimension
+      norm_digits — k = decimal digit count of the quantized squared
+        norm Σ floor(x·10³)² (the drift_aa integer grid: raw
+        float→DECIMAL casts are engine-divergent), n = vectors per bin
+        — a log-scale magnitude histogram in pure integer math.
+
+    Scale: three aggregates over one scan each (modal dim, global
+    counts, digit histogram); nothing is per-pair, nothing collects.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dimtop = (
+        emb.where(F.col("embedding").isNotNull())
+        .groupBy(F.size("embedding").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("dim"))
+        .limit(1)
+    )
+    inf = float("inf")
+    bad_elem = F.exists(
+        "embedding",
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(inf)),
+    )
+    q2 = lambda x: (  # noqa: E731 — quantized square, bigint-exact
+        F.floor(x.cast("double") * DRIFT_Q).cast("bigint")
+        * F.floor(x.cast("double") * DRIFT_Q).cast("bigint")
+    )
+    norm2 = F.aggregate(
+        "embedding", F.lit(0).cast("bigint"), lambda acc, x: acc + q2(x)
+    )
+    base = emb.join(F.broadcast(dimtop.select(F.col("dim").alias("exp_dim")))).select(
+        F.col("embedding").isNull().alias("is_null"),
+        (F.col("embedding").isNotNull() & (F.size("embedding") != F.col("exp_dim"))).alias(
+            "wrong_dim"
+        ),
+        (F.col("embedding").isNotNull() & bad_elem).alias("nonfinite"),
+        F.when(F.col("embedding").isNotNull() & ~bad_elem, norm2).alias("norm2"),
+    )
+    counts = base.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("is_null").cast("long")).alias("null_vec"),
+        F.sum(F.col("wrong_dim").cast("long")).alias("wrong_dim"),
+        F.sum(F.col("nonfinite").cast("long")).alias("nonfinite"),
+        F.sum((F.col("norm2") == 0).cast("long")).alias("zero_vec"),
+    ).selectExpr(
+        "stack(5, 'n_vectors', 0L, n_vectors, 'null_vec', 0L, null_vec,"
+        " 'wrong_dim', 0L, wrong_dim, 'nonfinite', 0L, nonfinite,"
+        " 'zero_vec', 0L, zero_vec) AS (metric, k, n)"
+    )
+    dim_row = dimtop.select(
+        F.lit("expected_dim").alias("metric"),
+        F.col("dim").cast("bigint").alias("k"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    bins = (
+        base.where(F.col("norm2").isNotNull())
+        .groupBy(
+            F.length(F.col("norm2").cast("string")).cast("bigint").alias("k")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("norm_digits").alias("metric"), "k", "n")
+    )
+    return counts.unionByName(dim_row).unionByName(bins).orderBy("metric", "k")
+
+
+ORACLE["embedding_qc"] = f"""
+WITH dimtop AS (
+    SELECT len(embedding) AS dim, count(*) AS n
+    FROM embeddings WHERE embedding IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, dim ASC LIMIT 1
+),
+base AS (
+    SELECT e.embedding IS NULL AS is_null,
+           e.embedding IS NOT NULL AND len(e.embedding) != d.dim AS wrong_dim,
+           e.embedding IS NOT NULL AND len(list_filter(e.embedding,
+               x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
+                    OR isinf(CAST(x AS DOUBLE)))) > 0 AS nonfinite,
+           CASE WHEN e.embedding IS NOT NULL AND len(list_filter(e.embedding,
+                    x -> x IS NULL OR isnan(CAST(x AS DOUBLE))
+                         OR isinf(CAST(x AS DOUBLE)))) = 0
+                THEN CAST(coalesce(list_sum(list_transform(e.embedding,
+                         x -> CAST(floor(CAST(x AS DOUBLE) * {DRIFT_Q}) AS BIGINT)
+                            * CAST(floor(CAST(x AS DOUBLE) * {DRIFT_Q}) AS BIGINT))),
+                         0) AS BIGINT)
+           END AS norm2
+    FROM embeddings e CROSS JOIN dimtop d
+)
+SELECT metric, k, n FROM (
+    SELECT 'n_vectors' AS metric, CAST(0 AS BIGINT) AS k,
+           count(*) AS n FROM base
+    UNION ALL
+    SELECT 'null_vec', 0, CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END)
+           AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'wrong_dim', 0, CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END)
+           AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'nonfinite', 0, CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END)
+           AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'zero_vec', 0, CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) FROM base
+    UNION ALL
+    SELECT 'expected_dim', CAST(dim AS BIGINT), CAST(n AS BIGINT) FROM dimtop
+    UNION ALL
+    SELECT 'norm_digits', CAST(length(CAST(norm2 AS VARCHAR)) AS BIGINT),
+           count(*)
+    FROM base WHERE norm2 IS NOT NULL GROUP BY 2
+)
+ORDER BY metric, k
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_topk_partitioned": knn_topk_partitioned,
@@ -727,4 +850,5 @@ QUERIES = {
     "knn_ivf_recall_eval": knn_ivf_recall_eval,
     "embedding_neardup": embedding_neardup,
     "embedding_drift_aa": embedding_drift_aa,
+    "embedding_qc": embedding_qc,
 }

@@ -238,3 +238,76 @@ def test_io_sims_null_edges(spark, nullorders_dir, qname):
     assert_matches_oracle(
         queries[qname](spark, nullorders_dir), con, oracles[qname]
     )
+
+
+# --------------------------------------------------------- embedding_qc
+@pytest.fixture(scope="module")
+def qcemb_dir(tmp_path_factory):
+    """Every defect class embedding_qc reports, planted once:
+    NULL vector, wrong-dimension vector, NaN / +Inf / NULL-element
+    vectors (nonfinite), an exact-zero and a sub-grid (<1e-3 abs)
+    vector (both must land in zero_vec under the floor(x*1e3) grid),
+    plus clean vectors spanning two norm-digit bins."""
+    d = tmp_path_factory.mktemp("qcemb")
+    vecs: list[tuple[int, list[float] | None]] = []
+    for i in range(1, 9):  # clean 4-dim, mixed magnitudes
+        vecs.append((i, [0.5 * i, -0.25 * i, 0.125, 1.0]))
+    vecs.append((20, None))  # null_vec
+    vecs.append((21, [1.0, 2.0, 3.0]))  # wrong_dim (3 != modal 4)
+    vecs.append((22, [float("nan"), 1.0, 1.0, 1.0]))  # nonfinite
+    vecs.append((23, [float("inf"), 0.0, 0.0, 0.0]))  # nonfinite
+    vecs.append((24, [None, 1.0, 1.0, 1.0]))  # nonfinite (null elem)
+    vecs.append((25, [0.0, 0.0, 0.0, 0.0]))  # zero_vec (exact)
+    vecs.append((26, [0.0004, 0.0009, 0.0, 0.00099]))  # zero_vec (grid)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return str(d), vecs
+
+
+def test_embedding_qc_every_defect_class(spark, qcemb_dir):
+    import math
+
+    import numpy as np
+
+    d, vecs = qcemb_dir
+    queries, oracles = _entry()
+    con = _duck_for(d, ["embeddings"])
+    assert_matches_oracle(
+        queries["embedding_qc"](spark, d), con, oracles["embedding_qc"]
+    )
+    got = {
+        (r["metric"], r["k"]): r["n"]
+        for r in queries["embedding_qc"](spark, d).collect()
+    }
+    assert got[("n_vectors", 0)] == len(vecs)
+    assert got[("null_vec", 0)] == 1
+    assert got[("wrong_dim", 0)] == 1
+    assert got[("nonfinite", 0)] == 3
+    assert got[("zero_vec", 0)] == 2
+    # modal dim: 4 (everything non-null except the 3-dim row)
+    assert got[("expected_dim", 4)] == len(vecs) - 2
+    # python reference for the digit histogram over FINITE vectors,
+    # through the same float32 → double → floor(x*1e3) grid
+    bins: dict[int, int] = {}
+    for _, v in vecs:
+        if v is None or any(
+            x is None or math.isnan(x) or math.isinf(x) for x in v
+        ):
+            continue
+        n2 = sum(
+            int(math.floor(float(np.float32(x)) * 1e3)) ** 2 for x in v
+        )
+        k = len(str(n2))
+        bins[k] = bins.get(k, 0) + 1
+    assert bins == {
+        k: n for (m, k), n in got.items() if m == "norm_digits"
+    }
