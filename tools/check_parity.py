@@ -105,6 +105,16 @@ def main() -> int:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         print("# SPARK_GRAFT_NO_BCAST=1: broadcast thresholds disabled", file=sys.stderr)
+    elif os.environ.get("SPARK_GRAFT_BCAST_THRESHOLD"):
+        # mixed-plan tier: a LOWERED threshold models the 100 TB shape
+        # where customer/part/supplier outgrow broadcast but the
+        # fixed-size nation/region dims still fit — AQE then mixes
+        # shuffle joins (big sides) with broadcasts (tiny dims) in one
+        # plan, the realistic cluster regime
+        thr = os.environ["SPARK_GRAFT_BCAST_THRESHOLD"]
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", thr)
+        print(f"# SPARK_GRAFT_BCAST_THRESHOLD={thr}", file=sys.stderr)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"

@@ -49,6 +49,41 @@ GRAPH_DEST = "/tmp/grapefruit_sf04"
 GRAPH_REPS = 4
 GRAPH_HEAVIES = {"supplier_ppr", "copurchase_triangles", "copurchase_kcore"}
 
+# --tpch mode (r10, VERDICT_r9 #8): a CONSISTENT x10 replication of the
+# whole TPC-H-ish star — orders/customer/supplier/part replicated with
+# the SAME key offsets as lineitem, so referential integrity holds per
+# replica and every join finds its full match set at 10x volume (the
+# default synthesis only replicates facts, so dim joins thin out and
+# the unhinted customer/part/supplier joins aren't stressed). Replication
+# also makes every per-entity aggregate an EXACT 10-way tie across
+# replicas — an adversarial determinism probe the organic SFs never
+# produce (a LIMIT without a total order diverges here, loudly).
+# nation/region stay as-is: they are fixed-size by spec and the only
+# tables whose broadcast hints survived the r10 unhinting.
+TPCH_DEST = "/tmp/grapefruit_sf1_tpch"
+TPCH_QUERIES = [
+    # the 17 queries whose SF-scaling broadcast() hints were removed in
+    # r10 — AQE now picks the strategy from runtime size stats, and this
+    # run feeds it 10x inputs on every side
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q20_promotion_suppliers",
+    "q21_late_suppliers",
+    "supplier_hhi",
+]
+
 HEAVIES = [
     "jaccard_clusters",
     "supplier_pagerank",
@@ -157,15 +192,65 @@ def synthesize(spark, dest: str = DEST, reps: int = REPS) -> dict:
     return meta
 
 
+def synthesize_tpch(spark, dest: str = TPCH_DEST, reps: int = REPS) -> dict:
+    """Whole-star x10: facts AND dims replicated with consistent key
+    offsets (custkey +r*1e6, orderkey/partkey +r*1e7, suppkey +r*1e4 —
+    the lineitem offsets above), so each replica is a closed TPC-H
+    world and the merged table is a valid sf~1 instance."""
+    from pyspark.sql import functions as F
+
+    meta_path = os.path.join(dest, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    os.makedirs(dest, exist_ok=True)
+
+    offsets = {
+        "o_orderkey": 10_000_000, "l_orderkey": 10_000_000,
+        "p_partkey": 10_000_000, "l_partkey": 10_000_000,
+        "s_suppkey": 10_000, "l_suppkey": 10_000,
+        "c_custkey": 1_000_000, "o_custkey": 1_000_000,
+    }
+    meta: dict = {"reps": reps}
+    for t in ("lineitem", "orders", "customer", "supplier", "part"):
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        parts = []
+        for r in range(reps):
+            cols = [
+                (F.col(c) + r * offsets[c]).alias(c) if c in offsets
+                else F.col(c)
+                for c in df.columns
+            ]
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        _single_file(out, f"{dest}/{t}.parquet")
+        meta[t] = spark.read.parquet(f"{dest}/{t}.parquet").count()
+    for t in ("region nation events documents embeddings").split():
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dest}/{t}.parquet")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
 def main() -> int:
     import subprocess
     import time
 
     from grapefruit_spark.session import get_spark
 
-    names = sys.argv[1:] or HEAVIES
-    full = [n for n in names if n not in GRAPH_HEAVIES]
-    graph = [n for n in names if n in GRAPH_HEAVIES]
+    args = sys.argv[1:]
+    tpch = "--tpch" in args
+    args = [a for a in args if a != "--tpch"]
+    if tpch:
+        names = args or TPCH_QUERIES
+        full, graph, tpch_batch = [], [], names
+    else:
+        names = args or HEAVIES
+        full = [n for n in names if n not in GRAPH_HEAVIES]
+        graph = [n for n in names if n in GRAPH_HEAVIES]
+        tpch_batch = []
 
     spark = get_spark("sf1-synth")
     spark.sparkContext.setLogLevel("ERROR")
@@ -174,11 +259,16 @@ def main() -> int:
     if graph:
         meta4 = synthesize(spark, GRAPH_DEST, GRAPH_REPS)
         print(f"# sf0.4 graph dataset: {meta4}", file=sys.stderr)
+    if tpch_batch:
+        metat = synthesize_tpch(spark)
+        print(f"# sf1 tpch dataset: {metat}", file=sys.stderr)
     spark.stop()
 
     rc = 0
     ck = os.path.join(os.path.dirname(__file__), "check_parity.py")
-    for dest, batch in ((DEST, full), (GRAPH_DEST, graph)):
+    for dest, batch in (
+        (DEST, full), (GRAPH_DEST, graph), (TPCH_DEST, tpch_batch)
+    ):
         if not batch:
             continue
         t0 = time.time()
