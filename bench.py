@@ -159,6 +159,9 @@ HEADLINE = [
     "contamination_report",
     # pre-ANN embedding-table QC gate (three single-scan aggregates)
     "embedding_qc",
+    # Gopher rule filter + tokenizer fertility (single-scan text QC)
+    "quality_gopher_rules",
+    "tokenizer_fertility",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -278,10 +278,205 @@ FROM tf GROUP BY doc_id
 """
 
 
+# ----------------------------------------------------------------- D57
+#: the Gopher rule-filter stop set (Rae et al. 2021, App. A1.1: "must
+#: contain at least two of" these English words)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule filter (Rae et al. 2021, Appendix A —
+    the published web-corpus quality gate; MassiveText's C4-successor):
+    word count in [50, 100k], mean word length in [3, 10], symbol-to-
+    word ratio (# and ellipsis) <= 0.1, <= 90% of lines bullet-started,
+    <= 30% of lines ellipsis-ended, >= 80% of words containing an
+    alphabetic char, and >= 2 Gopher stopwords present.
+
+    Emits the raw integer measures, each rule as a boolean, and the
+    conjunction — downstream corpus cleaning filters on pass_gopher
+    while the per-rule flags say WHY a doc died. Every threshold is a
+    CROSS-MULTIPLIED integer comparison (3·n <= chars <= 10·n, not a
+    mean), so there is no division and no float anywhere: bit-identical
+    across engines by construction. One scan, no shuffle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = ws_tokens(F.col("text"))
+    lower_words = ws_tokens(F.lower(F.col("text")))
+    lines = F.split(F.col("text"), "\n")
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("bigint").alias("word_chars"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        (
+            F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+            + (F.length("text") - F.length(F.expr("replace(text, '...', '')")))
+            / F.lit(3)
+        ).cast("bigint").alias("symbols"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).startswith("-")
+                | F.ltrim(l).startswith("*")
+                | F.ltrim(l).startswith("•"),
+            )
+        ).cast("bigint").alias("bullet_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+        ).cast("bigint").alias("ellipsis_lines"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("bigint").alias("alpha_words"),
+        F.size(
+            F.filter(stops, lambda s: F.array_contains(lower_words, s))
+        ).cast("bigint").alias("stop_hits"),
+    )
+    r_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+    r_mwl = (
+        (F.col("n_words") > 0)
+        & (F.col("word_chars") >= 3 * F.col("n_words"))
+        & (F.col("word_chars") <= 10 * F.col("n_words"))
+    )
+    r_sym = F.col("symbols") * 10 <= F.col("n_words")
+    r_bullet = F.col("bullet_lines") * 10 <= 9 * F.col("n_lines")
+    r_ellipsis = F.col("ellipsis_lines") * 10 <= 3 * F.col("n_lines")
+    r_alpha = F.col("alpha_words") * 10 >= 8 * F.col("n_words")
+    r_stop = F.col("stop_hits") >= 2
+    return base.select(
+        "*",
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bullet.alias("r_bullet_lines"),
+        r_ellipsis.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        (r_wc & r_mwl & r_sym & r_bullet & r_ellipsis & r_alpha & r_stop).alias(
+            "pass_gopher"
+        ),
+    )
+
+
+_DUCK_WORDS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)"
+_GOPHER_STOPS_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+
+ORACLE["quality_gopher_rules"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_chars,
+           CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+           CAST(length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) // 3
+                AS BIGINT) AS symbols,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+                     OR starts_with(ltrim(l), '•'))) AS BIGINT) AS bullet_lines,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines,
+           CAST(len(list_filter({_DUCK_WORDS},
+                w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+           CAST(len(list_filter([{_GOPHER_STOPS_SQL}],
+                s -> list_contains(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                               t -> length(t) > 0), s))) AS BIGINT) AS stop_hits
+    FROM documents
+)
+SELECT *,
+       (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+        AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS pass_gopher
+FROM (
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+           (n_words > 0 AND word_chars >= 3 * n_words
+            AND word_chars <= 10 * n_words) AS r_mean_word_len,
+           (symbols * 10 <= n_words) AS r_symbol_ratio,
+           (bullet_lines * 10 <= 9 * n_lines) AS r_bullet_lines,
+           (ellipsis_lines * 10 <= 3 * n_lines) AS r_ellipsis_lines,
+           (alpha_words * 10 >= 8 * n_words) AS r_alpha_words,
+           (stop_hits >= 2) AS r_stopwords
+    FROM base
+)
+"""
+
+
+# ----------------------------------------------------------------- D58
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per (lang, source): BPE-ish tokens
+    per whitespace word and per character, in ppm. Fertility is the
+    standard cross-lingual tokenizer-efficiency metric (tokens/word ~1
+    for English-centric BPE on English, 2-4x on underrepresented
+    scripts): a corpus mix decided on DOCUMENT counts silently
+    over-charges high-fertility languages in the token budget — this
+    is the table that surfaces it.
+
+    Map-side combined aggregate over one scan; |lang x source| groups.
+    """
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(ws_tokens(F.col("text"))).cast("bigint").alias("ws_words"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+        F.length("text").cast("bigint").alias("chars"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_words").alias("ws_words"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+            F.sum("chars").alias("chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "ws_words",
+            "bpe_tokens",
+            "chars",
+            F.expr("(bpe_tokens * 1000000L) div greatest(ws_words, 1)").alias(
+                "tok_per_word_ppm"
+            ),
+            F.expr("(bpe_tokens * 1000000L) div greatest(chars, 1)").alias(
+                "tok_per_char_ppm"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE["tokenizer_fertility"] = f"""
+WITH per_doc AS (
+    SELECT lang, source,
+           CAST(len({_DUCK_WORDS}) AS BIGINT) AS ws_words,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS chars
+    FROM documents
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(ws_words) AS BIGINT) AS ws_words,
+       CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+       CAST(sum(chars) AS BIGINT) AS chars,
+       CAST(CAST(sum(bpe_tokens) AS BIGINT) * 1000000
+            // greatest(CAST(sum(ws_words) AS BIGINT), 1) AS BIGINT) AS tok_per_word_ppm,
+       CAST(CAST(sum(bpe_tokens) AS BIGINT) * 1000000
+            // greatest(CAST(sum(chars) AS BIGINT), 1) AS BIGINT) AS tok_per_char_ppm
+FROM per_doc
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "doc_entropy": doc_entropy,
     "doc_quality": doc_quality,
+    "quality_gopher_rules": quality_gopher_rules,
+    "tokenizer_fertility": tokenizer_fertility,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "doc_rolling_fingerprint": doc_rolling_fingerprint,

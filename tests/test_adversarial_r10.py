@@ -311,3 +311,95 @@ def test_embedding_qc_every_defect_class(spark, qcemb_dir):
     assert bins == {
         k: n for (m, k), n in got.items() if m == "norm_digits"
     }
+
+
+# -------------------------------------------------- quality_gopher_rules
+@pytest.fixture(scope="module")
+def gopher_dir(tmp_path_factory):
+    """One doc per Gopher rule, each tripping EXACTLY that rule, plus a
+    clean pass-all doc — so every rule column must read all-True except
+    its designated victim."""
+    d = tmp_path_factory.mktemp("gopher")
+    stopful = "the be to of and that have with"  # 8 stop hits
+    # 60 words, all alphabetic, mean len in [3,10], no symbols/bullets
+    good = " ".join([stopful] * 6 + ["quality document words here"] * 3)
+    docs = [
+        (1, good, "web"),  # pass_gopher = true
+        (2, "the of " + "word " * 10, "web"),  # word count < 50
+        (3, ("xx " * 48 + stopful), "web"),  # 56 words, mean len 2.14 < 3
+        (4, good + " " + "# " * 12, "web"),  # symbols: 12# vs 72 words > 0.1
+        (5, good + ("\n-the item" * 30), "web"),  # 30/31 bullet lines
+        (6, good + ("\nx..." * 2) + "\ny", "web"),  # 2/4 ellipsis > 30%
+        (7, stopful + " " + "123 " * 52, "web"),  # alpha words < 80%
+        (8, " ".join(["word alpha beta"] * 20), "web"),  # 0 stop hits
+    ]
+    _write_docs(d, docs)
+    return str(d), docs
+
+
+def test_gopher_rules_each_branch(spark, gopher_dir):
+    d, docs = gopher_dir
+    queries, oracles = _entry()
+    con = _duck_for(d, ["documents"])
+    assert_matches_oracle(
+        queries["quality_gopher_rules"](spark, d),
+        con,
+        oracles["quality_gopher_rules"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in queries["quality_gopher_rules"](spark, d).collect()
+    }
+    victims = {
+        2: "r_word_count",
+        3: "r_mean_word_len",
+        4: "r_symbol_ratio",
+        5: "r_bullet_lines",
+        6: "r_ellipsis_lines",
+        7: "r_alpha_words",
+        8: "r_stopwords",
+    }
+    assert rows[1]["pass_gopher"] is True
+    rules = list(victims.values())
+    for doc_id, victim in victims.items():
+        r = rows[doc_id]
+        assert r["pass_gopher"] is False
+        assert r[victim] is False, (doc_id, victim)
+        for other in rules:
+            if other != victim:
+                assert r[other] is True, (doc_id, other)
+
+
+def test_tokenizer_fertility_hand_counts(spark, tmp_path):
+    import re
+
+    from grapefruit_spark.functions import BPE_RE
+
+    d = tmp_path
+    docs = [
+        (1, "hello world, it's 2024...", "web"),
+        (2, "one two-three 456", "web"),
+        (3, "ni hao shi jie", "web"),
+    ]
+    _write_docs(d, docs)
+    d = str(d)
+    queries, oracles = _entry()
+    con = _duck_for(d, ["documents"])
+    assert_matches_oracle(
+        queries["tokenizer_fertility"](spark, d),
+        con,
+        oracles["tokenizer_fertility"],
+    )
+    rows = queries["tokenizer_fertility"](spark, d).collect()
+    # _write_docs assigns one lang/source to all docs -> one group
+    assert len(rows) == 1
+    r = rows[0]
+    words = sum(len(t.split()) for _, t, _s in docs)
+    bpe = sum(len(re.findall(BPE_RE, t)) for _, t, _s in docs)
+    chars = sum(len(t) for _, t, _s in docs)
+    assert r["n_docs"] == 3
+    assert r["ws_words"] == words
+    assert r["bpe_tokens"] == bpe
+    assert r["chars"] == chars
+    assert r["tok_per_word_ppm"] == bpe * 1_000_000 // words
+    assert r["tok_per_char_ppm"] == bpe * 1_000_000 // chars

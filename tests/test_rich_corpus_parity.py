@@ -77,6 +77,11 @@ RICH_QUERIES = [
     ("graph", "dedup_clusters_star"),
     ("graph", "dedup_token_savings"),
     ("datapipe", "contamination_report"),
+    # r10 second wave: the Gopher rule gate (Zipf lengths span the
+    # word-count/mean-word-length branches) and fertility (mixed
+    # langs/sources give non-trivial group structure)
+    ("text", "quality_gopher_rules"),
+    ("text", "tokenizer_fertility"),
 ]
 
 
