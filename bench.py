@@ -162,6 +162,10 @@ HEADLINE = [
     # Gopher rule filter + tokenizer fertility (single-scan text QC)
     "quality_gopher_rules",
     "tokenizer_fertility",
+    # packing-cost report (shares seq_packing's one shard shuffle) and
+    # document-level PMI over the capped top-V vocabulary
+    "packing_efficiency",
+    "term_pmi",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -396,6 +396,123 @@ ORDER BY shard, pack_id
 """
 
 
+# ----------------------------------------------------------------- D59
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report per shard: what seq_packing's
+    concat-and-chunk assignment actually COSTS the token budget. Per
+    shard: pack count vs the LP lower bound ceil(tokens/budget) —
+    the floor no packer can beat — as overhead_ppm; the token mass a
+    budget-truncating loader would cut from overflowing packs
+    (trunc_ppm of total tokens); and the padding a pad-to-budget
+    loader would add to underfull packs (pad_ppm of capacity). The
+    three numbers are the tuning dials for PACK_BUDGET vs the corpus'
+    doc-length distribution.
+
+    Same single shard shuffle as seq_packing (the pack frame is the
+    shared window cumsum), then an O(packs) rollup. All-integer.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    from ..functions import ws_tokens
+
+    n_tok = F.size(ws_tokens(F.col("text")))
+    shard = (_bucket(F.col("doc_id")) % PACK_SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packs = (
+        docs.select(shard, "doc_id", n_tok.alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("pack_id", F.floor((F.col("cum") - F.col("n_tok")) / PACK_BUDGET))
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+    )
+    b = F.lit(PACK_BUDGET).cast("bigint")
+    return (
+        packs.groupBy("shard")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("pack_tokens").alias("total_tokens"),
+            F.sum(F.greatest(F.col("pack_tokens") - b, F.lit(0).cast("bigint"))).alias(
+                "trunc_tokens"
+            ),
+            F.sum(F.greatest(b - F.col("pack_tokens"), F.lit(0).cast("bigint"))).alias(
+                "pad_tokens"
+            ),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_packs",
+            "total_tokens",
+            F.expr(f"(total_tokens + {PACK_BUDGET}L - 1L) div {PACK_BUDGET}L").alias(
+                "lb_packs"
+            ),
+            F.expr(
+                f"((n_packs - (total_tokens + {PACK_BUDGET}L - 1L) div {PACK_BUDGET}L)"
+                f" * 1000000L) div greatest((total_tokens + {PACK_BUDGET}L - 1L)"
+                f" div {PACK_BUDGET}L, 1L)"
+            ).alias("overhead_ppm"),
+            "trunc_tokens",
+            F.expr("(trunc_tokens * 1000000L) div greatest(total_tokens, 1L)").alias(
+                "trunc_ppm"
+            ),
+            "pad_tokens",
+            F.expr(f"(pad_tokens * 1000000L) div (n_packs * {PACK_BUDGET}L)").alias(
+                "pad_ppm"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE["packing_efficiency"] = f"""
+WITH toks AS (
+    SELECT {_duck_bucket('doc_id')} % {PACK_SHARDS} AS shard, doc_id,
+           len(list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 0)) AS n_tok
+    FROM documents
+),
+packed AS (
+    SELECT shard, doc_id, n_tok,
+           sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM toks
+),
+packs AS (
+    SELECT shard, (cum - n_tok) // {PACK_BUDGET} AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY 1, 2
+),
+agg AS (
+    SELECT shard,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           count(*) AS n_packs,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(greatest(pack_tokens - {PACK_BUDGET}, 0)) AS BIGINT) AS trunc_tokens,
+           CAST(sum(greatest({PACK_BUDGET} - pack_tokens, 0)) AS BIGINT) AS pad_tokens
+    FROM packs GROUP BY shard
+)
+SELECT shard, n_docs, n_packs, total_tokens,
+       CAST((total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS BIGINT) AS lb_packs,
+       CAST(((n_packs - (total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET}) * 1000000)
+            // greatest((total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET}, 1)
+            AS BIGINT) AS overhead_ppm,
+       trunc_tokens,
+       CAST((trunc_tokens * 1000000) // greatest(total_tokens, 1) AS BIGINT) AS trunc_ppm,
+       pad_tokens,
+       CAST((pad_tokens * 1000000) // (n_packs * {PACK_BUDGET}) AS BIGINT) AS pad_ppm
+FROM agg
+ORDER BY shard
+"""
+
+
 # ------------------------------------------------------------------ D21
 DECON_N = 5  # n-gram size; eval membership: doc_id % DECON_MOD == 0
 DECON_MOD = 97
@@ -1005,6 +1122,7 @@ QUERIES = {
     "quality_weighted_sample": quality_weighted_sample,
     "sample_k_per_group": sample_k_per_group,
     "seq_packing": seq_packing,
+    "packing_efficiency": packing_efficiency,
     "decontaminate_ngrams": decontaminate_ngrams,
     "contamination_report": contamination_report,
     "doc_chunking": doc_chunking,

@@ -732,8 +732,106 @@ ORDER BY h1.doc_id
 """
 
 
+# ----------------------------------------------------------------- D60
+PMI_TOP_V = 40  # vocabulary cap: pairs bounded by C(40,2) = 780
+
+
+def term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term co-occurrence at the
+    DOCUMENT level (Church & Hanks 1990), over the PMI_TOP_V highest-df
+    terms: pmi(x,y) = ln(N·df_xy / (df_x·df_y)). Positive = the pair
+    collocates (phrases, topical pairs — boilerplate shows up as a
+    block of saturated-PMI pairs); negative = the terms repel
+    (near-perfect complementary distribution is a template/source
+    signature). The standard corpus-association report.
+
+    Scale: the vocabulary cap is what bounds it — per doc the pair
+    join sees at most PMI_TOP_V rows, so the pair frame is
+    O(docs·C(V,2)/N_distinct) and the output ≤ C(V,2) rows regardless
+    of corpus size; the cap frame itself is V rows (fixed, like
+    region/nation) so its semi-joins may broadcast. ln parity via the
+    house DECIMAL(28,12) quantization of one IEEE-identical ratio.
+    """
+    docs = table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"))
+        .distinct()
+    )
+    top = (
+        dt.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(PMI_TOP_V)
+    )
+    filt = dt.join(F.broadcast(top), "term")  # V-row frame: bounded hint
+    pairs = (
+        filt.alias("a")
+        .join(filt.alias("b"), "doc_id")
+        .where(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("t1"),
+            F.col("b.term").alias("t2"),
+            F.col("a.df").alias("df1"),
+            F.col("b.df").alias("df2"),
+        )
+        .agg(F.count(F.lit(1)).alias("df_pair"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))  # 1-row aggregate attach
+        .select(
+            "t1",
+            "t2",
+            "df_pair",
+            "df1",
+            "df2",
+            "n_docs",
+            F.floor(
+                F.log(
+                    (F.col("df_pair") * F.col("n_docs")).cast("double")
+                    / (F.col("df1") * F.col("df2")).cast("double")
+                ).cast("decimal(28,12)").cast("double")
+                * 1000000
+            ).alias("pmi_e6"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+ORACLE["term_pmi"] = f"""
+WITH dt AS (
+    SELECT DISTINCT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+),
+top AS (
+    SELECT term, count(*) AS df FROM dt GROUP BY term
+    ORDER BY df DESC, term ASC LIMIT {PMI_TOP_V}
+),
+filt AS (
+    SELECT dt.doc_id, dt.term, top.df FROM dt JOIN top USING (term)
+),
+pairs AS (
+    SELECT a.term AS t1, b.term AS t2, a.df AS df1, b.df AS df2,
+           count(*) AS df_pair
+    FROM filt a JOIN filt b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2, 3, 4
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT t1, t2,
+       CAST(df_pair AS BIGINT) AS df_pair,
+       CAST(df1 AS BIGINT) AS df1,
+       CAST(df2 AS BIGINT) AS df2,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(floor(CAST(CAST(ln(CAST(df_pair * n_docs AS DOUBLE)
+                            / CAST(df1 * df2 AS DOUBLE)) AS DECIMAL(28,12))
+                       AS DOUBLE) * 1000000) AS BIGINT) AS pmi_e6
+FROM pairs CROSS JOIN n
+ORDER BY t1, t2
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
+    "term_pmi": term_pmi,
     "bm25_search": bm25_search,
     "doc_unigram_logprob": doc_unigram_logprob,
     "doc_bigram_surprisal": doc_bigram_surprisal,

@@ -403,3 +403,112 @@ def test_tokenizer_fertility_hand_counts(spark, tmp_path):
     assert r["chars"] == chars
     assert r["tok_per_word_ppm"] == bpe * 1_000_000 // words
     assert r["tok_per_char_ppm"] == bpe * 1_000_000 // chars
+
+
+# --------------------------------------------------- packing_efficiency
+def test_packing_efficiency_python_reference(spark, tmp_path):
+    """Docs sized to force overflow (one 3000-token doc overflows the
+    2048 budget) and underfill, then the whole shard→cumsum→chunk→
+    report pipeline recomputed in python."""
+    import hashlib
+
+    from grapefruit_spark.operators.datapipe import PACK_BUDGET, PACK_SHARDS
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    sizes = {1: 3000, 2: 1000, 3: 700, 4: 2048, 5: 10, 6: 1500, 7: 600,
+             8: 2200, 9: 5, 10: 1025}
+    docs = [(i, "w " * n, "web") for i, n in sizes.items()]
+    docs = [(i, t.rstrip(), s) for i, t, s in docs]
+    _write_docs(tmp_path, docs)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    assert_matches_oracle(
+        queries["packing_efficiency"](spark, str(tmp_path)),
+        con,
+        oracles["packing_efficiency"],
+    )
+    # python reference
+    shards: dict[int, list[tuple[int, int]]] = {}
+    for i, n in sizes.items():
+        shards.setdefault(bucket(i) % PACK_SHARDS, []).append((i, n))
+    expect = {}
+    for sh, members in shards.items():
+        members.sort()
+        packs: dict[int, int] = {}
+        cum = 0
+        for _, n in members:
+            pid = cum // PACK_BUDGET
+            packs[pid] = packs.get(pid, 0) + n
+            cum += n
+        total = sum(packs.values())
+        n_packs = len(packs)
+        lb = -(-total // PACK_BUDGET)
+        expect[sh] = {
+            "n_docs": len(members),
+            "n_packs": n_packs,
+            "total_tokens": total,
+            "lb_packs": lb,
+            "overhead_ppm": (n_packs - lb) * 1_000_000 // max(lb, 1),
+            "trunc_tokens": sum(max(p - PACK_BUDGET, 0) for p in packs.values()),
+            "pad_tokens": sum(max(PACK_BUDGET - p, 0) for p in packs.values()),
+        }
+        expect[sh]["trunc_ppm"] = (
+            expect[sh]["trunc_tokens"] * 1_000_000 // max(total, 1)
+        )
+        expect[sh]["pad_ppm"] = (
+            expect[sh]["pad_tokens"] * 1_000_000 // (n_packs * PACK_BUDGET)
+        )
+    rows = {
+        r["shard"]: r
+        for r in queries["packing_efficiency"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == set(expect)
+    for sh, e in expect.items():
+        for k, v in e.items():
+            assert rows[sh][k] == v, (sh, k, rows[sh][k], v)
+    # the planted overflow doc must actually produce truncation mass
+    assert sum(e["trunc_tokens"] for e in expect.values()) > 0
+
+
+# ------------------------------------------------------------- term_pmi
+def test_term_pmi_collocation_and_repulsion(spark, tmp_path):
+    """A planted perfect collocation (alpha+beta always together), a
+    perfect repulsion (alpha vs gamma never co-occur -> pair absent),
+    and an independent pair, with hand-computed PMI."""
+    import math
+
+    docs = []
+    # 10 docs with alpha beta (collocated), 10 with gamma delta,
+    # 5 with alpha delta (partial overlap)
+    for i in range(1, 11):
+        docs.append((i, "alpha beta filler%d" % i, "web"))
+    for i in range(11, 21):
+        docs.append((i, "gamma delta filler%d" % i, "web"))
+    for i in range(21, 26):
+        docs.append((i, "alpha delta filler%d" % i, "web"))
+    _write_docs(tmp_path, docs)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    assert_matches_oracle(
+        queries["term_pmi"](spark, str(tmp_path)), con, oracles["term_pmi"]
+    )
+    rows = {
+        (r["t1"], r["t2"]): r
+        for r in queries["term_pmi"](spark, str(tmp_path)).collect()
+    }
+    n = len(docs)  # 25
+
+    # alpha: 15 docs, beta: 10, gamma: 10, delta: 15
+    r = rows[("alpha", "beta")]
+    assert (r["df_pair"], r["df1"], r["df2"]) == (10, 15, 10)
+    assert r["pmi_e6"] == math.floor(round(math.log(10 * n / (15 * 10)), 12) * 1e6)
+    r = rows[("alpha", "delta")]
+    assert (r["df_pair"], r["df1"], r["df2"]) == (5, 15, 15)
+    # 5*25/(15*15) < 1 -> negative PMI
+    assert r["pmi_e6"] < 0
+    r = rows[("delta", "gamma")]
+    assert (r["df_pair"], r["df1"], r["df2"]) == (10, 15, 10)
+    # perfect repulsion: alpha & gamma never co-occur -> pair absent
+    assert ("alpha", "gamma") not in rows

@@ -82,6 +82,10 @@ RICH_QUERIES = [
     # langs/sources give non-trivial group structure)
     ("text", "quality_gopher_rules"),
     ("text", "tokenizer_fertility"),
+    # Zipf lengths exercise the overflow/underfill packing branches;
+    # the long-tail vocab makes the PMI top-V cut non-trivial
+    ("datapipe", "packing_efficiency"),
+    ("search", "term_pmi"),
 ]
 
 
