@@ -166,6 +166,8 @@ HEADLINE = [
     # document-level PMI over the capped top-V vocabulary
     "packing_efficiency",
     "term_pmi",
+    # temperature-scaled language sampling (narrow filter, no shuffle)
+    "sample_temperature",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

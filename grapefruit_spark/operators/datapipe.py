@@ -1065,6 +1065,107 @@ ORDER BY d.source
 """
 
 
+# ----------------------------------------------------------------- D61
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (Conneau & Lample 2019;
+    XLM-R / mT5 α-sampling, α = 0.5): target share p_i ∝ n_i^α flattens
+    the language distribution so high-resource languages stop drowning
+    the tail. Downsample-only realization: per-language keep rate
+    min(1, p_i·N / n_i) applied as a deterministic md5-threshold filter
+    (languages above their temperature share shrink, the tail keeps
+    rate 1 — upsampling is the loader's job, not the filter's).
+
+    Cross-engine exactness: the α-weight is q_i = floor(√n_i · 10⁶)
+    (sqrt is IEEE-correctly-rounded in both engines, the floor pins the
+    one remaining ulp), Q = Σq_i sums exact bigints, shares emit as
+    integer ppm, and only the keep threshold is a double chain —
+    mirrored operation-for-operation in the oracle. Shape: one tiny
+    language groupBy broadcast back, then a narrow filter — the corpus
+    itself never shuffles (domain_mix_sample's shape, temperature
+    weights instead of uniform).
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = counts.agg(
+        F.sum("n_lang").alias("n_total"),
+        F.sum(F.floor(F.sqrt(F.col("n_lang").cast("double")) * 1000000).cast("bigint")).alias(
+            "q_total"
+        ),
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        "lang",
+        "n_lang",
+        "n_total",
+        F.floor(F.sqrt(F.col("n_lang").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("q_weight"),
+        "q_total",
+    )
+    rates = rates.select(
+        "lang",
+        "n_lang",
+        F.expr("(q_weight * 1000000L) div q_total").alias("share_ppm"),
+        F.expr("(n_lang * 1000000L) div n_total").alias("natural_ppm"),
+        F.least(
+            F.lit(_U32).cast("bigint"),
+            F.floor(
+                F.col("q_weight").cast("double")
+                * F.col("n_total").cast("double")
+                / (F.col("q_total").cast("double") * F.col("n_lang").cast("double"))
+                * _U32
+            ).cast("bigint"),
+        ).alias("thresh"),
+    )
+    kept = docs.join(F.broadcast(rates), "lang").where(
+        _bucket(F.col("doc_id")) < F.col("thresh")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc_id"))
+        .join(rates, "lang")
+        .select(
+            "lang", "n_lang", "share_ppm", "natural_ppm", "thresh",
+            "n_kept", "min_doc_id",
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["sample_temperature"] = f"""
+WITH counts AS (
+    SELECT lang, count(*) AS n_lang,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS q_weight
+    FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+           CAST(sum(q_weight) AS BIGINT) AS q_total
+    FROM counts
+),
+rates AS (
+    SELECT lang, n_lang,
+           CAST((q_weight * 1000000) // q_total AS BIGINT) AS share_ppm,
+           CAST((n_lang * 1000000) // n_total AS BIGINT) AS natural_ppm,
+           least(CAST({_U32} AS BIGINT),
+                 CAST(floor(CAST(q_weight AS DOUBLE) * CAST(n_total AS DOUBLE)
+                            / (CAST(q_total AS DOUBLE) * CAST(n_lang AS DOUBLE))
+                            * {_U32}) AS BIGINT)) AS thresh
+    FROM counts CROSS JOIN tot
+)
+SELECT d.lang,
+       any_value(r.n_lang) AS n_lang,
+       any_value(r.share_ppm) AS share_ppm,
+       any_value(r.natural_ppm) AS natural_ppm,
+       any_value(r.thresh) AS thresh,
+       count(*) AS n_kept,
+       min(d.doc_id) AS min_doc_id
+FROM documents d JOIN rates r USING (lang)
+WHERE {_duck_bucket('d.doc_id')} < r.thresh
+GROUP BY 1
+ORDER BY d.lang
+"""
+
+
 def write_layout_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible clustered-layout round trip (E7/E8): write the
     orders table in sorted layout (range-partitioned on o_orderdate) and
@@ -1123,6 +1224,7 @@ QUERIES = {
     "sample_k_per_group": sample_k_per_group,
     "seq_packing": seq_packing,
     "packing_efficiency": packing_efficiency,
+    "sample_temperature": sample_temperature,
     "decontaminate_ngrams": decontaminate_ngrams,
     "contamination_report": contamination_report,
     "doc_chunking": doc_chunking,

@@ -512,3 +512,66 @@ def test_term_pmi_collocation_and_repulsion(spark, tmp_path):
     assert (r["df_pair"], r["df1"], r["df2"]) == (10, 15, 10)
     # perfect repulsion: alpha & gamma never co-occur -> pair absent
     assert ("alpha", "gamma") not in rows
+
+
+# ----------------------------------------------------- sample_temperature
+def test_sample_temperature_flattens_skew(spark, tmp_path):
+    """900/90/10 language skew: the head language must downsample, the
+    tail must keep rate 1 (thresh saturates at 2^32), and every kept
+    count must match the md5-threshold python reference exactly."""
+    import hashlib
+    import math
+
+    langs = [("en", 900), ("fr", 90), ("de", 10)]
+    docs, rows_by_lang = [], {}
+    i = 0
+    for lang, n in langs:
+        for _ in range(n):
+            i += 1
+            docs.append((i, f"text {i}", lang))
+            rows_by_lang.setdefault(lang, []).append(i)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs]),
+                "lang": pa.array([r[2] for r in docs]),
+                "source": pa.array(["web"] * len(docs)),
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    assert_matches_oracle(
+        queries["sample_temperature"](spark, str(tmp_path)),
+        con,
+        oracles["sample_temperature"],
+    )
+    got = {
+        r["lang"]: r
+        for r in queries["sample_temperature"](spark, str(tmp_path)).collect()
+    }
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    q = {lang: math.floor(math.sqrt(n) * 1e6) for lang, n in langs}
+    Q, N = sum(q.values()), sum(n for _, n in langs)
+    for lang, n in langs:
+        r = got[lang]
+        assert r["n_lang"] == n
+        assert r["share_ppm"] == q[lang] * 1_000_000 // Q
+        assert r["natural_ppm"] == n * 1_000_000 // N
+        thresh = min(2**32, math.floor(q[lang] * N / (Q * n) * 2**32))
+        assert r["thresh"] == thresh
+        kept = [d for d in rows_by_lang[lang] if bucket(d) < thresh]
+        assert r["n_kept"] == len(kept)
+        assert r["min_doc_id"] == min(kept)
+    # the skew direction itself: head downsampled, tail saturated
+    assert got["en"]["thresh"] < 2**32 and got["en"]["n_kept"] < 900
+    assert got["de"]["thresh"] == 2**32 and got["de"]["n_kept"] == 10
+    # temperature moves every share toward the middle
+    assert got["en"]["share_ppm"] < got["en"]["natural_ppm"]
+    assert got["de"]["share_ppm"] > got["de"]["natural_ppm"]

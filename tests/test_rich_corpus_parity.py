@@ -86,6 +86,8 @@ RICH_QUERIES = [
     # the long-tail vocab makes the PMI top-V cut non-trivial
     ("datapipe", "packing_efficiency"),
     ("search", "term_pmi"),
+    # mixed-language corpus gives a real skew for the α=0.5 flattening
+    ("datapipe", "sample_temperature"),
 ]
 
 
