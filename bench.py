@@ -168,6 +168,8 @@ HEADLINE = [
     "term_pmi",
     # temperature-scaled language sampling (narrow filter, no shuffle)
     "sample_temperature",
+    # SQ8 scalar-quantized ANN (the 1-byte/dim memory tier)
+    "knn_sq8",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

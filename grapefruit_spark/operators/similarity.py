@@ -717,6 +717,127 @@ FROM agg
 """
 
 
+# ----------------------------------------------------------------- D62
+def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (the FAISS ScalarQuantizer tier): each
+    dimension min-max quantizes to an 8-bit code, search ranks by the
+    reconstructed squared L2 distance. THE memory tier for 100 TB ANN —
+    a float32 corpus drops 4× (1 byte/dim) before any IVF/LSH pruning,
+    and the code matrix is what you actually hold in executor memory.
+
+    Cross-engine exactness: after quantization EVERYTHING is integer —
+    code ∈ [0,255] (the only double chain is the mirrored
+    ((x−min)·255)/range floor), per-dim weight w = floor(range·10⁶/255)
+    (the dequantization step size ×10⁶), and the ranked distance is
+    Σ(w·Δcode)² in exact bigints: no rounding step, no tie ambiguity —
+    (dist, neighbor_id) is a total order.
+
+    Plan: one bounded 64-row stats collect at build time (per-dim
+    min/max — this builder is EAGER, like pagerank's edge count), then
+    ONE Arrow mapInPandas pass doing partition-local integer top-k
+    against the 8 broadcast query codes; the global merge ranks only
+    partitions×Q×k finalists (knn_topk_partitioned's REPOSE shape).
+    Dirty corpora (nulls, mixed dims, NaN) are embedding_qc's job
+    upstream; this op assumes its gate passed.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    stats_rows = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .select("dim", F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    mins = np.array([r["mn"] for r in stats_rows], dtype=np.float64)
+    rngs = np.array([r["mx"] - r["mn"] for r in stats_rows], dtype=np.float64)
+    w = np.floor(rngs * 1e6 / 255.0).astype(np.int64)
+
+    def quantize(mat: np.ndarray) -> np.ndarray:
+        scaled = np.divide(
+            (mat - mins) * 255.0,
+            rngs,
+            out=np.zeros_like(mat),
+            where=rngs != 0,
+        )
+        return np.clip(np.floor(scaled), 0, 255).astype(np.int64)
+
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_codes = quantize(np.array([r["embedding"] for r in qrows], dtype=np.float64))
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq = spark.sparkContext.broadcast(q_codes * w)  # dequant-scaled, int64
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            a = quantize(np.array(list(pdf["embedding"]), dtype=np.float64)) * w
+            for qi, qid in enumerate(bq_ids.value):
+                diff = a - bq.value[qi][None, :]
+                dist = (diff * diff).sum(axis=1)
+                keep = ids != qid
+                cand_ids, cand_dist = ids[keep], dist[keep]
+                if not len(cand_ids):
+                    continue
+                # (dist, id) is a TOTAL order — top-k per partition is
+                # exact, no tie finalist slack needed
+                top = np.lexsort((cand_ids, cand_dist))[:TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[top],
+                        "dist_q": cand_dist[top],
+                    }
+                )
+
+    local = emb.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, dist_q long"
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "dist_q", "rank")
+    )
+
+
+ORACLE["knn_sq8"] = f"""
+WITH elems AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+stats AS (
+    SELECT dim, min(x) AS mn, max(x) - min(x) AS rng FROM elems GROUP BY dim
+),
+codes AS (
+    SELECT e.vec_id, e.dim,
+           CAST(floor(s.rng * 1000000 / 255.0) AS BIGINT)
+             * least(greatest(CAST(floor(
+                   CASE WHEN s.rng = 0 THEN 0
+                        ELSE ((e.x - s.mn) * 255.0) / s.rng END) AS BIGINT),
+                 0), 255) AS a
+    FROM elems e JOIN stats s USING (dim)
+),
+dist AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(sum((q.a - c.a) * (q.a - c.a)) AS BIGINT) AS dist_q
+    FROM codes q
+    JOIN codes c ON q.dim = c.dim AND c.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, dist_q, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist_q ASC, neighbor_id ASC) AS rank
+    FROM dist
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 # ----------------------------------------------------------------- D56
 def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table QC report (r10): the gate an ANN/semantic-dedup
@@ -851,4 +972,5 @@ QUERIES = {
     "embedding_neardup": embedding_neardup,
     "embedding_drift_aa": embedding_drift_aa,
     "embedding_qc": embedding_qc,
+    "knn_sq8": knn_sq8,
 }

@@ -575,3 +575,65 @@ def test_sample_temperature_flattens_skew(spark, tmp_path):
     # temperature moves every share toward the middle
     assert got["en"]["share_ppm"] < got["en"]["natural_ppm"]
     assert got["de"]["share_ppm"] > got["de"]["natural_ppm"]
+
+
+# -------------------------------------------------------------- knn_sq8
+def test_knn_sq8_quantization_reference(spark, tmp_path):
+    """Planted 3-cluster corpus with (a) a CONSTANT dimension — its
+    range is 0 so it must contribute nothing, (b) exact duplicate
+    vectors — integer distance ties broken by neighbor_id, (c) cluster
+    separation wide enough that SQ8 must recover the exact-cluster
+    neighbors. Full python reference of the quantize→weight→rank chain."""
+    import math
+
+    import numpy as np
+
+    from grapefruit_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rng_centers = {0: 0.0, 1: 10.0, 2: -10.0}
+    vecs = []
+    for i in range(36):
+        c = rng_centers[i % 3]
+        # dim0: cluster center + small id-dependent offset; dim1:
+        # CONSTANT (zero range); dim2: duplicate-heavy (i//12)
+        vecs.append((i, [c + 0.01 * (i // 3), 7.5, float(i // 12)]))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array(
+                    [v[1] for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["embeddings"])
+    assert_matches_oracle(
+        queries["knn_sq8"](spark, str(tmp_path)), con, oracles["knn_sq8"]
+    )
+    # python reference (float32 → float64, the operator's exact chain)
+    mat = np.array([v[1] for v in vecs], dtype=np.float32).astype(np.float64)
+    mins, maxs = mat.min(axis=0), mat.max(axis=0)
+    rngs = maxs - mins
+    w = np.floor(rngs * 1e6 / 255.0).astype(np.int64)
+    scaled = np.divide(
+        (mat - mins) * 255.0, rngs, out=np.zeros_like(mat), where=rngs != 0
+    )
+    a = np.clip(np.floor(scaled), 0, 255).astype(np.int64) * w
+    got = {}
+    for r in queries["knn_sq8"](spark, str(tmp_path)).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["dist_q"])
+        )
+    assert set(got) == set(range(N_QUERIES))
+    for qid in range(N_QUERIES):
+        dists = ((a - a[qid][None, :]) ** 2).sum(axis=1)
+        order = sorted(
+            (int(d), i) for i, d in enumerate(dists) if i != qid
+        )[:TOP_K]
+        expect = [(rk + 1, nid, d) for rk, (d, nid) in enumerate(order)]
+        assert sorted(got[qid]) == expect, qid
+    # the constant dimension must be weightless (zero range -> w = 0)
+    assert w[1] == 0
