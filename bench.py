@@ -168,8 +168,10 @@ HEADLINE = [
     "term_pmi",
     # temperature-scaled language sampling (narrow filter, no shuffle)
     "sample_temperature",
-    # SQ8 scalar-quantized ANN (the 1-byte/dim memory tier)
+    # SQ8 scalar-quantized ANN (the 1-byte/dim memory tier) + its row
+    # in the ANN recall QA matrix
     "knn_sq8",
+    "knn_sq_recall_eval",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -838,6 +838,53 @@ WHERE rank <= {TOP_K}
 """
 
 
+def knn_sq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the SQ8 quantized index vs the exact cosine top-k —
+    the third row of the ANN QA matrix (LSH: knn_recall_eval, IVF:
+    knn_ivf_recall_eval). SQ8's error is QUANTIZATION error (distance
+    distortion), not candidate pruning, so its recall curve answers a
+    different production question: is 1 byte/dim still faithful enough
+    on this corpus' value ranges? Same integer-ppm contract, same
+    k·|queries|-row plan, composes two already-verified oracles."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        knn_sq8(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.expr("(n_hit * 1000000L) div k").alias("recall_ppm"),
+        )
+    )
+
+
+ORACLE["knn_sq_recall_eval"] = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_bruteforce"]}) bf),
+approx AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_sq8"]}) sq),
+j AS (
+    SELECT e.query_id,
+           CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       count(*)::BIGINT AS k,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY query_id
+"""
+
+
 # ----------------------------------------------------------------- D56
 def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table QC report (r10): the gate an ANN/semantic-dedup
@@ -973,4 +1020,5 @@ QUERIES = {
     "embedding_drift_aa": embedding_drift_aa,
     "embedding_qc": embedding_qc,
     "knn_sq8": knn_sq8,
+    "knn_sq_recall_eval": knn_sq_recall_eval,
 }

@@ -637,3 +637,32 @@ def test_knn_sq8_quantization_reference(spark, tmp_path):
         assert sorted(got[qid]) == expect, qid
     # the constant dimension must be weightless (zero range -> w = 0)
     assert w[1] == 0
+
+
+def test_sq_recall_matches_set_overlap(spark):
+    """n_hit must equal the literal set overlap of the two composed
+    (already driver-verified) queries — the same contract the LSH and
+    IVF twins pin. SQ8's gap vs exact is quantization distortion plus
+    the L2-vs-cosine metric change on unnormalized vectors, so recall
+    may be well below 1 — the REPORT must still be exact."""
+    from grapefruit_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_sq8,
+        knn_sq_recall_eval,
+    )
+
+    from .conftest import SF_DIR
+
+    exact: dict[int, set] = {}
+    for r in knn_bruteforce(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict[int, set] = {}
+    for r in knn_sq8(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {r["query_id"]: r for r in knn_sq_recall_eval(spark, SF_DIR).collect()}
+    assert set(got) == set(exact)
+    for qid, ex in exact.items():
+        hits = len(ex & approx.get(qid, set()))
+        assert got[qid]["n_hit"] == hits
+        assert got[qid]["k"] == len(ex)
+        assert got[qid]["recall_ppm"] == hits * 1_000_000 // len(ex)
