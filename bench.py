@@ -172,6 +172,8 @@ HEADLINE = [
     # in the ANN recall QA matrix
     "knn_sq8",
     "knn_sq_recall_eval",
+    # Heaps-law vocabulary growth over md5-decile prefixes
+    "vocab_growth",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -471,8 +471,112 @@ ORDER BY lang, source
 """
 
 
+# ----------------------------------------------------------------- D63
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct types vs
+    cumulative tokens over ten deterministic md5-decile corpus prefixes
+    (a hash decile IS a uniform random sample, which is the
+    statistically right way to measure type growth — ingestion order
+    would confound it with source ordering). A corpus whose curve
+    flattens early is boilerplate/duplication-heavy; one that keeps
+    climbing is genuinely diverse — the single-plot summary dedup and
+    mixture decisions get judged against (Heaps 1978).
+
+    Scale: the corpus collapses to ONE (term → min-decile, count)
+    aggregate plus a per-decile doc/token rollup; the cumulative window
+    runs over exactly 10 rows. No corpus-wide window, no distinct over
+    raw tokens in the cumsum — vocab_cum(d) = Σ new_terms(≤d) because a
+    type's first decile is unique. All-integer emission.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    dec = F.expr(
+        "(cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)"
+        " AS bigint) * 10L) div 4294967296L"
+    )
+    toks = docs.select(
+        dec.alias("decile"),
+        F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    new_terms = (
+        toks.groupBy("term")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    per_dec = docs.select(
+        dec.alias("decile"),
+        F.size(ws_tokens(F.lower(F.col("text")))).cast("bigint").alias("n_tok"),
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_dec.join(new_terms, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_terms", F.lit(0)).cast("bigint").alias("new_terms"),
+        )
+        .withColumn("docs_cum", F.sum("n_docs").over(w))
+        .withColumn("tokens_cum", F.sum("n_tokens").over(w))
+        .withColumn("vocab_cum", F.sum("new_terms").over(w))
+        .select(
+            "decile", "n_docs", "n_tokens", "new_terms",
+            "docs_cum", "tokens_cum", "vocab_cum",
+            F.expr("(vocab_cum * 1000000L) div greatest(tokens_cum, 1L)").alias(
+                "type_token_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE["vocab_growth"] = f"""
+WITH docs_d AS (
+    SELECT doc_id, text,
+           (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            * 10) // 4294967296 AS decile
+    FROM documents
+),
+toks AS (
+    SELECT decile, unnest({_DUCK_TOKENS}) AS term FROM docs_d
+),
+new_terms AS (
+    SELECT decile, count(*) AS new_terms FROM (
+        SELECT term, min(decile) AS decile FROM toks GROUP BY term
+    ) GROUP BY decile
+),
+per_dec AS (
+    SELECT decile, count(*) AS n_docs,
+           CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
+    FROM docs_d GROUP BY decile
+),
+base AS (
+    SELECT p.decile, p.n_docs, p.n_tokens,
+           CAST(coalesce(n.new_terms, 0) AS BIGINT) AS new_terms
+    FROM per_dec p LEFT JOIN new_terms n USING (decile)
+),
+cum AS (
+    SELECT *,
+           CAST(sum(n_docs) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_cum,
+           CAST(sum(n_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+           CAST(sum(new_terms) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+    FROM base
+)
+SELECT decile, n_docs, n_tokens, new_terms, docs_cum, tokens_cum, vocab_cum,
+       CAST((vocab_cum * 1000000) // greatest(tokens_cum, 1) AS BIGINT) AS type_token_ppm
+FROM cum
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
+    "vocab_growth": vocab_growth,
     "doc_entropy": doc_entropy,
     "doc_quality": doc_quality,
     "quality_gopher_rules": quality_gopher_rules,

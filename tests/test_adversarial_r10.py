@@ -666,3 +666,64 @@ def test_sq_recall_matches_set_overlap(spark):
         assert got[qid]["n_hit"] == hits
         assert got[qid]["k"] == len(ex)
         assert got[qid]["recall_ppm"] == hits * 1_000_000 // len(ex)
+
+
+# --------------------------------------------------------- vocab_growth
+def test_vocab_growth_python_reference(spark, tmp_path):
+    """Duplicate-heavy corpus (half the docs repeat one boilerplate
+    line, half are unique-vocab) recomputed in python through the same
+    md5-decile → first-decile → cumsum chain; the curve must flatten
+    for boilerplate and every emitted integer must match."""
+    import hashlib
+
+    docs = []
+    for i in range(1, 81):
+        if i % 2 == 0:
+            text = "common boiler plate line here"
+        else:
+            text = " ".join(f"uniq{i}w{j}" for j in range(6))
+        docs.append((i, text, "web"))
+    _write_docs(tmp_path, docs)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    assert_matches_oracle(
+        queries["vocab_growth"](spark, str(tmp_path)),
+        con,
+        oracles["vocab_growth"],
+    )
+
+    def decile(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return b * 10 // 4294967296
+
+    first, per = {}, {}
+    for i, text, _ in docs:
+        d = decile(i)
+        toks = text.lower().split()
+        st = per.setdefault(d, {"n_docs": 0, "n_tokens": 0})
+        st["n_docs"] += 1
+        st["n_tokens"] += len(toks)
+        for t in toks:
+            first[t] = min(first.get(t, 99), d)
+    new_terms = {}
+    for t, d in first.items():
+        new_terms[d] = new_terms.get(d, 0) + 1
+    rows = queries["vocab_growth"](spark, str(tmp_path)).collect()
+    docs_c = tok_c = voc_c = 0
+    assert [r["decile"] for r in rows] == sorted(per)
+    for r in rows:
+        d = r["decile"]
+        docs_c += per[d]["n_docs"]
+        tok_c += per[d]["n_tokens"]
+        voc_c += new_terms.get(d, 0)
+        assert r["n_docs"] == per[d]["n_docs"]
+        assert r["n_tokens"] == per[d]["n_tokens"]
+        assert r["new_terms"] == new_terms.get(d, 0)
+        assert (r["docs_cum"], r["tokens_cum"], r["vocab_cum"]) == (
+            docs_c, tok_c, voc_c,
+        )
+        assert r["type_token_ppm"] == voc_c * 1_000_000 // max(tok_c, 1)
+    # boilerplate flattens the curve: the last decile's marginal
+    # type/token rate is far below the first's
+    f, l = rows[0], rows[-1]
+    assert l["new_terms"] * f["n_tokens"] < f["new_terms"] * l["n_tokens"]

@@ -88,6 +88,8 @@ RICH_QUERIES = [
     ("search", "term_pmi"),
     # mixed-language corpus gives a real skew for the α=0.5 flattening
     ("datapipe", "sample_temperature"),
+    # the Zipf tail is exactly what a Heaps curve measures
+    ("text", "vocab_growth"),
 ]
 
 
