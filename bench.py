@@ -174,6 +174,9 @@ HEADLINE = [
     "knn_sq_recall_eval",
     # Heaps-law vocabulary growth over md5-decile prefixes
     "vocab_growth",
+    # activity-concentration deciles + cross-source vocab overlap
+    "events_pareto_share",
+    "source_overlap_jaccard",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

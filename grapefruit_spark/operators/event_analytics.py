@@ -1234,6 +1234,78 @@ def stream_markov_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["stream_markov_sim"] = ORACLE["events_markov_transitions"]
 
 
+# ----------------------------------------------------------------- C34
+def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-concentration (Pareto) report: users ranked by event
+    count, bucketed into activity deciles (ntile over the per-user
+    frame), each decile's share of total event volume and the running
+    cumulative share in ppm. "Decile 1 owns 62% of traffic" is the
+    skew number capacity planning, bot triage, and per-key salting
+    decisions all start from — the 80/20 check as one 10-row frame.
+
+    Scale: events collapse to a per-user count first (map-side combined
+    — the only full-data pass), so the ranking window runs over |users|
+    rows, orders of magnitude below |events|; the decile rollup and the
+    10-row cumsum are negligible. Tie order inside ntile is pinned by
+    (n_events DESC, user_id ASC) — a total order, so bucket boundaries
+    are deterministic in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ranked = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("n_events"), F.asc("user_id"))),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.withColumn("events_cum", F.sum("n_events").over(w))
+        .crossJoin(
+            F.broadcast(dec.agg(F.sum("n_events").alias("total_events")))
+        )
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.expr("(n_events * 1000000L) div total_events").alias("share_ppm"),
+            F.expr("(events_cum * 1000000L) div total_events").alias(
+                "share_cum_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE["events_pareto_share"] = """
+WITH per_user AS (
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT n_events,
+           ntile(10) OVER (ORDER BY n_events DESC, user_id ASC) AS decile
+    FROM per_user
+),
+dec AS (
+    SELECT decile, count(*) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM ranked GROUP BY decile
+)
+SELECT decile, n_users, n_events,
+       CAST((n_events * 1000000) // (SELECT sum(n_events) FROM dec) AS BIGINT)
+           AS share_ppm,
+       CAST((sum(n_events) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             * 1000000) // (SELECT sum(n_events) FROM dec) AS BIGINT)
+           AS share_cum_ppm
+FROM dec
+ORDER BY decile
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "stream_markov_sim": stream_markov_sim,
@@ -1254,4 +1326,5 @@ QUERIES = {
     "events_retention": events_retention,
     "events_heavy_hitters": events_heavy_hitters,
     "events_histogram": events_histogram,
+    "events_pareto_share": events_pareto_share,
 }

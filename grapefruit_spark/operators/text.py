@@ -574,9 +574,94 @@ ORDER BY decile
 """
 
 
+# ----------------------------------------------------------------- D64
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap: Jaccard similarity of the
+    distinct-term sets of every source pair, in integer ppm. Two
+    "different" domains sharing 90% of their vocabulary are one mirror
+    wearing two names (route them to near-dup, not the mixture
+    weights); near-zero overlap flags a language or template boundary.
+    The |sources|² matrix is the input to source-level mixture and
+    dedup-scope decisions.
+
+    Scale: the corpus collapses to a distinct (source, term) posting
+    frame once; the pair join is per-TERM (each term contributes
+    C(sources_containing_it, 2) rows — bounded by the SOURCE count
+    squared, never by corpus size), then one |pairs|-row aggregate.
+    Set sizes join back from a |sources|-row frame (bounded → may
+    broadcast, like region/nation).
+    """
+    docs = table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_terms"))
+    inter = (
+        st.alias("a")
+        .join(st.alias("b"), "term")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n_terms").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n_terms").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "(n_common * 1000000L) div (n_a + n_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE["source_overlap_jaccard"] = f"""
+WITH st AS (
+    SELECT DISTINCT source, unnest({_DUCK_TOKENS}) AS term
+    FROM documents
+),
+sizes AS (
+    SELECT source, count(*) AS n_terms FROM st GROUP BY source
+),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_common
+    FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(sa.n_terms AS BIGINT) AS n_a,
+       CAST(sb.n_terms AS BIGINT) AS n_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST((i.n_common * 1000000)
+            // (sa.n_terms + sb.n_terms - i.n_common) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY i.source_a, i.source_b
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "vocab_growth": vocab_growth,
+    "source_overlap_jaccard": source_overlap_jaccard,
     "doc_entropy": doc_entropy,
     "doc_quality": doc_quality,
     "quality_gopher_rules": quality_gopher_rules,

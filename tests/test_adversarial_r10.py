@@ -727,3 +727,91 @@ def test_vocab_growth_python_reference(spark, tmp_path):
     # type/token rate is far below the first's
     f, l = rows[0], rows[-1]
     assert l["new_terms"] * f["n_tokens"] < f["new_terms"] * l["n_tokens"]
+
+
+# ------------------------------------------------- events_pareto_share
+def test_pareto_share_planted_whale(spark, tmp_path):
+    """One whale user owns ~84% of events among 20 users — decile 1
+    must carry the whale's mass; the full ntile→rollup→cumsum chain is
+    recomputed in python (standard SQL ntile: big buckets first)."""
+    rows = []
+    eid = 0
+    counts = {1: 500} | {u: 5 for u in range(2, 21)}  # 500 + 19*5 = 595
+    for u, n in counts.items():
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, u))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(len(rows))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["events"])
+    assert_matches_oracle(
+        queries["events_pareto_share"](spark, str(tmp_path)),
+        con,
+        oracles["events_pareto_share"],
+    )
+    # python ntile(10) over (n_events desc, user_id asc): 20 users ->
+    # every decile gets exactly 2
+    users = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    per_dec = {}
+    for i, (u, n) in enumerate(users):
+        d = i // 2 + 1
+        st = per_dec.setdefault(d, [0, 0])
+        st[0] += 1
+        st[1] += n
+    total = sum(counts.values())
+    got = {
+        r["decile"]: r
+        for r in queries["events_pareto_share"](spark, str(tmp_path)).collect()
+    }
+    cum = 0
+    for d in sorted(per_dec):
+        cum += per_dec[d][1]
+        assert got[d]["n_users"] == per_dec[d][0]
+        assert got[d]["n_events"] == per_dec[d][1]
+        assert got[d]["share_ppm"] == per_dec[d][1] * 1_000_000 // total
+        assert got[d]["share_cum_ppm"] == cum * 1_000_000 // total
+    # the whale concentrates decile 1: 505/595 ≈ 84.9%
+    assert got[1]["share_ppm"] == 505 * 1_000_000 // 595
+
+
+# --------------------------------------------- source_overlap_jaccard
+def test_source_overlap_planted_sets(spark, tmp_path):
+    """Three sources with hand-built vocabularies: identical (J=1),
+    half-overlap (J=1/3), disjoint (J=0)."""
+    docs = [
+        (1, "aa bb cc dd", "mirror1"),
+        (2, "aa bb cc dd", "mirror2"),      # identical vocab to mirror1
+        (3, "aa bb xx yy", "partial"),      # 2 common / 6 union vs mirrors
+        (4, "pp qq rr ss", "disjoint"),     # no overlap with anyone
+    ]
+    _write_docs(tmp_path, docs)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    assert_matches_oracle(
+        queries["source_overlap_jaccard"](spark, str(tmp_path)),
+        con,
+        oracles["source_overlap_jaccard"],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in queries["source_overlap_jaccard"](spark, str(tmp_path)).collect()
+    }
+    assert got[("mirror1", "mirror2")]["jaccard_ppm"] == 1_000_000
+    assert got[("mirror1", "partial")]["jaccard_ppm"] == 2 * 1_000_000 // 6
+    # disjoint pairs never co-occur on a term -> absent from the matrix
+    assert not any("disjoint" in k for pair in got for k in pair)

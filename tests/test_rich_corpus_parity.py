@@ -90,6 +90,8 @@ RICH_QUERIES = [
     ("datapipe", "sample_temperature"),
     # the Zipf tail is exactly what a Heaps curve measures
     ("text", "vocab_growth"),
+    # mixed sources sharing a Zipf head give a dense overlap matrix
+    ("text", "source_overlap_jaccard"),
 ]
 
 

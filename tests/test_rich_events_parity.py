@@ -52,6 +52,9 @@ RICH_EVENT_QUERIES = [
     # r10: dwell-time stats per transition — the adversarial streams'
     # equal-timestamp ties exercise the (ts, event_id) ordering contract
     ("event_analytics", "events_transition_dwell"),
+    # r10 second wave: hostile streams carry real per-user skew, so the
+    # ntile tie contract (n_events DESC, user_id ASC) gets exercised
+    ("event_analytics", "events_pareto_share"),
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
