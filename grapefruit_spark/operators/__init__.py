@@ -94,6 +94,11 @@ _REPROVE_SINCE: dict[str, int] = {
     # re-proved at sf0.01 AND sf0.1 locally; front-loaded anyway per
     # the contract)
     "decontaminate_ngrams": 10,
+    # r11 (VERDICT_r10 order #1): events_pareto_share's unpartitioned
+    # global ntile(10) replaced by range-partitioned rank + partition-
+    # offset cumsum + ntile arithmetic — values identical (same oracle),
+    # plan changed; must re-earn a hash-green driver row.
+    "events_pareto_share": 11,
 }
 
 

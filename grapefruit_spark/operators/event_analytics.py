@@ -1244,19 +1244,66 @@ def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions all start from — the 80/20 check as one 10-row frame.
 
     Scale: events collapse to a per-user count first (map-side combined
-    — the only full-data pass), so the ranking window runs over |users|
-    rows, orders of magnitude below |events|; the decile rollup and the
-    10-row cumsum are negligible. Tie order inside ntile is pinned by
-    (n_events DESC, user_id ASC) — a total order, so bucket boundaries
-    are deterministic in both engines.
+    — the only full-data pass). The global ranking NEVER runs as an
+    unpartitioned window (that would sort all |users| rows — 10⁸–10⁹ at
+    100 TB — through ONE task): instead the per-user frame is range-
+    partitioned on the sort key, row_number runs per range partition
+    (each task sees ~|users|/P rows), and the exact global rank is
+    local rank + the partition's row offset — offsets come from an
+    O(P)-row per-partition count frame whose cumsum window is bounded
+    by config (shuffle partitions), not data. The decile is then pure
+    arithmetic on (rank, n_users) reproducing standard-SQL ntile(10)
+    exactly: the first (N mod 10) buckets take ceil(N/10) rows, the
+    rest floor(N/10). Tie order is pinned by (n_events DESC, user_id
+    ASC) — a total order, so bucket boundaries are deterministic in
+    both engines and invariant to where the range partitioner happens
+    to cut.
     """
     from pyspark.sql.window import Window
 
     ev = table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    ranked = per_user.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.desc("n_events"), F.asc("user_id"))),
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = per_user.repartitionByRange(
+        nparts, F.desc("n_events"), F.asc("user_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    # local rank: window keyed by _pid — every window group is ONE range
+    # partition, so no task ever sorts more than ~|users|/P rows
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    local = ranged.withColumn("_rn", F.row_number().over(w_local))
+    # partition offsets: O(P) rows — the ONLY unpartitioned window in
+    # this plan runs over that config-bounded frame, never over users
+    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    tot = per_user.agg(F.count(F.lit(1)).alias("_n_users"))
+    # ntile(10) reproduced arithmetically from the exact global rank:
+    # big buckets (size base+1) come first, one per remainder unit. The
+    # else-branch divisor is greatest(base,1) only to keep ANSI mode
+    # happy — when base=0 every rank falls in the when-branch.
+    ranked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_rank", F.col("_rn") + F.col("_off"))
+        .withColumn(
+            "decile",
+            F.when(
+                F.expr("_rank <= (_n_users % 10) * ((_n_users div 10) + 1)"),
+                F.expr("(_rank - 1) div ((_n_users div 10) + 1) + 1"),
+            )
+            .otherwise(
+                F.expr(
+                    "(_n_users % 10) + (_rank - (_n_users % 10)"
+                    " * ((_n_users div 10) + 1) - 1)"
+                    " div greatest(_n_users div 10, 1L) + 1"
+                )
+            )
+            .cast("int"),
+        )
     )
     dec = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -1,0 +1,122 @@
+"""Round-11 targeted adversarial cases.
+
+- events_pareto_share (rank-arithmetic rewrite): ties EXACTLY at decile
+  boundaries — where the range-partitioned-rank rewrite could diverge
+  from SQL ntile if the bucket arithmetic or the (n_events DESC,
+  user_id ASC) tie order were off by one. Covers N % 10 != 0 (the
+  big-bucket/small-bucket seam), N < 10 (base = 0, every bucket one
+  row), and an all-equal corpus (pure user_id tiebreak).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from .util import assert_matches_oracle
+
+sys.path.insert(0, "/root/repo")
+
+
+def _duck_for(d: str, tables: list[str]):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    return con
+
+
+def _entry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries(), entrymod.oracle_sql()
+
+
+def _write_events(d, counts: dict[int, int]) -> None:
+    rows = []
+    eid = 0
+    for u, n in counts.items():
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, u))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(len(rows))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+
+
+def _py_ntile_deciles(counts: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Standard-SQL ntile(10) over (n_events DESC, user_id ASC):
+    first (N mod 10) buckets take ceil(N/10) rows."""
+    users = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    n = len(users)
+    base, rem = divmod(n, 10)
+    per: dict[int, list[int]] = {}
+    for i, (_, cnt) in enumerate(users):
+        r = i + 1
+        if r <= rem * (base + 1):
+            d = (r - 1) // (base + 1) + 1
+        else:
+            d = rem + (r - rem * (base + 1) - 1) // max(base, 1) + 1
+        st = per.setdefault(d, [0, 0])
+        st[0] += 1
+        st[1] += cnt
+    return {d: (v[0], v[1]) for d, v in per.items()}
+
+
+@pytest.mark.parametrize(
+    "counts",
+    [
+        # 23 users, ALL tied at 7 events: pure user_id tiebreak; the
+        # big/small bucket seam falls inside the tie run (buckets 1-3
+        # take 3 users, 4-10 take 2)
+        {u: 7 for u in range(1, 24)},
+        # 34 users, ties planted EXACTLY across the rank-4 boundary
+        # where bucket sizes flip from 4 to 3 (rem = 4)
+        {u: (100 if u <= 2 else 50 if u <= 6 else 1) for u in range(1, 35)},
+        # N < 10: base = 0, deciles 1..7 get one user each, 8-10 empty
+        {u: 10 - u for u in range(1, 8)},
+        # one user: degenerate frame, single decile row
+        {1: 42},
+    ],
+    ids=["all-tied", "seam-tie", "under-ten", "single-user"],
+)
+def test_pareto_share_boundary_ties(spark, tmp_path, counts):
+    _write_events(tmp_path, counts)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["events"])
+    assert_matches_oracle(
+        queries["events_pareto_share"](spark, str(tmp_path)),
+        con,
+        oracles["events_pareto_share"],
+    )
+    expect = _py_ntile_deciles(counts)
+    total = sum(counts.values())
+    got = {
+        r["decile"]: r
+        for r in queries["events_pareto_share"](spark, str(tmp_path)).collect()
+    }
+    assert sorted(got) == sorted(expect)
+    cum = 0
+    for d in sorted(expect):
+        cum += expect[d][1]
+        assert got[d]["n_users"] == expect[d][0]
+        assert got[d]["n_events"] == expect[d][1]
+        assert got[d]["share_ppm"] == expect[d][1] * 1_000_000 // total
+        assert got[d]["share_cum_ppm"] == cum * 1_000_000 // total

@@ -95,6 +95,9 @@ HEAVIES = [
     "dedup_clusters",
     "tfidf_top_terms",
     "events_sessionize",
+    # r11: the pareto rewrite's range-partitioned rank must be proven at
+    # 10x the gate scale (1M events / 10k users), like the CC pair was
+    "events_pareto_share",
 ]
 
 _AB = "abcdefghijklmnopqrstuvwxyz"
