@@ -177,6 +177,10 @@ HEADLINE = [
     # activity-concentration deciles + cross-source vocab overlap
     "events_pareto_share",
     "source_overlap_jaccard",
+    # IVF × SQ8 composed (the genuine 100 TB ANN tier: cells prune,
+    # codes compress) + its row in the ANN recall QA matrix
+    "knn_ivf_sq8",
+    "knn_ivfsq_recall_eval",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -724,6 +724,8 @@ def knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructed squared L2 distance. THE memory tier for 100 TB ANN —
     a float32 corpus drops 4× (1 byte/dim) before any IVF/LSH pruning,
     and the code matrix is what you actually hold in executor memory.
+    (This variant still scans the full code matrix per query — the
+    composed pruning tier is knn_ivf_sq8 below.)
 
     Cross-engine exactness: after quantization EVERYTHING is integer —
     code ∈ [0,255] (the only double chain is the mirrored
@@ -885,6 +887,224 @@ FROM j GROUP BY query_id
 """
 
 
+# ----------------------------------------------------------------- D65
+def knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × SQ8 composed — the genuine 100 TB ANN tier (FAISS
+    IndexIVFScalarQuantizer): coarse cells prune WHICH vectors are
+    scored, 8-bit codes shrink WHAT is held and scored. knn_ivf prunes
+    but scores float vectors; knn_sq8 compresses but scans the whole
+    corpus per query. This tier does both: each executor holds 1
+    byte/dim codes (4× less memory than float32), and each query pays
+    only its IVF_PROBES cells (~PROBES/CELLS of the corpus), so the
+    per-query work drops ~5× on top of the 4× memory cut.
+
+    Plan: two bounded eager builders (the 64-row per-dim min/max stats
+    and the ≤IVF_CELLS step-sampled centroid rows — both documented-
+    bounded like knn_sq8/knn_ivf), then ONE Arrow mapInPandas pass:
+    each partition assigns its rows' top-1 cell (numpy matmul against
+    the broadcast centroid matrix — _cell_ranking's math), masks each
+    query's candidates to its probed cells, and ranks by the exact
+    integer SQ8 distance; the global merge sees only partitions×Q×k
+    finalists. Zero corpus joins, zero corpus shuffles.
+
+    Cross-engine exactness: cell assignment mirrors knn_ivf's oracle
+    CTE (cosine, ties to the lower cell), and the candidate distance is
+    knn_sq8's all-integer Σ(w·Δcode)² — (dist_q, neighbor_id) is a
+    total order, so partition-local top-k is exact with no finalist
+    slack. Recall vs exact: knn_ivfsq_recall_eval (losses come from
+    BOTH cell pruning and quantization — the production question this
+    row answers is whether the two error sources compound or overlap).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    stats_rows = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .select("dim", F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    mins = np.array([r["mn"] for r in stats_rows], dtype=np.float64)
+    rngs = np.array([r["mx"] - r["mn"] for r in stats_rows], dtype=np.float64)
+    w = np.floor(rngs * 1e6 / 255.0).astype(np.int64)
+
+    def quantize(mat: np.ndarray) -> np.ndarray:
+        scaled = np.divide(
+            (mat - mins) * 255.0,
+            rngs,
+            out=np.zeros_like(mat),
+            where=rngs != 0,
+        )
+        return np.clip(np.floor(scaled), 0, 255).astype(np.int64)
+
+    n = emb.count()
+    step = max(1, n // IVF_CELLS)
+    cent_rows = (
+        emb.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < IVF_CELLS))
+        .select((F.col("vec_id") / step).cast("int").alias("cell"), "embedding")
+        .orderBy("cell")
+        .collect()
+    )
+    cells_arr = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cent = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    def assign_cells(mat: np.ndarray, top: int) -> np.ndarray:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms) @ cent_n.T
+        order = np.argsort(-sims, axis=1, kind="stable")  # ties → lower cell
+        return cells_arr[order[:, :top]]
+
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_cells = assign_cells(q_mat, IVF_PROBES)  # (Q, PROBES)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq_cells = spark.sparkContext.broadcast(q_cells)
+    bq = spark.sparkContext.broadcast(quantize(q_mat) * w)  # dequant-scaled
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cell = assign_cells(mat, 1)[:, 0]
+            a = quantize(mat) * w
+            for qi, qid in enumerate(bq_ids.value):
+                keep = np.isin(cell, bq_cells.value[qi]) & (ids != qid)
+                if not keep.any():
+                    continue
+                diff = a[keep] - bq.value[qi][None, :]
+                dist = (diff * diff).sum(axis=1)
+                cand_ids = ids[keep]
+                top = np.lexsort((cand_ids, dist))[:TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[top],
+                        "dist_q": dist[top],
+                    }
+                )
+
+    local = emb.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, dist_q long"
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "dist_q", "rank")
+    )
+
+
+#: cinit = knn_ivf's step-sampled centroid CTE; ranked_cells mirrors
+#: _ivf_probe_sql's cell ranking; codes/dist mirror knn_sq8 — candidates
+#: are restricted to (corpus top-1 cell) ∈ (query's IVF_PROBES cells).
+ORACLE["knn_ivf_sq8"] = f"""
+WITH p AS (SELECT greatest(1, count(*) // {IVF_CELLS}) AS step FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cinit AS (
+    SELECT vec_id // p.step AS cluster, emb AS cent
+    FROM e, p WHERE vec_id % p.step = 0 AND vec_id / p.step < {IVF_CELLS}
+),
+ranked_cells AS (
+    SELECT vec_id, cell, rn FROM (
+        SELECT e.vec_id, c.cluster AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
+                            c.cluster ASC) AS rn
+        FROM e CROSS JOIN cinit c
+    )
+),
+cand AS (
+    SELECT pr.vec_id AS query_id, cc.vec_id AS neighbor_id
+    FROM (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1) cc
+    JOIN (SELECT vec_id, cell FROM ranked_cells
+          WHERE rn <= {IVF_PROBES} AND vec_id < {N_QUERIES}) pr USING (cell)
+    WHERE cc.vec_id != pr.vec_id
+),
+elems AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+stats AS (
+    SELECT dim, min(x) AS mn, max(x) - min(x) AS rng FROM elems GROUP BY dim
+),
+codes AS (
+    SELECT e.vec_id, e.dim,
+           CAST(floor(s.rng * 1000000 / 255.0) AS BIGINT)
+             * least(greatest(CAST(floor(
+                   CASE WHEN s.rng = 0 THEN 0
+                        ELSE ((e.x - s.mn) * 255.0) / s.rng END) AS BIGINT),
+                 0), 255) AS a
+    FROM elems e JOIN stats s USING (dim)
+),
+dist AS (
+    SELECT ca.query_id, ca.neighbor_id,
+           CAST(sum((q.a - c.a) * (q.a - c.a)) AS BIGINT) AS dist_q
+    FROM cand ca
+    JOIN codes q ON q.vec_id = ca.query_id
+    JOIN codes c ON c.vec_id = ca.neighbor_id AND c.dim = q.dim
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, dist_q, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist_q ASC, neighbor_id ASC) AS rank
+    FROM dist
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def knn_ivfsq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the composed IVF-SQ8 index vs the exact cosine top-k
+    — the fourth row of the ANN QA matrix (LSH / IVF / SQ8 / IVF-SQ8).
+    Its delta vs knn_sq_recall_eval isolates what cell pruning costs ON
+    TOP of quantization — the number that decides whether the 100 TB
+    tier's probe count needs raising. Same integer-ppm contract."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        knn_ivf_sq8(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.expr("(n_hit * 1000000L) div k").alias("recall_ppm"),
+        )
+    )
+
+
+ORACLE["knn_ivfsq_recall_eval"] = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_bruteforce"]}) bf),
+approx AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_ivf_sq8"]}) iq),
+j AS (
+    SELECT e.query_id,
+           CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       count(*)::BIGINT AS k,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY query_id
+"""
+
+
 # ----------------------------------------------------------------- D56
 def embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-table QC report (r10): the gate an ANN/semantic-dedup
@@ -1021,4 +1241,6 @@ QUERIES = {
     "embedding_qc": embedding_qc,
     "knn_sq8": knn_sq8,
     "knn_sq_recall_eval": knn_sq_recall_eval,
+    "knn_ivf_sq8": knn_ivf_sq8,
+    "knn_ivfsq_recall_eval": knn_ivfsq_recall_eval,
 }

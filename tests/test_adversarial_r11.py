@@ -120,3 +120,67 @@ def test_pareto_share_boundary_ties(spark, tmp_path, counts):
         assert got[d]["n_events"] == expect[d][1]
         assert got[d]["share_ppm"] == expect[d][1] * 1_000_000 // total
         assert got[d]["share_cum_ppm"] == cum * 1_000_000 // total
+
+
+# ------------------------------------------------------------ knn_ivf_sq8
+def test_ivfsq_recall_matches_set_overlap(spark):
+    """n_hit must equal the literal set overlap of the two composed
+    (already driver-verified) queries — the LSH/IVF/SQ twins' contract
+    extended to the fourth QA-matrix row."""
+    from grapefruit_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_sq8,
+        knn_ivfsq_recall_eval,
+    )
+
+    from .conftest import SF_DIR
+
+    exact: dict[int, set] = {}
+    for r in knn_bruteforce(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict[int, set] = {}
+    for r in knn_ivf_sq8(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {
+        r["query_id"]: r for r in knn_ivfsq_recall_eval(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(exact)
+    for qid, ex in exact.items():
+        hits = len(ex & approx.get(qid, set()))
+        assert got[qid]["n_hit"] == hits
+        assert got[qid]["k"] == len(ex)
+        assert got[qid]["recall_ppm"] == hits * 1_000_000 // len(ex)
+
+
+def test_ivfsq_dist_consistent_with_sq8(spark):
+    """Cell pruning must not touch the metric: any (query, neighbor)
+    pair surfaced by BOTH knn_sq8 and knn_ivf_sq8 carries the identical
+    integer dist_q (same codes, same weights — IVF only narrows WHICH
+    pairs are scored)."""
+    from grapefruit_spark.operators.similarity import knn_ivf_sq8, knn_sq8
+
+    from .conftest import SF_DIR
+
+    sq = {
+        (r["query_id"], r["neighbor_id"]): r["dist_q"]
+        for r in knn_sq8(spark, SF_DIR).collect()
+    }
+    both = 0
+    for r in knn_ivf_sq8(spark, SF_DIR).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in sq:
+            both += 1
+            assert sq[key] == r["dist_q"], key
+    assert both > 0  # the overlap is never empty on this corpus
+
+
+def test_ivfsq_recall_vs_random_baseline(spark):
+    """Probing 3/16 cells must beat the 3/16 random baseline on
+    average (same bound the plain-IVF recall test pins)."""
+    from grapefruit_spark.operators.similarity import knn_ivfsq_recall_eval
+
+    from .conftest import SF_DIR
+
+    rows = knn_ivfsq_recall_eval(spark, SF_DIR).collect()
+    mean = sum(r["recall_ppm"] for r in rows) / len(rows)
+    assert mean > 300_000
