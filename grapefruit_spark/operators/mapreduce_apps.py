@@ -362,6 +362,91 @@ FROM customer
 """
 
 
+# ----------------------------------------------------------------- A11/A12
+def cli_wc_maple(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Module-level wordcount maple for the CLI's ``module:function`` exe
+    loader (cli._load_exe imports by path — a closure can't be named on
+    a command line). Same combiner shape as mj_wordcount's."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in pdf["text"]:
+        if isinstance(t, str):
+            c.update(t.lower().split())
+    return pd.DataFrame({"key": list(c.keys()), "value": list(c.values())})
+
+
+def cli_wc_juice(key, grp: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({"word": [key], "cnt": [int(grp["value"].sum())]})
+
+
+def cli_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible CLI lifecycle (A12) + membership introspection
+    (A11): the full reference session a user types at the prompt —
+    ``put`` the documents table into a fresh namespace, ``maple`` a
+    wordcount exe over it, ``juice`` the keyed output with
+    ``--delete-input`` (the reference's delete_input flag), then
+    ``ls``/``store`` the namespace and ``info``/``members`` the node —
+    every step THROUGH cli.main()'s argv surface, nothing called as a
+    library. The returned frame is the juice output read back from the
+    warehouse, hash-checked against mj_wordcount's oracle, so a row
+    lost anywhere in put→maple→juice→get breaks the gate; the
+    introspection JSON shapes (CLI surface of MembershipServer.java's
+    ls/info) are asserted in-sim and any violation raises into the
+    driver's err column.
+
+    Scale: the only data-sized work is mj_wordcount's own maple/juice
+    pipeline (map-side combined, hash shuffle on the key); the CLI adds
+    argv parsing and a namespace listing — nothing per-row.
+    """
+    import contextlib
+    import io
+    import json
+
+    from ..cli import main as cli_main
+    from ..sdfs import Sdfs
+    from ..streaming.events import scratch_dir
+
+    wh = scratch_dir("grapefruit_cli_sim_")
+    exe = "grapefruit_spark.operators.mapreduce_apps"
+
+    def run(argv: list[str]) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli_main(argv)
+        if rc != 0:
+            raise RuntimeError(f"cli {argv[0]!r} exited {rc}")
+        return buf.getvalue()
+
+    run(["--warehouse", wh, "put", f"{sf_dir}/documents.parquet", "docs"])
+    run(
+        ["--warehouse", wh, "maple", f"{exe}:cli_wc_maple", "4", "kv", "docs",
+         "--schema", "key string, value int"]
+    )
+    run(
+        ["--warehouse", wh, "juice", f"{exe}:cli_wc_juice", "4", "kv", "counts",
+         "--schema", "word string, cnt bigint", "--delete-input"]
+    )
+    parts = run(["--warehouse", wh, "ls", "counts"]).strip().splitlines()
+    if not parts:
+        raise RuntimeError("ls counts: no part files")
+    names = set(run(["--warehouse", wh, "store"]).split())
+    if "counts" not in names or "kv" in names:
+        raise RuntimeError(f"namespace after delete-input: {sorted(names)}")
+    node = json.loads(run(["info"]))
+    if node.get("status") != "ALIVE" or not node.get("app_id"):
+        raise RuntimeError(f"info: {node}")
+    mem = json.loads(run(["members"]))
+    if len(mem) < 1 or any(e.get("status") != "ALIVE" for e in mem):
+        raise RuntimeError(f"members: {mem}")
+    # the returned frame reads from the scratch warehouse — cleanup
+    # stays with scratch_dir's atexit fallback
+    return Sdfs(spark, wh).get("counts")
+
+
+ORACLE["cli_sim"] = ORACLE["mj_wordcount"]
+
+
 QUERIES = {
     "mj_wordcount": mj_wordcount,
     "mj_exe_wordcount": mj_exe_wordcount,
@@ -371,4 +456,5 @@ QUERIES = {
     "condorcet_pairs": condorcet_pairs,
     "condorcet_winner": condorcet_winner,
     "grep_filter": grep_filter,
+    "cli_sim": cli_sim,
 }

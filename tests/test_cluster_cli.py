@@ -80,3 +80,15 @@ def test_cli_maple_juice_executable_path(spark, tmp_path):
     assert cli.main(["--warehouse", wh, "juice", f"{sys.executable} {reducer}", "2", "kv", "counts"]) == 0
     counts = {r["key"]: int(r["value"]) for r in fs.get("counts").collect()}
     assert len(counts) > 0 and all(v >= 1 for v in counts.values())
+
+
+def test_cli_sim_matches_wordcount_oracle(spark, duck):
+    """The A11/A12 driver-gate sim: the whole put→maple→juice→ls→store→
+    info→members CLI session must land value-identical to the wordcount
+    oracle (and its in-sim introspection asserts must hold)."""
+    from grapefruit_spark.operators.mapreduce_apps import ORACLE, cli_sim
+
+    from .conftest import SF_DIR
+    from .util import assert_matches_oracle
+
+    assert_matches_oracle(cli_sim(spark, SF_DIR), duck, ORACLE["cli_sim"])
