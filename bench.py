@@ -384,6 +384,17 @@ def main() -> None:
     # the samples are kept separately so a transient spike is visible as
     # one outlying sample rather than laundered into a mean
     calib_ratio = round(sorted(calib_numpy)[1] / CALIB_REF_NUMPY_SEC, 4)
+    # Bench-trust protocol (VERDICT_r10 order #6): the ±10% hypervisor
+    # band dominates round-over-round deltas on identical code (r10:
+    # runs 6-8 spread 0.90×-0.99×). A record is COMMIT-GRADE only when
+    # the calibration probe sat inside ±5% of the quiet reference —
+    # otherwise rerun until one lands in band (disclosing every run in
+    # PLANS.md) rather than normalizing a hot/fast-window record after
+    # the fact. The driver's own record keeps whatever run it saw; the
+    # flag makes an out-of-band record self-describing instead of
+    # silently comparable.
+    CALIB_BAND = (0.95, 1.05)
+    calib_in_band = CALIB_BAND[0] <= calib_ratio <= CALIB_BAND[1]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -415,6 +426,10 @@ def main() -> None:
             "jvm_end": round(calib_jvm_end, 4),
         },
         "calib_ratio": calib_ratio,
+        # commit-grade gate: loadavg quiet AND calib within ±5% of the
+        # reference — out-of-band records are disclosed, never committed
+        # as bench_full.json's round record (protocol above)
+        "calib_in_band": calib_in_band,
         "value_norm": round(total / calib_ratio, 3),
         # r10: the dedup family (CLUSTER_FAMILY) shares one memoized CC
         # frame per builder when true — consumer rows are the marginal
@@ -425,7 +440,7 @@ def main() -> None:
             sum(timings[n] for n in CLUSTER_FAMILY if n in timings), 3
         ),
     }
-    prev = _common_prev_summary(timings, sf)
+    prev = _common_prev_summary(timings, sf, memo_on)
     if prev:
         out.update(prev)
         for k in ("common_now_total", "selfnow_total"):
@@ -448,7 +463,19 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _common_prev_summary(timings: dict[str, float], sf: float) -> dict:
+#: CLUSTER_FAMILY rows whose timed cost depends on the memo mode — the
+#: two builders (dedup_clusters, jaccard_clusters) always time the
+#: from-scratch build (their timed runs bypass the memo), so only the
+#: consumer rows become marginal-cost under memo_on
+_CLUSTER_CONSUMERS = frozenset(CLUSTER_FAMILY) - {
+    "dedup_clusters",
+    "jaccard_clusters",
+}
+
+
+def _common_prev_summary(
+    timings: dict[str, float], sf: float, memo_on: bool = True
+) -> dict:
     """Headline totals stop being comparable as the suite grows, so also
     report the total over the query set SHARED with the latest recorded
     round (BENCH_r*.json beside the repo) — the like-for-like number.
@@ -456,12 +483,26 @@ def _common_prev_summary(timings: dict[str, float], sf: float) -> dict:
     the JSON line outgrew the driver's 2000-char tail), fall back to the
     repo's own bench_full.json from the previous run. Records taken at a
     DIFFERENT scale factor are skipped — comparing timings across SFs
-    reads as a spurious huge regression/improvement."""
+    reads as a spurious huge regression/improvement. Likewise (ADVICE
+    r10) CLUSTER_FAMILY consumer rows are excluded from the shared set
+    when the two runs' cluster-memo modes differ — a consumer measured
+    from-scratch in the old record vs marginal-cost now would read a
+    memo win as an engine win; the exclusion count is disclosed."""
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
     paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
     out: dict = {}
+
+    def _shared(rec: dict) -> tuple[list[str], int]:
+        names = set(rec["queries"]) & set(timings)
+        if bool(rec.get("cluster_memo")) != memo_on:
+            dropped = len(names & _CLUSTER_CONSUMERS)
+            names -= _CLUSTER_CONSUMERS
+        else:
+            dropped = 0
+        return sorted(names), dropped
+
     # round-over-round: the newest PARSEABLE driver record at this sf
     # (records can truncate once the JSON line outgrows the driver's
     # 2000-char tail)
@@ -470,7 +511,7 @@ def _common_prev_summary(timings: dict[str, float], sf: float) -> dict:
         if not rec or rec.get("sf") != sf:
             continue
         pq = rec["queries"]
-        shared = sorted(set(pq) & set(timings))
+        shared, dropped = _shared(rec)
         if not shared:
             continue
         out.update(
@@ -481,13 +522,15 @@ def _common_prev_summary(timings: dict[str, float], sf: float) -> dict:
                 "common_now_total": round(sum(timings[n] for n in shared), 3),
             }
         )
+        if dropped:
+            out["common_prev_memo_excluded"] = dropped
         break
     # run-over-run: the repo's own full record of the previous bench
     # invocation (survives driver-side truncation)
     rec = _bench_record(os.path.join(root, "bench_full.json"))
     if rec and rec.get("sf") == sf:
         pq = rec["queries"]
-        shared = sorted(set(pq) & set(timings))
+        shared, dropped = _shared(rec)
         if shared:
             out.update(
                 {
@@ -496,6 +539,8 @@ def _common_prev_summary(timings: dict[str, float], sf: float) -> dict:
                     "selfnow_total": round(sum(timings[n] for n in shared), 3),
                 }
             )
+            if dropped:
+                out["selfprev_memo_excluded"] = dropped
     return out
 
 

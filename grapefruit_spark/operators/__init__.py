@@ -99,6 +99,18 @@ _REPROVE_SINCE: dict[str, int] = {
     # offset cumsum + ntile arithmetic — values identical (same oracle),
     # plan changed; must re-earn a hash-green driver row.
     "events_pareto_share": 11,
+    # r11 (ADVICE_r10): quality_gopher_rules' symbols term now uses
+    # integer `div 3` (matching the oracle's operator and the stated
+    # all-integer invariant) — values identical, emission changed
+    "quality_gopher_rules": 11,
+    # r11 (ADVICE_r10): schema_evolution_sim's merge leg guards the
+    # flagged count on evolved-column presence (degenerate one-parity
+    # corpora) — values identical on the gate data, emission changed
+    "schema_evolution_sim": 11,
+    # r11 (ADVICE_r10): connected_components_star raises on round-cap
+    # exhaustion instead of silently emitting unconverged labels —
+    # values identical (the cap never binds on LSH graphs), path changed
+    "dedup_clusters_star": 11,
 }
 
 

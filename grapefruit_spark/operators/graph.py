@@ -47,7 +47,18 @@ def _memo_enabled() -> bool:
 def _memoized_clusters(spark: SparkSession, sf_dir: str, kind: str, build):
     if not _memo_enabled():
         return build()
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
+    app = spark.sparkContext.applicationId
+    # evict entries from earlier sessions in this process: their pinned
+    # frames reference stopped SparkContexts and would otherwise
+    # accumulate for the process lifetime (ADVICE r10); unpin is a
+    # guarded no-op when the old context is already gone
+    for stale in [k for k in _CLUSTER_MEMO if k[0] != app]:
+        try:
+            unpin(_CLUSTER_MEMO[stale])
+        except Exception:  # noqa: BLE001 — context may already be stopped
+            pass
+        del _CLUSTER_MEMO[stale]
+    key = (app, os.path.abspath(sf_dir), kind)
     if key not in _CLUSTER_MEMO:
         # re-pin the final frame: its blocks are then independent of the
         # CC loop's intermediate pins, which periodic cleanups (bench's
@@ -189,6 +200,7 @@ def connected_components_star(
     n_edges = e.count()
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000))
     pinned = e
+    same = n_edges == 0  # empty graph is trivially converged
     for _ in range(STAR_MAX_ROUNDS):
         # large-star over the symmetric adjacency
         sym = e.select(F.col("c").alias("u"), F.col("p").alias("v")).union(
@@ -221,6 +233,16 @@ def connected_components_star(
         e = ss
         if same:
             break
+    # emitting possibly-wrong labels silently would be a correctness
+    # hole for direct library callers (only dedup_clusters_star is
+    # oracle-gated) — a cap exhaustion means the O(log n) bound was
+    # violated, which is a bug or a poisoned input, never a tuning
+    # matter (ADVICE r10)
+    if not same:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{STAR_MAX_ROUNDS} rounds ({n_edges} input edges)"
+        )
     # stars: child → root; roots (and isolated inputs, excluded above
     # with self-loops) label themselves
     return (

@@ -124,10 +124,21 @@ def schema_evolution_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow.write.mode("overwrite").parquet(p1)
     wide.write.mode("overwrite").parquet(p2)
     merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    # degenerate-corpus guard (ADVICE r10): if every surviving key has
+    # one parity, one staged batch is empty. THIS Spark's writer still
+    # emits a schema-bearing empty part (verified: all-even / all-odd /
+    # empty corpora all pass unguarded), but the hostile-input contract
+    # must not hinge on that writer detail — when the evolved column is
+    # absent every read-back row is by definition missing it.
+    flagged = (
+        F.sum(F.col("o_orderpriority").isNull().cast("long"))
+        if "o_orderpriority" in merged.columns
+        else F.sum(F.lit(1).cast("long"))  # NULL on empty, like the oracle's sum
+    )
     merge_row = merged.agg(
         F.lit("merge_schema").alias("stage"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("n_flagged"),
+        flagged.alias("n_flagged"),
         F.sum("o_orderkey").alias("checksum"),
     )
 

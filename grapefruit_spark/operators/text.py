@@ -311,8 +311,12 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(lines).cast("bigint").alias("n_lines"),
         (
             F.length("text") - F.length(F.expr("replace(text, '#', '')"))
-            + (F.length("text") - F.length(F.expr("replace(text, '...', '')")))
-            / F.lit(3)
+            # integer div like the oracle's `// 3` — the char delta is
+            # always a multiple of 3 so the value is unchanged, but the
+            # all-integer invariant now holds by OPERATOR, not by range
+            + F.expr(
+                "(length(text) - length(replace(text, '...', ''))) div 3"
+            )
         ).cast("bigint").alias("symbols"),
         F.size(
             F.filter(
