@@ -181,6 +181,11 @@ HEADLINE = [
     # codes compress) + its row in the ANN recall QA matrix
     "knn_ivf_sq8",
     "knn_ivfsq_recall_eval",
+    # Gopher repetition section (in-row, zero-shuffle), lang-ID QA
+    # confusion matrix, per-user Fano burstiness
+    "doc_repetition_stats",
+    "langid_confusion",
+    "events_burstiness",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

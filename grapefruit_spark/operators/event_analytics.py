@@ -1234,6 +1234,68 @@ def stream_markov_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["stream_markov_sim"] = ORACLE["events_markov_transitions"]
 
 
+# ----------------------------------------------------------------- C35
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness (Fano factor) of hourly event counts: the
+    variance-to-mean ratio of a user's active-hour volumes — ~1 for a
+    Poisson (organic) arrival process, ≫1 for batchy/bursty traffic
+    (the bot-and-scraper tell), ≈0 for metronome-constant automation.
+    Complements events_bot_score's inter-arrival features with a
+    rate-process statistic.
+
+    Scale: two map-side-combined aggregations — (user, hour) → count,
+    then per-user Σn, Σn², active-hour count — both shuffles keyed by
+    the user axis, never a global window. The Fano value is kept
+    all-integer: with population variance over h active hours,
+    var/mean = (h·Σn² − (Σn)²) / (h·Σn), emitted in ppm via bigint
+    div — no float fold, so the hash is order-independent and exact.
+    Only multi-hour users are emitted (a single active hour has zero
+    variance by construction, not by behavior).
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_user = hourly.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    return (
+        per_user.where(F.col("n_hours") >= 2)
+        .select(
+            "user_id",
+            "n_hours",
+            F.col("sum_n").alias("n_events"),
+            F.expr(
+                "((n_hours * sum_n2 - sum_n * sum_n) * 1000000L)"
+                " div (n_hours * sum_n)"
+            ).alias("fano_ppm"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE["events_burstiness"] = """
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+per_user AS (
+    SELECT user_id,
+           count(*)::BIGINT AS n_hours,
+           CAST(sum(n) AS BIGINT) AS sum_n,
+           CAST(sum(n * n) AS BIGINT) AS sum_n2
+    FROM hourly GROUP BY user_id
+)
+SELECT user_id, n_hours, sum_n AS n_events,
+       CAST(((n_hours * sum_n2 - sum_n * sum_n) * 1000000)
+            // (n_hours * sum_n) AS BIGINT) AS fano_ppm
+FROM per_user WHERE n_hours >= 2
+ORDER BY user_id
+"""
+
+
 # ----------------------------------------------------------------- C34
 def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity-concentration (Pareto) report: users ranked by event
@@ -1374,4 +1436,5 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_histogram": events_histogram,
     "events_pareto_share": events_pareto_share,
+    "events_burstiness": events_burstiness,
 }

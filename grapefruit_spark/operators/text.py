@@ -662,8 +662,165 @@ ORDER BY i.source_a, i.source_b
 """
 
 
+# ----------------------------------------------------------------- D66
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition report — the Gopher repetition section
+    (Rae et al. 2021 §A1.1) that quality_gopher_rules leaves out:
+    duplicate-LINE fraction and duplicate word-TRIGRAM fraction, the two
+    signals that catch boilerplate pages, scraper loops, and
+    degenerate-generation text that global dedup never sees (the
+    repeats live INSIDE one document).
+
+    Scale: every metric is computed IN-ROW with array higher-order
+    functions (split → array_distinct → size) — one scan, zero
+    shuffles, zero UDFs; a 100 TB corpus pays exactly one pass and the
+    plan stays whole-stage-codegen. All-integer outputs (ppm via bigint
+    div; nullif guards empty docs), so cross-engine hashing is exact.
+    `is_repetitive` pins Gopher's dup_line > 30% / dup_trigram > 20%
+    cuts as integer cross-multiplications.
+    """
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "t", F.coalesce(F.col("text"), F.lit(""))
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col("t"), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    words = ws_tokens(F.lower(F.col("t")))
+    base = docs.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("bigint").alias("n_uniq_lines"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.when(
+            F.size(words) >= 3,
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(words) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(words, i),
+                            F.element_at(words, i + 1),
+                            F.element_at(words, i + 2),
+                        ),
+                    )
+                )
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_uniq_tris"),
+    ).withColumn(
+        "n_tris",
+        F.when(F.col("n_words") >= 3, F.col("n_words") - 2)
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    return base.select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.col("n_uniq_lines")).alias("n_dup_lines"),
+        F.expr(
+            "((n_lines - n_uniq_lines) * 1000000L) div nullif(n_lines, 0)"
+        ).alias("dup_line_ppm"),
+        "n_tris",
+        (F.col("n_tris") - F.col("n_uniq_tris")).alias("n_dup_tris"),
+        F.expr(
+            "((n_tris - n_uniq_tris) * 1000000L) div nullif(n_tris, 0)"
+        ).alias("dup_tri_ppm"),
+        # Gopher cuts as integer cross-multiplications (no ppm rounding
+        # in the decision): dup_lines/lines > 3/10 OR dup_tris/tris > 1/5
+        (
+            ((F.col("n_lines") - F.col("n_uniq_lines")) * 10 > F.col("n_lines") * 3)
+            | ((F.col("n_tris") - F.col("n_uniq_tris")) * 5 > F.col("n_tris"))
+        ).alias("is_repetitive"),
+    )
+
+
+ORACLE["doc_repetition_stats"] = """
+WITH base AS (
+    SELECT doc_id,
+           list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                      l -> trim(l)),
+                       l -> length(l) > 0) AS lines,
+           list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                       t -> length(t) > 0) AS toks
+    FROM documents
+),
+counts AS (
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_distinct(lines)) AS BIGINT) AS n_uniq_lines,
+           CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS BIGINT)
+               AS n_tris,
+           CAST(CASE WHEN len(toks) >= 3 THEN len(list_distinct(
+                    list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                )) ELSE 0 END AS BIGINT) AS n_uniq_tris
+    FROM base
+)
+SELECT doc_id,
+       n_lines,
+       n_lines - n_uniq_lines AS n_dup_lines,
+       CAST(((n_lines - n_uniq_lines) * 1000000) // nullif(n_lines, 0) AS BIGINT)
+           AS dup_line_ppm,
+       n_tris,
+       n_tris - n_uniq_tris AS n_dup_tris,
+       CAST(((n_tris - n_uniq_tris) * 1000000) // nullif(n_tris, 0) AS BIGINT)
+           AS dup_tri_ppm,
+       ((n_lines - n_uniq_lines) * 10 > n_lines * 3
+        OR (n_tris - n_uniq_tris) * 5 > n_tris) AS is_repetitive
+FROM counts
+"""
+
+
+# ----------------------------------------------------------------- D67
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared lang × predicted lang with
+    counts and the row share in ppm — the QA rollup a pipeline watches
+    to decide whether the lang-ID heuristic (or an upstream source's
+    declared metadata) has drifted. Composes the already-verified
+    lang_id emission; one groupBy over its output, map-side combined
+    (|langs|² cells, O(1) at any corpus size)."""
+    pred = lang_id(spark, sf_dir)
+    per_lang = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(per_lang, "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.expr("(n_docs * 1000000L) div n_lang").alias("share_ppm"),
+            (F.col("lang") == F.col("pred_lang")).alias("is_match"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+ORACLE["langid_confusion"] = f"""
+WITH pred AS ({ORACLE["lang_id"]}),
+cells AS (
+    SELECT lang, pred_lang, count(*)::BIGINT AS n_docs
+    FROM pred GROUP BY lang, pred_lang
+),
+per_lang AS (
+    SELECT lang, sum(n_docs) AS n_lang FROM cells GROUP BY lang
+)
+SELECT c.lang, c.pred_lang, c.n_docs,
+       CAST((c.n_docs * 1000000) // p.n_lang AS BIGINT) AS share_ppm,
+       c.lang = c.pred_lang AS is_match
+FROM cells c JOIN per_lang p ON c.lang = p.lang
+ORDER BY c.lang, c.pred_lang
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
+    "doc_repetition_stats": doc_repetition_stats,
+    "langid_confusion": langid_confusion,
     "vocab_growth": vocab_growth,
     "source_overlap_jaccard": source_overlap_jaccard,
     "doc_entropy": doc_entropy,

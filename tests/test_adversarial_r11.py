@@ -184,3 +184,125 @@ def test_ivfsq_recall_vs_random_baseline(spark):
     rows = knn_ivfsq_recall_eval(spark, SF_DIR).collect()
     mean = sum(r["recall_ppm"] for r in rows) / len(rows)
     assert mean > 300_000
+
+
+# ----------------------------------------------------- doc_repetition_stats
+def test_repetition_stats_planted(spark, tmp_path):
+    """Docs planted at the branch points: a 10×-repeated line (caught by
+    the line rule), a degenerate trigram loop (trigram rule), a clean
+    doc, a 2-word doc (no trigrams), an empty doc, and a NULL text."""
+    docs = [
+        # 4 distinct lines, 6 dups of one line -> 10 lines, dup 6/10 > 3/10
+        (1, "\n".join(["spam line"] * 7 + ["a", "b", "c"]), "s"),
+        # 'x y x y x y x y' -> 8 words, 6 trigrams, 2 distinct -> 4/6 > 1/5
+        (2, " ".join(["x", "y"] * 4), "s"),
+        (3, "one two three four five six seven", "s"),  # all distinct
+        (4, "just two", "s"),  # < 3 words: zero trigrams, no div-by-0
+        (5, "", "s"),  # zero lines AND zero words
+        (6, None, "s"),  # NULL text behaves as empty
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array([d[2] for d in docs]),
+                "n_chars": pa.array(
+                    [len(d[1] or "") for d in docs], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    assert_matches_oracle(
+        queries["doc_repetition_stats"](spark, str(tmp_path)),
+        con,
+        oracles["doc_repetition_stats"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in queries["doc_repetition_stats"](spark, str(tmp_path)).collect()
+    }
+    assert got[1]["n_lines"] == 10 and got[1]["n_dup_lines"] == 6
+    assert got[1]["dup_line_ppm"] == 600_000 and got[1]["is_repetitive"]
+    assert got[2]["n_tris"] == 6 and got[2]["n_dup_tris"] == 4
+    assert got[2]["dup_tri_ppm"] == 4 * 1_000_000 // 6 and got[2]["is_repetitive"]
+    assert not got[3]["is_repetitive"] and got[3]["n_dup_tris"] == 0
+    assert got[4]["n_tris"] == 0 and got[4]["dup_tri_ppm"] is None
+    for d in (5, 6):
+        assert got[d]["n_lines"] == 0 and got[d]["dup_line_ppm"] is None
+        assert not got[d]["is_repetitive"]
+
+
+# -------------------------------------------------------- events_burstiness
+def test_burstiness_planted_processes(spark, tmp_path):
+    """Three hand-built arrival processes: a metronome (same count every
+    hour -> Fano 0), a burst (all events in one hour of two -> high
+    Fano), and a single-hour user (excluded by contract)."""
+    rows = []  # (user, hour_offset, count)
+    plan = {
+        1: [(h, 5) for h in range(4)],        # metronome: var 0
+        2: [(0, 19), (1, 1)],                 # burst: h=2,sum=20,sumsq=362
+        3: [(0, 7)],                          # single hour: excluded
+    }
+    eid = 0
+    base = 1_700_000_000_000_000
+    for u, hours in plan.items():
+        for h, n in hours:
+            for i in range(n):
+                eid += 1
+                rows.append((eid, base + h * 3_600_000_000 + i, u))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["events"])
+    assert_matches_oracle(
+        queries["events_burstiness"](spark, str(tmp_path)),
+        con,
+        oracles["events_burstiness"],
+    )
+    got = {
+        r["user_id"]: r
+        for r in queries["events_burstiness"](spark, str(tmp_path)).collect()
+    }
+    assert sorted(got) == [1, 2]  # single-hour user 3 excluded
+    assert got[1]["fano_ppm"] == 0  # metronome
+    # burst: (2*362 - 400)*1e6 // (2*20) = 324*1e6/40 = 8.1e6
+    assert got[2]["fano_ppm"] == (2 * 362 - 400) * 1_000_000 // 40
+
+
+# -------------------------------------------------------- langid_confusion
+def test_langid_confusion_cells_match_lang_id(spark, duck):
+    """Every confusion cell must equal the recount of the (already
+    verified) lang_id output, and per-lang shares must sum to ~1e6."""
+    from collections import Counter
+
+    from grapefruit_spark.operators.text import lang_id, langid_confusion
+
+    from .conftest import SF_DIR
+
+    cells = Counter()
+    for r in lang_id(spark, SF_DIR).collect():
+        cells[(r["lang"], r["pred_lang"])] += 1
+    rows = langid_confusion(spark, SF_DIR).collect()
+    assert {(r["lang"], r["pred_lang"]): r["n_docs"] for r in rows} == dict(cells)
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["share_ppm"]
+        assert r["is_match"] == (r["lang"] == r["pred_lang"])
+    for lang, total in per_lang.items():
+        assert 999_000 <= total <= 1_000_000, lang
