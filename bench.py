@@ -186,6 +186,8 @@ HEADLINE = [
     "doc_repetition_stats",
     "langid_confusion",
     "events_burstiness",
+    # skew-bounded per-source frequency cap (histogram-threshold top-k)
+    "source_cap_sample",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

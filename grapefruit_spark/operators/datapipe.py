@@ -959,6 +959,103 @@ WHERE rk <= 50
 """
 
 
+# ----------------------------------------------------------------- D68
+SOURCE_CAP = 15
+#: 60-bit md5 hash → 256 histogram buckets (high 8 bits, order-preserving)
+_CAP_BUCKET_DIV = 1 << 52
+
+
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency cap: keep exactly min(SOURCE_CAP, |source|) docs per
+    source, chosen by md5(doc_id) order — the dedupe-adjacent step that
+    stops one crawl dump from dominating a training mix.
+
+    This is the SKEW-BOUNDED tier of ``sample_k_per_group``: that op's
+    ``row_number() OVER (PARTITION BY group)`` funnels a whale group
+    (English ≈ half of any web corpus) through ONE task at 100 TB. Here
+    no task ever sees more than ~1/256 of one source:
+
+    1. bucket = high 8 bits of the 60-bit hash (order-preserving), so
+       per-(source, bucket) counts are an O(sources × 256) frame;
+    2. the cumulative pass over that TINY frame finds each source's
+       boundary bucket and how many rows to take from it — the
+       ``doc_perplexity_buckets`` histogram-threshold device applied to
+       top-k selection;
+    3. buckets below the boundary are kept with a broadcast
+       semi-join filter (no ranking at all — the bulk of the keepers);
+       only the boundary bucket's rows (~|source|/256) are ranked, in a
+       window partitioned by (source, bucket).
+
+    Selection is EXACTLY the per-source (hash, doc_id) top-k — the
+    bucket prefix is monotone in the hash — so the oracle is the plain
+    windowed rank. Raise the bucket width with scale the way
+    NEARDUP_CHUNKS scales: it is a task-size knob, not a semantics one.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import md5_hash60
+
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id")
+    d = docs.withColumn(
+        "h", md5_hash60(F.col("doc_id").cast("string"), salt="cap")
+    ).withColumn("b", F.expr(f"h div {_CAP_BUCKET_DIV}"))
+    counts = d.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(wcum))
+    # per-source boundary: first bucket whose cumulative count reaches
+    # the cap, and the number still to take from it (≥1, ≤ its count);
+    # sources under the cap produce no row here → kept outright below
+    info = (
+        cum.where(F.col("cum") >= SOURCE_CAP)
+        .groupBy("source")
+        .agg(
+            F.min_by(F.col("b"), F.col("b")).alias("bb"),
+            (
+                F.lit(SOURCE_CAP)
+                - F.min_by(F.col("cum") - F.col("c"), F.col("b"))
+            ).alias("take_n"),
+        )
+    )
+    with_info = d.join(F.broadcast(info), "source", "left")
+    below = with_info.where(F.col("bb").isNull() | (F.col("b") < F.col("bb")))
+    wq = Window.partitionBy("source", "b").orderBy("h", "doc_id")
+    at_boundary = (
+        with_info.where(F.col("b") == F.col("bb"))
+        .withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= F.col("take_n"))
+    )
+    return (
+        below.select("source", "doc_id")
+        .unionByName(at_boundary.select("source", "doc_id"))
+        .orderBy("source", "doc_id")
+    )
+
+
+def _source_cap_oracle() -> str:
+    from ..functions import md5_hash60_sql
+
+    return f"""
+SELECT source, doc_id FROM (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {md5_hash60_sql("CAST(doc_id AS VARCHAR)", salt="cap")},
+                        doc_id
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= {SOURCE_CAP}
+ORDER BY source, doc_id
+"""
+
+
+ORACLE["source_cap_sample"] = _source_cap_oracle()
+
+
 # ------------------------------------------------------------------ D34
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance sampling by quality: each doc is kept with probability
@@ -1222,6 +1319,7 @@ QUERIES = {
     "domain_mix_sample": domain_mix_sample,
     "quality_weighted_sample": quality_weighted_sample,
     "sample_k_per_group": sample_k_per_group,
+    "source_cap_sample": source_cap_sample,
     "seq_packing": seq_packing,
     "packing_efficiency": packing_efficiency,
     "sample_temperature": sample_temperature,

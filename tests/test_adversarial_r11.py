@@ -306,3 +306,55 @@ def test_langid_confusion_cells_match_lang_id(spark, duck):
         assert r["is_match"] == (r["lang"] == r["pred_lang"])
     for lang, total in per_lang.items():
         assert 999_000 <= total <= 1_000_000, lang
+
+
+# -------------------------------------------------------- source_cap_sample
+def test_source_cap_planted_boundaries(spark, tmp_path):
+    """Sources planted at the cap's branch points: under-cap (keep
+    all), exactly-at-cap, and a whale 20x over cap — the bucketed
+    selection must equal the plain per-source (hash, doc_id) top-15 the
+    oracle computes, including when a boundary bucket holds several
+    rows."""
+    import hashlib
+
+    sizes = {"tiny": 3, "exact": 15, "whale": 300}
+    docs, did = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            did += 1
+            docs.append((did, f"doc {did} text", src))
+    _write_docs_cap(tmp_path, docs)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    assert_matches_oracle(
+        queries["source_cap_sample"](spark, str(tmp_path)),
+        con,
+        oracles["source_cap_sample"],
+    )
+    got: dict[str, set] = {}
+    for r in queries["source_cap_sample"](spark, str(tmp_path)).collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(got["tiny"]) == 3 and len(got["exact"]) == 15
+    assert len(got["whale"]) == 15
+    # python replay of the md5-order top-15 for the whale
+    def h60(doc_id: int) -> int:
+        return int(hashlib.md5(f"{doc_id}cap".encode()).hexdigest()[:15], 16)
+
+    whale_ids = [d for d, _, s in docs if s == "whale"]
+    expect = set(sorted(whale_ids, key=lambda d: (h60(d), d))[:15])
+    assert got["whale"] == expect
+
+
+def _write_docs_cap(d, docs):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs]),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array([r[2] for r in docs]),
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )

@@ -440,3 +440,24 @@ def test_pareto_share_rank_is_range_partitioned(spark):
     )
     assert "windowspecdefinition(_pid#" in plan
     assert "rangepartitioning(n_events#" in plan
+
+
+def test_source_cap_rank_is_bucket_bounded(spark):
+    """source_cap_sample's only ranking window must be partitioned by
+    (source, bucket) — never by source alone (sample_k_per_group's
+    whale-group shape, the thing this tier exists to avoid); the
+    below-boundary bulk must flow through with no window at all."""
+    import re
+
+    from grapefruit_spark.operators.datapipe import source_cap_sample
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(source_cap_sample(spark, SF_DIR))
+    rank_specs = re.findall(
+        r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan
+    )
+    assert rank_specs, "expected a boundary-bucket ranking window"
+    for spec in rank_specs:
+        assert re.match(r"source#\d+, b#\d+L, h#", spec), (
+            "ranking window not (source, bucket)-partitioned: " + spec
+        )
