@@ -188,6 +188,15 @@ HEADLINE = [
     "events_burstiness",
     # skew-bounded per-source frequency cap (histogram-threshold top-k)
     "source_cap_sample",
+    # round-11 second wave: DSIR importance weights (hashed-bigram
+    # likelihood ratio), single-pass fixed-point Gram/covariance,
+    # distributed BPE pair counting, per-user type entropy, label-aware
+    # hard-negative mining (partition-local top-k)
+    "dsir_importance",
+    "embedding_covariance",
+    "bpe_pair_stats",
+    "events_type_entropy",
+    "hard_negative_mining",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -1415,8 +1415,70 @@ ORDER BY decile
 """
 
 
+# ----------------------------------------------------------------- C36
+def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-TYPE distribution — the
+    behavioral-diversity statistic: H ≈ ln|types| for users who spread
+    across actions, H = 0 for single-action accounts (scrapers hitting
+    one endpoint, pixel bots). With events_burstiness (rate process)
+    and events_bot_score (inter-arrival timing) this completes the
+    three-axis bot-triage panel: WHAT a user does, HOW OFTEN, and WHEN.
+
+    Scale: two map-side-combined aggregations keyed on the user axis —
+    (user, type) → count, then per-user (n, Σc·ln c) — identical
+    shuffle shape to events_burstiness; no windows, no corpus-sized
+    joins. Entropy via the exact-count identity H = ln n − (Σc·ln c)/n,
+    so only per-TYPE addends touch ln; each folds through
+    DECIMAL(28,12) (order-independent sums under any partitioning, the
+    doc_entropy device) with floor(·10⁶) emission.
+    """
+    ev = table(spark, sf_dir, "events")
+    typed = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = typed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_events"),
+        F.sum((F.col("c") * F.log(F.col("c"))).cast("decimal(28,12)")).alias("sclnc"),
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.floor(
+            (
+                F.log(F.col("n_events").cast("double"))
+                - F.col("sclnc").cast("double") / F.col("n_events")
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("entropy_e6"),
+    ).orderBy("user_id")
+
+
+ORACLE["events_type_entropy"] = """
+WITH typed AS (
+    SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+per_user AS (
+    SELECT user_id,
+           count(*)::BIGINT AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           sum(CAST(c * ln(c) AS DECIMAL(28,12))) AS sclnc
+    FROM typed GROUP BY user_id
+)
+SELECT user_id, n_types, n_events,
+       CAST(floor((ln(n_events::DOUBLE) - sclnc::DOUBLE / n_events) * 1000000)
+            AS BIGINT) AS entropy_e6
+FROM per_user
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
+    "events_type_entropy": events_type_entropy,
     "stream_markov_sim": stream_markov_sim,
     "events_value_mad": events_value_mad,
     "events_state_intervals": events_state_intervals,

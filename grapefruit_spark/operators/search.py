@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions import word_ngrams, ws_tokens
+from ..functions import md5_hash60, md5_hash60_sql, word_ngrams, ws_tokens
 
 ORACLE: dict[str, str] = {}
 
@@ -829,8 +829,140 @@ ORDER BY t1, t2
 """
 
 
+# ------------------------------------------------------------------ D69
+#: DSIR hashed-feature space: word bigrams hash into this many buckets
+DSIR_BUCKETS = 256
+#: the "target domain" the importance weights point toward
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169):
+    score every document by how target-like its hashed n-gram profile
+    is — log w(x) = Σ_b f_x[b] · ln(p_target[b] / p_raw[b]) over
+    ``DSIR_BUCKETS`` hashed word-bigram buckets, add-1 smoothed. The
+    target here is the ``lang = 'en'`` slice (in production: any
+    high-quality seed corpus); positive log-weight ⇒ the doc's feature
+    profile looks more like the target than the raw pool, the signal
+    DSIR resamples on. The importance-weighting upgrade of
+    quality_weighted_sample: instead of hand-written heuristics, the
+    score IS the likelihood ratio of two corpus-level distributions.
+
+    Scale shape: the corpus collapses to (doc, bucket) counts in one
+    map-side-combined groupBy (≤ ``DSIR_BUCKETS`` rows per doc
+    regardless of doc length); both feature distributions come from ONE
+    O(buckets)-row aggregate over the same frame's parent (a 256-row
+    frame at ANY corpus size) whose smoothed log-ratio broadcasts back
+    into the per-doc scoring agg. No corpus-sized join sides, no
+    windows; a hashed feature never concentrates a task because the
+    bucket count is fixed. Gramless docs (< 2 tokens) surface with
+    n_grams = 0 / logw = 0 via the left join, so the output is always
+    total over documents.
+
+    Cross-engine exactness: buckets from the md5-backed 60-bit hash
+    (`md5_hash60`), the per-bucket log-ratio is one ln of an
+    all-integer-derived double (identical IEEE op order in both
+    engines), and each per-doc addend tf·lr folds through
+    DECIMAL(28,12) before summing — exact, order-independent totals
+    under any partitioning — with floor(·10⁶) emission (the
+    doc_unigram_logprob device).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(word_ngrams(toks, 2)).alias("bg"),
+    ).select(
+        "doc_id", "lang", (md5_hash60(F.col("bg")) % DSIR_BUCKETS).alias("bucket")
+    )
+    f = feats.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    dist = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_tgt"),
+    )
+    tot = dist.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    rate = dist.join(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("n_tgt") + 1) / (F.col("t_tgt") + DSIR_BUCKETS))
+            / ((F.col("n_raw") + 1) / (F.col("t_raw") + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    scored = (
+        f.join(F.broadcast(rate), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_grams"),
+            F.sum((F.col("tf") * F.col("lr")).cast("decimal(28,12)")).alias("s"),
+        )
+    )
+    return docs.select("doc_id", "lang").join(scored, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(
+            F.floor(F.col("s").cast("double") * 1000000).cast("bigint"), F.lit(0)
+        ).alias("logw_e6"),
+        F.when(
+            F.coalesce(F.floor(F.col("s").cast("double") * 1000000), F.lit(0)) > 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("selected"),
+    )
+
+
+ORACLE["dsir_importance"] = f"""
+WITH toks AS (
+    SELECT doc_id, lang, {_DUCK_TOKENS} AS tk FROM documents
+),
+feats AS (
+    SELECT doc_id, lang,
+           {md5_hash60_sql("bg")} % {DSIR_BUCKETS} AS bucket
+    FROM (
+        SELECT doc_id, lang,
+               unnest([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]) AS bg
+        FROM toks WHERE len(tk) >= 2
+    )
+),
+f AS (SELECT doc_id, bucket, count(*) AS tf FROM feats GROUP BY 1, 2),
+dist AS (
+    SELECT bucket, count(*) AS n_raw,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS n_tgt
+    FROM feats GROUP BY 1
+),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM dist),
+rate AS (
+    SELECT bucket,
+           ln(((n_tgt + 1) / (t_tgt + {DSIR_BUCKETS}))
+              / ((n_raw + 1) / (t_raw + {DSIR_BUCKETS}))) AS lr
+    FROM dist CROSS JOIN tot
+),
+scored AS (
+    SELECT doc_id, sum(tf)::BIGINT AS n_grams,
+           sum(CAST(tf * lr AS DECIMAL(28,12))) AS s
+    FROM f JOIN rate USING (bucket)
+    GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+       coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(CAST(floor(s.s::DOUBLE * 1000000) AS BIGINT), 0) AS logw_e6,
+       CASE WHEN coalesce(floor(s.s::DOUBLE * 1000000), 0) > 0
+            THEN 1 ELSE 0 END::INT AS selected
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
+    "dsir_importance": dsir_importance,
     "term_pmi": term_pmi,
     "bm25_search": bm25_search,
     "doc_unigram_logprob": doc_unigram_logprob,

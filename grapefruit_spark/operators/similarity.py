@@ -1228,6 +1228,220 @@ ORDER BY metric, k
 """
 
 
+# ------------------------------------------------------------------ D71
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR / ANCE
+    recipe, Karpukhin et al. 2020; Xiong et al. 2021): for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — maximally confusable non-matches, the negatives that make
+    embedding models actually learn. Same-label neighbors are
+    positives, not negatives, so the label mask is part of the mining
+    contract, not a post-filter nicety.
+
+    Scale shape = knn_topk_partitioned's: the bounded query panel
+    (ids, vectors, labels) broadcasts once; each partition scores its
+    rows with one numpy matmul, applies the label/self mask, and emits
+    only its local 2k finalists — the global ranking window then sees
+    O(partitions × Q × k) rows, never the corpus. cos is rounded to
+    6 dp BEFORE ranking so Spark and the oracle rank identically
+    (ties by neighbor_id).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_labels = np.array([r["label"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, q_labels, q_norm))
+
+    def local_negs(batches):
+        ids_q, labels_q, mat_q = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat_q @ mat.T  # (Q, n)
+            for qi, qid in enumerate(ids_q):
+                keep = (ids != qid) & (labels != labels_q[qi])
+                cand_ids, cand_lbl, cand_sims = ids[keep], labels[keep], sims[qi][keep]
+                if not len(cand_ids):
+                    continue
+                # 2k finalists so post-rounding ties can't drop a
+                # negative the global (rounded, id) sort would keep
+                top = np.argsort(-cand_sims, kind="stable")[: 2 * TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "query_label": labels_q[qi],
+                        "neighbor_id": cand_ids[top],
+                        "neighbor_label": cand_lbl[top],
+                        "cos_sim": np.round(cand_sims[top], 6),
+                    }
+                )
+
+    local = emb.mapInPandas(
+        local_negs,
+        schema="query_id long, query_label int, neighbor_id long,"
+        " neighbor_label int, cos_sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cos_sim", "rank",
+        )
+    )
+
+
+ORACLE["hard_negative_mining"] = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS query_label,
+           embedding::DOUBLE[] AS qvec
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+           e.label AS neighbor_label,
+           round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM q JOIN embeddings e
+      ON e.vec_id != q.query_id AND e.label != q.query_label
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+# ------------------------------------------------------------------ D70
+#: fixed-point scale for the covariance codes (2^12 per unit)
+COV_CODE_SCALE = 4096
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance / Gram statistics over the embedding
+    column — the single-pass front half of PCA (whitening, dimension
+    pruning, drift detection all start from Σ = E[xxᵀ] − μμᵀ; the
+    driver-side eigendecomposition of the 64×64 result is O(dim³),
+    trivially bounded). Emits the upper triangle: for each dim pair
+    i ≤ j the exact integer sums (n, Σcᵢ, Σcⱼ, Σcᵢcⱼ) over fixed-point
+    codes c = floor(x·4096 + 0.5), plus the covariance numerator
+    n·Σcᵢcⱼ − Σcᵢ·Σcⱼ (= n²·scale²·cov).
+
+    Scale shape: ONE Arrow mapInPandas pass accumulates a per-partition
+    int64 Gram matrix of the homogeneous-coordinate code matrix [1 | c]
+    (the constant column makes n and the per-dim sums fall out of the
+    same matmul — no second pass), emitting O(dim²) rows per partition;
+    the only shuffle is the O(dim² × partitions) partial-sum reduce.
+    The corpus is read once and never joined or exploded. Partial
+    products are exact int64 (|code| ≤ 4096·|x|, partitions hold ≪ 2⁶³
+    /code² rows); the global reduce folds through DECIMAL(38,0), so
+    totals stay exact at cluster scale — the bigint emission cast is
+    gate-bounded and documented (a 10¹²-row corpus would emit the
+    decimals unchanged).
+
+    Cross-engine exactness: the code quantization floor(x·4096 + 0.5)
+    is two IEEE double ops on the exactly-widened float32, identical in
+    numpy and DuckDB; everything after is integer arithmetic, so sums
+    are order-independent under any partitioning.
+    """
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select("embedding")
+
+    def gram_partial(batches):
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = np.floor(mat * COV_CODE_SCALE + 0.5).astype(np.int64)
+            aug = np.concatenate(
+                [np.ones((codes.shape[0], 1), dtype=np.int64), codes], axis=1
+            )
+            g = aug.T @ aug
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {
+                "di": iu[0].astype("int32"),
+                "dj": iu[1].astype("int32"),
+                "ps": acc[iu],
+            }
+        )
+
+    partials = emb.mapInPandas(gram_partial, schema="di int, dj int, ps long")
+    g = partials.groupBy("di", "dj").agg(
+        F.sum(F.col("ps").cast("decimal(38,0)")).alias("s")
+    )
+    n = g.where((F.col("di") == 0) & (F.col("dj") == 0)).select(
+        F.col("s").cast("bigint").alias("n_vecs")
+    )
+    sums = g.where((F.col("di") == 0) & (F.col("dj") >= 1)).select(
+        F.col("dj").alias("d"), F.col("s").cast("bigint").alias("sv")
+    )
+    pairs = g.where(F.col("di") >= 1).select(
+        F.col("di").alias("dim_i"),
+        F.col("dj").alias("dim_j"),
+        F.col("s").cast("bigint").alias("s_ij"),
+    )
+    return (
+        pairs.join(
+            F.broadcast(sums.select(F.col("d").alias("dim_i"), F.col("sv").alias("s_i"))),
+            "dim_i",
+        )
+        .join(
+            F.broadcast(sums.select(F.col("d").alias("dim_j"), F.col("sv").alias("s_j"))),
+            "dim_j",
+        )
+        .join(F.broadcast(n))
+        .select(
+            "dim_i",
+            "dim_j",
+            "n_vecs",
+            "s_i",
+            "s_j",
+            "s_ij",
+            (F.col("n_vecs") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).alias(
+                "cov_num"
+            ),
+        )
+    )
+
+
+ORACLE["embedding_covariance"] = f"""
+WITH codes AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(floor(unnest(embedding)::DOUBLE * {COV_CODE_SCALE} + 0.5) AS BIGINT) AS c
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+pairs AS (
+    SELECT a.i AS dim_i, b.i AS dim_j, sum(a.c * b.c)::BIGINT AS s_ij
+    FROM codes a JOIN codes b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+),
+sums AS (SELECT i, sum(c)::BIGINT AS s FROM codes GROUP BY 1),
+n AS (
+    SELECT count(*)::BIGINT AS n_vecs FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT p.dim_i, p.dim_j, n.n_vecs, sa.s AS s_i, sb.s AS s_j, p.s_ij,
+       (n.n_vecs * p.s_ij - sa.s * sb.s)::BIGINT AS cov_num
+FROM pairs p
+JOIN sums sa ON sa.i = p.dim_i
+JOIN sums sb ON sb.i = p.dim_j
+CROSS JOIN n
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_topk_partitioned": knn_topk_partitioned,
@@ -1243,4 +1457,6 @@ QUERIES = {
     "knn_sq_recall_eval": knn_sq_recall_eval,
     "knn_ivf_sq8": knn_ivf_sq8,
     "knn_ivfsq_recall_eval": knn_ivfsq_recall_eval,
+    "embedding_covariance": embedding_covariance,
+    "hard_negative_mining": hard_negative_mining,
 }

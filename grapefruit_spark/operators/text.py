@@ -817,8 +817,77 @@ ORDER BY c.lang, c.pred_lang
 """
 
 
+# ------------------------------------------------------------------ D72
+#: how many merge candidates the report surfaces
+BPE_TOP_PAIRS = 30
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"):
+    the corpus-weighted frequency of every ADJACENT CHARACTER PAIR
+    inside words, top ``BPE_TOP_PAIRS`` by count — exactly the argmax
+    set the first BPE merge step consumes. Re-running this operator
+    after applying a merge table is one training iteration, so this is
+    the distributed kernel of tokenizer training.
+
+    Scale shape — the textbook BPE trick, distributed: the corpus
+    first collapses to its DISTINCT-WORD frequency table (one map-side
+    combined groupBy; vocab grows ~Heaps-law sublinearly, so at 100 TB
+    this is millions of rows, not trillions), and pair counting then
+    explodes only distinct words weighted by their frequency — the
+    1000× repeated token costs one row, not 1000. Pair extraction is an
+    in-row higher-order transform over character offsets (no UDF); the
+    top-N comes from a distributed TakeOrderedAndProject over the
+    O(|Σ|²)-bounded pair frame, and only the ≤ 30 finalists ever enter
+    the rank window — no single-partition sort anywhere.
+
+    Determinism: ties rank by pair text ascending; both engines use
+    character (not byte) substring semantics.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    prs = wf.where(F.length("w") >= 2).select(
+        "n_w",
+        F.explode(
+            F.expr("transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    counts = prs.groupBy("pair").agg(F.sum("n_w").cast("bigint").alias("n_pair"))
+    # distributed TopK (TakeOrderedAndProject) first, so the rank window
+    # only ever sees the <= BPE_TOP_PAIRS finalists — no single-partition
+    # sort of the full pair frame (the events_top_paths device)
+    finalists = counts.orderBy(F.desc("n_pair"), F.asc("pair")).limit(BPE_TOP_PAIRS)
+    w = Window.orderBy(F.desc("n_pair"), F.asc("pair"))
+    return finalists.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "pair", "n_pair"
+    )
+
+
+ORACLE["bpe_pair_stats"] = f"""
+WITH words AS (
+    SELECT unnest({_DUCK_TOKENS}) AS w FROM documents
+),
+wf AS (SELECT w, count(*) AS n_w FROM words GROUP BY 1),
+prs AS (
+    SELECT n_w, unnest([substr(w, i, 2) FOR i IN range(1, length(w))]) AS pair
+    FROM wf WHERE length(w) >= 2
+),
+counts AS (SELECT pair, sum(n_w)::BIGINT AS n_pair FROM prs GROUP BY 1)
+SELECT rank, pair, n_pair FROM (
+    SELECT *, row_number() OVER (ORDER BY n_pair DESC, pair ASC) AS rank
+    FROM counts
+)
+WHERE rank <= {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
+    "bpe_pair_stats": bpe_pair_stats,
     "doc_repetition_stats": doc_repetition_stats,
     "langid_confusion": langid_confusion,
     "vocab_growth": vocab_growth,

@@ -1,0 +1,358 @@
+"""Round-11 second-wave targeted adversarial cases.
+
+- dsir_importance: gramless/empty docs must surface as zero-weight rows
+  (total output), and the log-ratio sign must track target-vs-raw
+  exclusivity of a doc's bigrams.
+- embedding_covariance: exact integer replay of the fixed-point Gram
+  sums on hand-built vectors, including the floor(x*4096 + 0.5)
+  half-boundary and a NULL embedding row (excluded from n).
+- bpe_pair_stats: overlapping pairs inside a word ("aaa" -> 2x "aa"),
+  frequency weighting via the distinct-word collapse, and tie ordering
+  by pair text at equal counts — replayed in pure python.
+- events_type_entropy: single-type users (exactly-zero entropy up to
+  the shared quantization residual), uniform two-type users (ln 2),
+  and a NULL event_type group.
+- hard_negative_mining: same-label neighbors must NEVER appear even
+  when they are the closest vectors; exact-duplicate candidates tie on
+  rounded cos and must order by neighbor_id.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from .util import assert_matches_oracle
+
+sys.path.insert(0, "/root/repo")
+
+
+def _duck_for(d: str, tables: list[str]):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    return con
+
+
+def _entry():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries(), entrymod.oracle_sql()
+
+
+def _write_docs(d, rows):
+    """rows: (doc_id, text_or_None, lang)"""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) if r[1] else 0 for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+
+def _write_embeddings(d, rows):
+    """rows: (vec_id, list_or_None, label)"""
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+
+# ------------------------------------------------------- dsir_importance
+@pytest.fixture(scope="module")
+def dsir_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dsiradv")
+    rows = [
+        # en-exclusive bigrams, repeated: target-heavy profile
+        (1, "alpha beta alpha beta alpha beta", "en"),
+        (2, "alpha beta gamma delta", "en"),
+        # fr-exclusive bigrams: raw-only profile -> negative weight
+        (3, "rouge bleu rouge bleu rouge bleu", "fr"),
+        (4, "rouge bleu vert jaune", "fr"),
+        # gramless: one token / empty / NULL text
+        (5, "solo", "en"),
+        (6, "", "fr"),
+        (7, None, "en"),
+    ]
+    _write_docs(d, rows)
+    return str(d)
+
+
+def test_dsir_importance_parity_and_signs(spark, dsir_dir):
+    queries, oracles = _entry()
+    con = _duck_for(dsir_dir, ["documents"])
+    sdf = queries["dsir_importance"](spark, dsir_dir)
+    assert_matches_oracle(sdf, con, oracles["dsir_importance"])
+    rows = {r["doc_id"]: r for r in sdf.collect()}
+    # total over documents: the gramless docs are present with zeros
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}
+    for gramless in (5, 6, 7):
+        assert rows[gramless]["n_grams"] == 0
+        assert rows[gramless]["logw_e6"] == 0
+        assert rows[gramless]["selected"] == 0
+    # en-exclusive bigrams appear in target AND raw; fr-exclusive only in
+    # raw -> their smoothed ratio is < 1, so fr docs must score negative
+    # and be unselected, en docs positive and selected.
+    for en_doc in (1, 2):
+        assert rows[en_doc]["logw_e6"] > 0 and rows[en_doc]["selected"] == 1
+    for fr_doc in (3, 4):
+        assert rows[fr_doc]["logw_e6"] < 0 and rows[fr_doc]["selected"] == 0
+
+
+def test_dsir_importance_all_target_corpus(spark, tmp_path):
+    """Degenerate corpus where raw == target: every ratio is exactly 1
+    before smoothing; smoothing keeps it 1 (n_tgt == n_raw, t_tgt ==
+    t_raw), so ln == 0.0 and every logw is exactly 0."""
+    d = tmp_path
+    _write_docs(d, [(1, "a b c", "en"), (2, "c b a", "en")])
+    queries, oracles = _entry()
+    con = _duck_for(str(d), ["documents"])
+    sdf = queries["dsir_importance"](spark, str(d))
+    assert_matches_oracle(sdf, con, oracles["dsir_importance"])
+    assert {r["logw_e6"] for r in sdf.collect()} == {0}
+
+
+# -------------------------------------------------- embedding_covariance
+#: exactly float32-representable coordinates, including the half
+#: boundary 3/8192 (*4096 = 1.5) and its negative
+_COV_VECS = [
+    (0, [3.0 / 8192.0, 1.0, -0.5], 0),
+    (1, [-3.0 / 8192.0, 0.25, 0.125], 0),
+    (2, [1.0, -1.0, 1.0], 1),
+    (3, None, 1),  # NULL embedding: excluded from every sum
+    (4, [0.0, 0.0, 0.0], 0),
+]
+
+
+@pytest.fixture(scope="module")
+def cov_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("covadv")
+    _write_embeddings(d, _COV_VECS)
+    return str(d)
+
+
+def test_embedding_covariance_exact_replay(spark, cov_dir):
+    queries, oracles = _entry()
+    con = _duck_for(cov_dir, ["embeddings"])
+    sdf = queries["embedding_covariance"](spark, cov_dir)
+    assert_matches_oracle(sdf, con, oracles["embedding_covariance"])
+    # pure-python integer replay of the fixed-point sums
+    codes = [
+        [math.floor(x * 4096 + 0.5) for x in vec]
+        for _, vec, _ in _COV_VECS
+        if vec is not None
+    ]
+    n = len(codes)
+    got = {(r["dim_i"], r["dim_j"]): r for r in sdf.collect()}
+    assert len(got) == 6  # upper triangle of dim 3
+    for i in range(3):
+        for j in range(i, 3):
+            s_i = sum(c[i] for c in codes)
+            s_j = sum(c[j] for c in codes)
+            s_ij = sum(c[i] * c[j] for c in codes)
+            row = got[(i + 1, j + 1)]
+            assert row["n_vecs"] == n
+            assert row["s_i"] == s_i and row["s_j"] == s_j
+            assert row["s_ij"] == s_ij
+            assert row["cov_num"] == n * s_ij - s_i * s_j
+    # the half-boundary rounds UP in both engines: 1.5 -> 2, -1.5 -> -1
+    assert codes[0][0] == 2 and codes[1][0] == -1
+
+
+# ------------------------------------------------------- bpe_pair_stats
+@pytest.fixture(scope="module")
+def bpe_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bpeadv")
+    rows = [
+        # "aaa" has OVERLAPPING pairs: 2 x "aa" per occurrence
+        (1, "aaa aaa aaa", "en"),
+        # distinct-word collapse: "zz" 4x in one doc + 2x in another
+        (2, "zz zz zz zz xy", "en"),
+        (3, "zz zz xy", "en"),
+        # tie bait: "pq" and "qr" appear equally often (inside "pqr")
+        (4, "pqr pqr", "en"),
+        # 1-char words contribute nothing
+        (5, "a b c d e", "en"),
+        (6, None, "en"),
+    ]
+    _write_docs(d, rows)
+    return str(d)
+
+
+def _py_pair_counts(texts: list[str]) -> dict[str, int]:
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        if t:
+            for w in t.lower().split():
+                words[w] += 1
+    pairs: dict[str, int] = {}
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] = pairs.get(w[i : i + 2], 0) + n
+    return pairs
+
+
+def test_bpe_pair_stats_replay(spark, bpe_dir):
+    queries, oracles = _entry()
+    con = _duck_for(bpe_dir, ["documents"])
+    sdf = queries["bpe_pair_stats"](spark, bpe_dir)
+    assert_matches_oracle(sdf, con, oracles["bpe_pair_stats"])
+    texts = ["aaa aaa aaa", "zz zz zz zz xy", "zz zz xy", "pqr pqr", "a b c d e"]
+    expect = sorted(
+        _py_pair_counts(texts).items(), key=lambda kv: (-kv[1], kv[0])
+    )[:30]
+    got = [(r["pair"], r["n_pair"]) for r in sdf.orderBy("rank").collect()]
+    assert got == expect
+    # overlapping pairs: 3 occurrences of "aaa" -> 6 "aa"
+    assert dict(got)["aa"] == 6
+    # frequency weighting across docs: "zz" word count is 6
+    assert dict(got)["zz"] == 6
+    # tie at equal count orders by pair text: "pq" before "qr"
+    ranks = {p: i for i, (p, _) in enumerate(got)}
+    assert dict(got)["pq"] == dict(got)["qr"] == 2
+    assert ranks["pq"] < ranks["qr"]
+
+
+def test_bpe_pair_stats_no_pairs(spark, tmp_path):
+    _write_docs(tmp_path, [(1, "a b c", "en"), (2, "x", "en")])
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    sdf = queries["bpe_pair_stats"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["bpe_pair_stats"])
+    assert sdf.count() == 0
+
+
+# --------------------------------------------------- events_type_entropy
+@pytest.fixture(scope="module")
+def entropy_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("entadv")
+    rows = []  # (user, type)
+    rows += [(1, "view")] * 7  # single-type: H == 0 (mod quantization)
+    rows += [(2, "view")] * 4 + [(2, "click")] * 4  # uniform 2-type: ln 2
+    rows += [(3, "view"), (3, None), (3, None)]  # NULL type is a group
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(len(rows))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+def test_events_type_entropy_planted(spark, entropy_dir):
+    queries, oracles = _entry()
+    con = _duck_for(entropy_dir, ["events"])
+    sdf = queries["events_type_entropy"](spark, entropy_dir)
+    assert_matches_oracle(sdf, con, oracles["events_type_entropy"])
+    rows = {r["user_id"]: r for r in sdf.collect()}
+    # single-type: exact H is 0; the shared DECIMAL(28,12) residual may
+    # floor to -1 but both engines agree (parity above) and it is tiny
+    assert rows[1]["n_types"] == 1 and rows[1]["entropy_e6"] in (0, -1)
+    # uniform two-type: H = ln 2 = 0.693147...
+    assert rows[2]["n_types"] == 2
+    assert abs(rows[2]["entropy_e6"] - 693147) <= 1
+    # NULL event_type forms its own group in BOTH engines
+    assert rows[3]["n_types"] == 2 and rows[3]["n_events"] == 3
+
+
+# ------------------------------------------------- hard_negative_mining
+@pytest.fixture(scope="module")
+def negmine_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("negadv")
+    rows = []
+    # 8 queries (vec_id < 8): four axis-ish directions x 2 labels
+    for qid in range(8):
+        ang = qid * 0.7
+        rows.append(
+            (qid, [math.cos(ang), math.sin(ang), 0.25], qid % 2)
+        )
+    # same-label EXACT duplicates of every query: closest possible,
+    # must never be mined
+    for qid in range(8):
+        ang = qid * 0.7
+        rows.append((100 + qid, [math.cos(ang), math.sin(ang), 0.25], qid % 2))
+    # different-label exact duplicates -> rank-1 negatives, and a
+    # DUPLICATED candidate pair (two ids, same vector) to force a
+    # rounded-cos tie broken by neighbor_id
+    for qid in range(8):
+        ang = qid * 0.7
+        vec = [math.cos(ang), math.sin(ang), 0.25]
+        rows.append((200 + qid, vec, 1 - qid % 2))
+        rows.append((300 + qid, vec, 1 - qid % 2))
+    # background
+    for i in range(40):
+        ang = 1000.0 + i
+        rows.append((400 + i, [math.sin(ang), math.cos(ang * 1.3), -0.5], i % 2))
+    _write_embeddings(d, [(i, [float(x) for x in v], l) for i, v, l in rows])
+    return str(d)
+
+
+def test_hard_negative_mining_label_mask_and_ties(spark, negmine_dir):
+    queries, oracles = _entry()
+    con = _duck_for(negmine_dir, ["embeddings"])
+    sdf = queries["hard_negative_mining"](spark, negmine_dir)
+    assert_matches_oracle(sdf, con, oracles["hard_negative_mining"])
+    rows = sdf.collect()
+    assert len(rows) == 8 * 10
+    by_q: dict[int, list] = {}
+    for r in rows:
+        # the mask: no mined negative ever shares the query's label
+        assert r["neighbor_label"] != r["query_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, lst in by_q.items():
+        lst.sort(key=lambda r: r["rank"])
+        # the different-label duplicate pair is rank 1 and 2, tie broken
+        # by neighbor_id ascending
+        assert [lst[0]["neighbor_id"], lst[1]["neighbor_id"]] == [
+            200 + qid,
+            300 + qid,
+        ]
+        assert lst[0]["cos_sim"] == lst[1]["cos_sim"] == 1.0
+        # the same-label exact duplicate (100+qid) is absent everywhere
+        assert all(r["neighbor_id"] != 100 + qid for r in lst)
+
+
+def test_hard_negative_mining_all_same_label(spark, tmp_path):
+    """A corpus where every vector shares one label: no negatives exist,
+    both engines emit zero rows."""
+    rows = [(i, [1.0, float(i), 0.5], 7) for i in range(20)]
+    _write_embeddings(tmp_path, rows)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["embeddings"])
+    sdf = queries["hard_negative_mining"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["hard_negative_mining"])
+    assert sdf.count() == 0
