@@ -197,6 +197,12 @@ HEADLINE = [
     "bpe_pair_stats",
     "events_type_entropy",
     "hard_negative_mining",
+    # round-11 third wave: token-budget mixture planning (O(sources)),
+    # variance-ranked dimension pruning, partitioned-write integrity
+    # manifest round trip
+    "data_mix_plan",
+    "embedding_dim_prune",
+    "write_manifest_sim",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

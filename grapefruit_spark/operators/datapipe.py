@@ -1312,8 +1312,102 @@ ORACLE["write_layout_sim"] = (
 )
 
 
+# ------------------------------------------------------------------ D73
+def data_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning table for a token BUDGET (the Pile / Gopher /
+    DoReMi-static recipe): per source, the natural token share, the
+    temperature-α target share (α = 0.5 over TOKEN counts, the
+    sample_temperature weight applied to the right axis — docs lie
+    about volume, tokens don't), the planned token draw for a budget of
+    one corpus-size pass, and the implied EPOCH factor (×10⁴):
+    epochs_e4 > 10⁴ means the source repeats (the upsampling number
+    The Pile's table 1 discloses per component), < 10⁴ means it is
+    subsampled. This is the planning complement of sample_temperature,
+    which FILTERS docs; loaders consume this table directly.
+
+    Scale: the corpus collapses to O(sources) rows in ONE map-side-
+    combined groupBy over an in-row token count (no explode — the scan
+    stays narrow); totals are a 1-row broadcast. Nothing else touches
+    the corpus. All-integer emission: α-weights via the exact
+    floor(√n·10⁶) device, shares in ppm by bigint div, zero-token
+    sources guarded by nullif so the plan is total on hostile corpora.
+    """
+    from ..functions import ws_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.select(
+        "source", F.size(ws_tokens(F.col("text"))).alias("nt")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    weighted = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("q_weight"),
+    )
+    tot = weighted.agg(
+        F.sum("n_tokens").alias("t_tokens"), F.sum("q_weight").alias("t_q")
+    )
+    return (
+        weighted.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000L) div nullif(t_tokens, 0)").alias(
+                "natural_ppm"
+            ),
+            F.expr("(q_weight * 1000000L) div nullif(t_q, 0)").alias("target_ppm"),
+            F.expr(
+                "(((q_weight * 1000000L) div nullif(t_q, 0)) * t_tokens) div 1000000L"
+            ).alias("planned_tokens"),
+            F.expr(
+                "((((q_weight * 1000000L) div nullif(t_q, 0)) * t_tokens)"
+                " div 1000000L) * 10000L div nullif(n_tokens, 0)"
+            ).alias("epochs_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE["data_mix_plan"] = """
+WITH per_src AS (
+    SELECT source, count(*) AS n_docs,
+           CAST(coalesce(sum(len(list_filter(
+               string_split_regex(lower(trim(text)), '\\s+'),
+               t -> length(t) > 0))), 0) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+),
+weighted AS (
+    SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+              AS q_weight
+    FROM per_src
+),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens,
+           CAST(sum(q_weight) AS BIGINT) AS t_q
+    FROM weighted
+)
+SELECT source, n_docs,
+       n_tokens,
+       CAST((n_tokens * 1000000) // nullif(t_tokens, 0) AS BIGINT) AS natural_ppm,
+       CAST((q_weight * 1000000) // nullif(t_q, 0) AS BIGINT) AS target_ppm,
+       CAST((((q_weight * 1000000) // nullif(t_q, 0)) * t_tokens) // 1000000
+            AS BIGINT) AS planned_tokens,
+       CAST(((((q_weight * 1000000) // nullif(t_q, 0)) * t_tokens) // 1000000)
+            * 10000 // nullif(n_tokens, 0) AS BIGINT) AS epochs_e4
+FROM weighted CROSS JOIN tot
+ORDER BY source
+"""
+
+
 QUERIES = {
     "split_train_val": split_train_val,
+    "data_mix_plan": data_mix_plan,
     "split_leakage_safe": split_leakage_safe,
     "write_layout_sim": write_layout_sim,
     "domain_mix_sample": domain_mix_sample,

@@ -190,7 +190,71 @@ ORDER BY stage
 """
 
 
+# ------------------------------------------------------------------- E9
+def write_manifest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-publication manifest round trip: stage documents
+    hive-partitioned by lang, read the layout back, and emit the
+    per-partition integrity manifest a 100 TB pipeline publishes next
+    to a dataset — row count, key range, an ORDER-INDEPENDENT content
+    checksum (sum of the md5-uint32 of each doc_id: any dropped,
+    duplicated, or corrupted row moves it, and it is invariant to task/
+    file split layout, unlike a file-hash), and the total payload
+    chars. The oracle computes the same manifest from the SOURCE table,
+    so a hash-green row proves the write → partition discovery → read
+    pipeline was lossless end to end.
+
+    Rows with NULL lang or NULL doc_id are excluded by contract: a NULL
+    partition key would round-trip as the hive default-partition
+    SENTINEL STRING (not NULL), which is a publication-layout decision,
+    not an integrity property. At 100 TB the write is one narrow
+    columnar pass; the manifest itself is a map-side-combined groupBy
+    over the partition axis — O(partitions) output.
+    """
+    import os
+
+    from ..streaming.events import scratch_dir
+
+    base = os.path.join(scratch_dir("gf_manifest_sim_"), "docs_by_lang")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", "n_chars")
+    )
+    docs.write.partitionBy("lang").mode("overwrite").parquet(base)
+    back = spark.read.parquet(base)
+    checksum = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_key"),
+            F.max("doc_id").alias("max_key"),
+            F.sum(checksum).cast("bigint").alias("checksum"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE["write_manifest_sim"] = """
+SELECT lang,
+       count(*) AS n_rows,
+       min(doc_id) AS min_key,
+       max(doc_id) AS max_key,
+       CAST(sum(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+            AS BIGINT) AS checksum,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+GROUP BY 1
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "write_partition_overwrite_sim": write_partition_overwrite_sim,
     "schema_evolution_sim": schema_evolution_sim,
+    "write_manifest_sim": write_manifest_sim,
 }

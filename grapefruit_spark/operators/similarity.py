@@ -1442,8 +1442,106 @@ CROSS JOIN n
 """
 
 
+# ------------------------------------------------------------------ D74
+#: cumulative variance coverage a kept dim set must reach (ppm)
+PRUNE_COVERAGE_PPM = 990_000
+
+
+def embedding_dim_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-ranked dimension-pruning report — the decision layer on
+    top of embedding_covariance's diagonal: per dim the exact integer
+    variance numerator n·Σc² − (Σc)² over the fixed-point codes, its
+    share of total variance (ppm), the variance-descending rank, the
+    cumulative share, and a keep flag marking the minimal prefix whose
+    PREDECESSORS cover < 99% — i.e. the dims a 99%-coverage PCA-style
+    truncation retains. Dead and near-constant dims (padding columns, a
+    projector bug upstream) surface immediately with share ≈ 0.
+
+    Scale: one posexplode + ONE map-side-combined per-dim aggregate —
+    the embedding_drift_aa shuffle shape, O(dims × partitions) rows
+    regardless of corpus size — then a 1-row total broadcast and rank/
+    cumsum windows over the O(dims)-bounded frame (64 rows at any SF;
+    the vocab_growth bounded-window device, never corpus-sized).
+    All-integer end to end, so the hash is partitioning-independent.
+    """
+    emb = table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    codes = emb.select(
+        F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * COV_CODE_SCALE + 0.5)
+        .cast("bigint")
+        .alias("c"),
+    )
+    per_dim = codes.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    v = per_dim.select(
+        "dim", (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).alias("var_num")
+    )
+    tot = v.agg(F.sum("var_num").alias("tv"))
+    ranked = (
+        v.join(F.broadcast(tot))
+        .select(
+            "dim",
+            "var_num",
+            F.expr("(var_num * 1000000L) div nullif(tv, 0)").alias("share_ppm"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("var_num"), F.asc("dim"))),
+        )
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.select(
+        "dim",
+        "var_num",
+        "share_ppm",
+        "rank",
+        F.sum("share_ppm").over(w_cum).cast("bigint").alias("cum_ppm"),
+        F.when(
+            F.sum("share_ppm").over(w_cum) - F.col("share_ppm")
+            < PRUNE_COVERAGE_PPM,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+ORACLE["embedding_dim_prune"] = f"""
+WITH codes AS (
+    SELECT generate_subscripts(embedding, 1) AS dim,
+           CAST(floor(unnest(embedding)::DOUBLE * {COV_CODE_SCALE} + 0.5) AS BIGINT) AS c
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+per_dim AS (
+    SELECT dim, count(*) AS n, sum(c) AS s, sum(c * c) AS s2
+    FROM codes GROUP BY 1
+),
+v AS (SELECT dim, CAST(n * s2 - s * s AS BIGINT) AS var_num FROM per_dim),
+tot AS (SELECT CAST(sum(var_num) AS BIGINT) AS tv FROM v),
+ranked AS (
+    SELECT dim, var_num,
+           CAST((var_num * 1000000) // nullif(tv, 0) AS BIGINT) AS share_ppm,
+           row_number() OVER (ORDER BY var_num DESC, dim ASC) AS rank
+    FROM v CROSS JOIN tot
+)
+SELECT dim, var_num, share_ppm, rank,
+       CAST(sum(share_ppm) OVER (ORDER BY rank) AS BIGINT) AS cum_ppm,
+       (CASE WHEN sum(share_ppm) OVER (ORDER BY rank) - share_ppm
+                  < {PRUNE_COVERAGE_PPM}
+             THEN 1 ELSE 0 END)::INT AS keep
+FROM ranked
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
+    "embedding_dim_prune": embedding_dim_prune,
     "knn_topk_partitioned": knn_topk_partitioned,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,

@@ -356,3 +356,129 @@ def test_hard_negative_mining_all_same_label(spark, tmp_path):
     sdf = queries["hard_negative_mining"](spark, str(tmp_path))
     assert_matches_oracle(sdf, con, oracles["hard_negative_mining"])
     assert sdf.count() == 0
+
+
+# ----------------------------------------------------------- data_mix_plan
+def test_data_mix_plan_planted(spark, tmp_path):
+    """Heavy/light/empty sources: the heavy source must plan BELOW its
+    natural share (epochs < 1.0) and the light source above (> 1.0);
+    an all-empty-text source survives with zero tokens and NULL-guarded
+    ratios instead of a division error."""
+    rows = []
+    did = 0
+    for _ in range(40):  # heavy: 40 docs x 8 tokens = 320
+        did += 1
+        rows.append((did, "a b c d e f g h", "en", "heavy"))
+    for _ in range(2):  # light: 2 docs x 5 tokens = 10
+        did += 1
+        rows.append((did, "v w x y z", "en", "light"))
+    did += 1
+    rows.append((did, "", "en", "void"))  # zero tokens
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    sdf = queries["data_mix_plan"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["data_mix_plan"])
+    got = {r["source"]: r for r in sdf.collect()}
+    assert got["heavy"]["n_tokens"] == 320 and got["light"]["n_tokens"] == 10
+    # temperature flattening: heavy subsamples, light repeats
+    assert got["heavy"]["target_ppm"] < got["heavy"]["natural_ppm"]
+    assert got["light"]["target_ppm"] > got["light"]["natural_ppm"]
+    assert got["heavy"]["epochs_e4"] < 10000 < got["light"]["epochs_e4"]
+    # zero-token source: total row, null-guarded plan
+    assert got["void"]["n_tokens"] == 0 and got["void"]["natural_ppm"] == 0
+    assert got["void"]["epochs_e4"] is None
+    # python replay of the alpha weights
+    import math
+    q = {s: math.floor(math.sqrt(n) * 1000000) for s, n in
+         (("heavy", 320), ("light", 10), ("void", 0))}
+    tq = sum(q.values())
+    for s in ("heavy", "light", "void"):
+        assert got[s]["target_ppm"] == q[s] * 1000000 // tq
+
+
+# ----------------------------------------------------- embedding_dim_prune
+def test_embedding_dim_prune_planted(spark, tmp_path):
+    """3-dim corpus with variance concentrated in dim 1, a weaker dim 2,
+    and a CONSTANT dim 3 (zero variance): ranks must follow variance,
+    the constant dim must rank last with share 0 and keep governed by
+    the cumulative-coverage rule."""
+    vecs = [
+        (1, [1.0, 0.25, 0.5], 0),
+        (2, [-1.0, 0.0, 0.5], 0),
+        (3, [1.0, -0.25, 0.5], 1),
+        (4, [-1.0, 0.0, 0.5], 1),
+    ]
+    _write_embeddings(tmp_path, vecs)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["embeddings"])
+    sdf = queries["embedding_dim_prune"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["embedding_dim_prune"])
+    rows = {r["dim"]: r for r in sdf.collect()}
+    assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2 and rows[3]["rank"] == 3
+    assert rows[3]["var_num"] == 0 and rows[3]["share_ppm"] == 0
+    # python integer replay of dim 1's variance numerator
+    codes1 = [4096, -4096, 4096, -4096]
+    n = 4
+    assert rows[1]["var_num"] == n * sum(c * c for c in codes1) - sum(codes1) ** 2
+    # keep: dim 1 holds ~97% of variance, so dim 2 is still needed for
+    # 99% coverage; the constant dim is kept iff its predecessors are
+    # below the bar (here they are not)
+    assert rows[1]["keep"] == 1 and rows[2]["keep"] == 1
+    assert rows[3]["keep"] == 0
+    assert rows[3]["cum_ppm"] <= 1000000
+
+
+# ------------------------------------------------------ write_manifest_sim
+def test_write_manifest_null_keys_excluded(spark, tmp_path):
+    """NULL lang (would become the hive default-partition sentinel) and
+    NULL doc_id are excluded by contract; the checksum over the rest
+    must replay from pure python md5."""
+    import hashlib
+
+    rows = [
+        (1, "aa", "en", "s"),
+        (2, "bb", "en", "s"),
+        (3, "cc", "fr", "s"),
+        (None, "dd", "en", "s"),
+        (5, "ee", None, "s"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    sdf = queries["write_manifest_sim"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["write_manifest_sim"])
+    got = {r["lang"]: r for r in sdf.collect()}
+    assert set(got) == {"en", "fr"}  # NULL-key rows never published
+    assert got["en"]["n_rows"] == 2 and got["fr"]["n_rows"] == 1
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    assert got["en"]["checksum"] == bucket(1) + bucket(2)
+    assert got["fr"]["checksum"] == bucket(3)
+    assert got["en"]["min_key"] == 1 and got["en"]["max_key"] == 2
