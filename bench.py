@@ -203,6 +203,10 @@ HEADLINE = [
     "data_mix_plan",
     "embedding_dim_prune",
     "write_manifest_sim",
+    # round-11 fourth wave: Adamic-Adar link prediction over the
+    # co-purchase graph, log2-binned join-key skew diagnosis
+    "copurchase_adamic_adar",
+    "join_skew_report",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -1531,8 +1531,129 @@ ORACLE["dedup_cluster_stats"] = _dedup_cluster_stats_oracle()
 ORACLE["doc_dup_ratio_by_source"] = _doc_dup_ratio_oracle()
 ORACLE["dedup_token_savings"] = _dedup_token_savings_oracle()
 
+# ----------------------------------------------------------------- A20
+#: minimum shared neighbors before a candidate pair is scored/emitted
+AA_MIN_COMMON = 2
+#: how many predicted links the report surfaces
+AA_TOP = 20
+
+
+def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: top-20
+    NON-adjacent part pairs by Adamic–Adar index Σ_z 1/ln(deg z) over
+    their common neighbors z (Adamic & Adar 2003) — "parts never yet
+    bought together that the graph says will be": the
+    recommendation-candidate generator that complements
+    copurchase_lift's scoring of pairs that DO co-occur.
+
+    Scale design: candidates come only from wedges (pairs sharing ≥ 1
+    neighbor), never from the O(n²) non-edge set, and the
+    ``AA_MIN_COMMON`` support prune cuts the one-wedge tail before the
+    anti-join and ranking. The wedge mass Σ_z deg(z)² is the inherent
+    cost of exact AA (it IS the candidate set) and parallelizes per
+    center; a hub whose deg² mass breaks the task budget is exactly
+    what join_skew_report flags and per-center neighbor sampling would
+    cap — not silently applied here because the contract is exact.
+    Ranking is a distributed TakeOrderedAndProject over the pruned
+    candidate set; the rank window sees only the ≤ 20 finalists.
+
+    Cross-engine exactness: each 1/ln(deg z) addend folds through
+    DECIMAL(28,12) (order-independent sums), emitted as floor(·10⁶);
+    deg ≥ 2 for every wedge center so ln never hits 0.
+    """
+    from ..catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
+        .repartition("u")
+        .distinct()
+        .transform(pin)
+    )
+    adj = edges.select(F.col("u").alias("z"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    wedges = (
+        adj.alias("l")
+        .join(adj.alias("r"), "z")
+        .where(F.col("l.n") < F.col("r.n"))
+        .select("z", F.col("l.n").alias("u"), F.col("r.n").alias("v"))
+    )
+    scored = (
+        wedges.join(deg, "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                (F.lit(1.0) / F.log(F.col("d"))).cast("decimal(28,12)")
+            ).alias("saa"),
+        )
+        .where(F.col("n_common") >= AA_MIN_COMMON)
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.floor(F.col("saa").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("aa_e6"),
+        )
+    )
+    nonadj = scored.join(edges, ["u", "v"], "left_anti")
+    finalists = nonadj.orderBy(
+        F.desc("aa_e6"), F.asc("u"), F.asc("v")
+    ).limit(AA_TOP)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("aa_e6"), F.asc("u"), F.asc("v"))
+    # edges stays pinned for the result's lifetime (the anti-join reads
+    # it lazily at collect time) — the copurchase_triangles convention
+    return finalists.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "u", "v", "n_common", "aa_e6"
+    )
+
+
+ORACLE["copurchase_adamic_adar"] = f"""
+WITH edges AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+),
+adj AS (
+    SELECT u AS z, v AS n FROM edges
+    UNION ALL
+    SELECT v AS z, u AS n FROM edges
+),
+deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1),
+wedges AS (
+    SELECT l.z, l.n AS u, r.n AS v
+    FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n
+),
+scored AS (
+    SELECT w.u, w.v, count(*) AS n_common,
+           CAST(floor(sum(CAST(CAST(1.0 AS DOUBLE) / ln(d) AS DECIMAL(28,12)))::DOUBLE
+                      * 1000000) AS BIGINT) AS aa_e6
+    FROM wedges w JOIN deg ON deg.z = w.z
+    GROUP BY 1, 2
+    HAVING count(*) >= {AA_MIN_COMMON}
+),
+nonadj AS (
+    SELECT s.* FROM scored s
+    WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = s.u AND e.v = s.v)
+)
+SELECT rank, u, v, CAST(n_common AS BIGINT) AS n_common, aa_e6 FROM (
+    SELECT *, row_number() OVER (ORDER BY aa_e6 DESC, u ASC, v ASC) AS rank
+    FROM nonadj
+)
+WHERE rank <= {AA_TOP}
+"""
+
+
 QUERIES = {
     "jaccard_clusters": jaccard_clusters,
+    "copurchase_adamic_adar": copurchase_adamic_adar,
     "dedup_clusters": dedup_clusters,
     "dedup_keep_best": dedup_keep_best,
     "dedup_cluster_stats": dedup_cluster_stats,

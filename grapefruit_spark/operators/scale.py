@@ -148,6 +148,89 @@ ORDER BY s_nationkey
 """
 
 
+# ----------------------------------------------------------------- A13b
+#: rows a single reducer task should see before a key gets salted
+SKEW_TARGET_ROWS = 10_000
+
+
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the report a 100 TB operator reads
+    BEFORE picking a salting factor or trusting AQE's skew-join split:
+    the log₂-binned histogram of per-key weights for the
+    lineitem.l_partkey join axis (one row per occupied weight bin, so
+    the output is O(log max_weight) ≈ ≤ 40 rows at ANY scale), each bin
+    carrying its key count, row mass, row share in ppm, the heaviest
+    key inside the bin, and the salt factor ceil(max_weight /
+    SKEW_TARGET_ROWS) that bin's keys would need. A healthy key is
+    salt_factor = 1; the whale bins at the bottom of the report are the
+    keys AQE will split or salted_agg should spread.
+
+    Scale shape: one map-side-combined groupBy(key) collapses the fact
+    table to its key frame, a second O(bins) aggregate collapses that —
+    no windows, no sorts over the key frame (a global weight sort is
+    exactly the C34 anti-pattern this report replaces). The bin index
+    is the all-integer binary-length device, length(bin(w)) − 1 =
+    floor(log₂ w) with NO float log whose last-ulp could flip a
+    boundary key between engines.
+    """
+    from ..catalog import table
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_partkey").isNotNull())
+    keys = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("w"))
+    binned = keys.select(
+        (F.length(F.bin(F.col("w"))) - 1).cast("int").alias("bin"), "w"
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("w").cast("bigint").alias("n_rows"),
+        F.max("w").cast("bigint").alias("max_weight"),
+    )
+    tot = per_bin.agg(F.sum("n_rows").alias("t_rows"))
+    return (
+        per_bin.join(F.broadcast(tot))
+        .select(
+            "bin",
+            F.expr("shiftleft(cast(1 as bigint), bin)").alias("lo_weight"),
+            "n_keys",
+            "n_rows",
+            F.expr("(n_rows * 1000000L) div nullif(t_rows, 0)").alias("rows_ppm"),
+            "max_weight",
+            F.expr(
+                f"(max_weight + {SKEW_TARGET_ROWS - 1}L) div {SKEW_TARGET_ROWS}L"
+            ).alias("salt_factor"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE["join_skew_report"] = f"""
+WITH keys AS (
+    SELECT l_partkey, count(*) AS w
+    FROM lineitem WHERE l_partkey IS NOT NULL
+    GROUP BY 1
+),
+per_bin AS (
+    SELECT (length(format('{{:b}}', w)) - 1)::INT AS bin,
+           count(*) AS n_keys,
+           CAST(sum(w) AS BIGINT) AS n_rows,
+           CAST(max(w) AS BIGINT) AS max_weight
+    FROM keys GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t_rows FROM per_bin)
+SELECT bin,
+       (1::BIGINT << bin) AS lo_weight,
+       n_keys,
+       n_rows,
+       CAST((n_rows * 1000000) // nullif(t_rows, 0) AS BIGINT) AS rows_ppm,
+       max_weight,
+       CAST((max_weight + {SKEW_TARGET_ROWS - 1}) // {SKEW_TARGET_ROWS} AS BIGINT)
+           AS salt_factor
+FROM per_bin CROSS JOIN tot
+ORDER BY bin
+"""
+
+
 QUERIES = {
     "scale_skew_sim": scale_skew_sim,
+    "join_skew_report": join_skew_report,
 }

@@ -482,3 +482,79 @@ def test_write_manifest_null_keys_excluded(spark, tmp_path):
     assert got["en"]["checksum"] == bucket(1) + bucket(2)
     assert got["fr"]["checksum"] == bucket(3)
     assert got["en"]["min_key"] == 1 and got["en"]["max_key"] == 2
+
+
+# ------------------------------------------------------- join_skew_report
+def test_join_skew_report_planted(spark, tmp_path):
+    """Hand-built key weights: 1-row key (bin 0), two 3-row keys
+    (bin 1), and a 25k-row whale (bin 14, salt factor 3 at the 10k
+    target) — replayed in pure python."""
+    keys = [(1, 1), (2, 3), (3, 3), (4, 25000)]
+    ok, pk = [], []
+    oid = 0
+    for k, w in keys:
+        for _ in range(w):
+            oid += 1
+            ok.append(oid)
+            pk.append(k)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "l_partkey": pa.array(pk, pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["lineitem"])
+    sdf = queries["join_skew_report"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["join_skew_report"])
+    rows = {r["bin"]: r for r in sdf.collect()}
+    assert set(rows) == {0, 1, 14}  # 2^14 = 16384 <= 25000 < 2^15
+    assert rows[0]["n_keys"] == 1 and rows[0]["n_rows"] == 1
+    assert rows[0]["salt_factor"] == 1 and rows[0]["lo_weight"] == 1
+    assert rows[1]["n_keys"] == 2 and rows[1]["n_rows"] == 6
+    assert rows[14]["max_weight"] == 25000
+    assert rows[14]["salt_factor"] == 3  # ceil(25000 / 10000)
+    total = 1 + 6 + 25000
+    assert rows[14]["rows_ppm"] == 25000 * 1000000 // total
+
+
+# ------------------------------------------------- copurchase_adamic_adar
+def test_copurchase_adamic_adar_planted(spark, tmp_path):
+    """Planted basket graph: the non-adjacent pair (10, 11) shares the
+    two hubs {1, 2} (deg 3 each) and must be the ONLY prediction —
+    pair (1, 2) has the same two common neighbors but IS an edge
+    (anti-joined), and (20, 21) shares only one neighbor (pruned by
+    AA_MIN_COMMON = 2)."""
+    import math
+
+    baskets = [
+        (101, 1), (101, 10),
+        (102, 1), (102, 11),
+        (103, 2), (103, 10),
+        (104, 2), (104, 11),
+        (105, 1), (105, 2),     # makes (1,2) adjacent
+        (106, 20), (106, 30),
+        (107, 21), (107, 30),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([b[0] for b in baskets], pa.int64()),
+                "l_partkey": pa.array([b[1] for b in baskets], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["lineitem"])
+    sdf = queries["copurchase_adamic_adar"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["copurchase_adamic_adar"])
+    rows = sdf.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["u"], r["v"], r["rank"], r["n_common"]) == (10, 11, 1, 2)
+    # AA = 2 / ln(3): hubs 1 and 2 each have degree 3
+    assert abs(r["aa_e6"] - 2 / math.log(3) * 1_000_000) <= 2
