@@ -523,14 +523,16 @@ def test_join_skew_report_planted(spark, tmp_path):
 
 # ------------------------------------------------- copurchase_adamic_adar
 def test_copurchase_adamic_adar_planted(spark, tmp_path):
-    """Planted basket graph: the non-adjacent pair (10, 11) shares the
-    two hubs {1, 2} (deg 3 each) and must be the ONLY prediction —
-    pair (1, 2) has the same two common neighbors but IS an edge
-    (anti-joined), and (20, 21) shares only one neighbor (pruned by
-    AA_MIN_COMMON = 2)."""
+    """Planted basket graph (every basket staged TWICE so its pairs
+    clear AA_EDGE_SUPPORT = 2, plus one single-occurrence basket whose
+    edge must be pruned as noise): the non-adjacent pair (10, 11)
+    shares the two hubs {1, 2} (deg 3 each) and ranks first; (20, 21)
+    shares one neighbor and ranks second; (1, 2) has the same common
+    neighbors as (10, 11) but IS an edge (anti-joined); the noise edge
+    (40, 41) never creates candidates."""
     import math
 
-    baskets = [
+    base = [
         (101, 1), (101, 10),
         (102, 1), (102, 11),
         (103, 2), (103, 10),
@@ -539,6 +541,10 @@ def test_copurchase_adamic_adar_planted(spark, tmp_path):
         (106, 20), (106, 30),
         (107, 21), (107, 30),
     ]
+    baskets = []
+    for rep in (0, 1000):  # two distinct orders per basket: support 2
+        baskets += [(oid + rep, p) for oid, p in base]
+    baskets += [(999, 40), (999, 41)]  # support-1 noise edge
     pq.write_table(
         pa.table(
             {
@@ -552,9 +558,12 @@ def test_copurchase_adamic_adar_planted(spark, tmp_path):
     con = _duck_for(str(tmp_path), ["lineitem"])
     sdf = queries["copurchase_adamic_adar"](spark, str(tmp_path))
     assert_matches_oracle(sdf, con, oracles["copurchase_adamic_adar"])
-    rows = sdf.collect()
-    assert len(rows) == 1
-    r = rows[0]
-    assert (r["u"], r["v"], r["rank"], r["n_common"]) == (10, 11, 1, 2)
-    # AA = 2 / ln(3): hubs 1 and 2 each have degree 3
-    assert abs(r["aa_e6"] - 2 / math.log(3) * 1_000_000) <= 2
+    rows = sorted(sdf.collect(), key=lambda r: r["rank"])
+    assert [(r["u"], r["v"], r["rank"], r["n_common"]) for r in rows] == [
+        (10, 11, 1, 2),
+        (20, 21, 2, 1),
+    ]
+    # AA(10,11) = 2/ln 3 (hubs 1 and 2, degree 3); AA(20,21) = 1/ln 2
+    assert abs(rows[0]["aa_e6"] - 2 / math.log(3) * 1_000_000) <= 2
+    assert abs(rows[1]["aa_e6"] - 1 / math.log(2) * 1_000_000) <= 2
+    assert all(40 not in (r["u"], r["v"]) for r in rows)
