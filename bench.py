@@ -207,6 +207,10 @@ HEADLINE = [
     # co-purchase graph, log2-binned join-key skew diagnosis
     "copurchase_adamic_adar",
     "join_skew_report",
+    # IVF recall-vs-probes tuning curve (one k-means train, four probe
+    # points, exact baseline computed once — contains a knn_bruteforce
+    # plus four probe-sliced rescans by design)
+    "knn_probe_curve",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -298,7 +298,11 @@ def _cell_ranking(vec: F.Column, centroids: list[tuple[int, list[float]]]) -> F.
     return rank_cells(vec)
 
 
-def _ivf_knn(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+def _ivf_knn(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    probes: int = IVF_PROBES,
+) -> DataFrame:
     """Shared IVF probe/score/rank given a driver-side centroid list
     (≤ IVF_CELLS entries — a few KB, bounded by design)."""
     ranking = _cell_ranking(F.col("embedding"), centroids)
@@ -307,16 +311,16 @@ def _ivf_knn(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFr
         F.col("embedding").alias("cvec"),
         F.element_at(ranking, 1).alias("cell"),
     )
-    probes = (
+    probe_rows = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qvec"),
-            F.explode(F.slice(ranking, 1, IVF_PROBES)).alias("cell"),
+            F.explode(F.slice(ranking, 1, probes)).alias("cell"),
         )
     )
     scored = (
-        corpus.join(broadcast(probes), "cell")
+        corpus.join(broadcast(probe_rows), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6))
     )
@@ -375,10 +379,10 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_knn(emb, centroids)
 
 
-def _ivf_probe_sql(cent_rel: str) -> str:
+def _ivf_probe_sql(cent_rel: str, probes: int = IVF_PROBES) -> str:
     """Shared IVF probe/score/rank SQL suffix given a centroid CTE named
     ``cent_rel`` (cluster, cent) — mirrors _ivf_knn: cosine cell ranking
-    with ties to the lower cell, top-1 cell per corpus row, IVF_PROBES
+    with ties to the lower cell, top-1 cell per corpus row, ``probes``
     cells per query, exact rescoring of in-cell candidates."""
     return f"""
 ranked_cells AS (
@@ -396,7 +400,7 @@ corpus AS (
 ),
 probes AS (
     SELECT vec_id AS query_id, emb AS qvec, cell
-    FROM ranked_cells WHERE rn <= {IVF_PROBES} AND vec_id < {N_QUERIES}
+    FROM ranked_cells WHERE rn <= {probes} AND vec_id < {N_QUERIES}
 ),
 scored AS (
     SELECT p.query_id, c.neighbor_id,
@@ -413,11 +417,11 @@ WHERE rank <= {TOP_K}
 """
 
 
-def _ivf_trained_oracle() -> str:
+def _ivf_trained_oracle(probes: int = IVF_PROBES) -> str:
     from .ml import _kmeans_cte
 
     return _kmeans_cte(k=IVF_CELLS, iters=IVF_TRAIN_ITERS) + _ivf_probe_sql(
-        f"c{IVF_TRAIN_ITERS}"
+        f"c{IVF_TRAIN_ITERS}", probes=probes
     )
 
 
@@ -1228,6 +1232,89 @@ ORDER BY metric, k
 """
 
 
+# ------------------------------------------------------------------ D75
+#: probe counts the tuning curve sweeps (IVF_PROBES = 3 sits inside)
+PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def knn_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall-vs-probes tuning curve: per-query recall@k of the
+    TRAINED IVF index at every probe count in ``PROBE_SWEEP`` — the
+    table that actually picks IVF_PROBES (FAISS's nprobe sweep): read
+    where the curve flattens, pay for exactly that many cells. One
+    32-row answer replaces four ad-hoc recall evals.
+
+    Scale: k-means trains ONCE (the bounded kmeans_fit driver fold) and
+    the same centroid literals drive all sweep points, so the corpus's
+    cell assignment replays as a narrow map per point — no per-point
+    re-training, no extra corpus shuffles beyond each point's bounded
+    candidate scoring (probed cells × queries). The exact baseline is
+    computed once and joined against each point's top-k; every frame
+    after scoring is O(|queries| × k).
+
+    Recall is exact-integer ppm (the knn_*_recall_eval contract); the
+    monotonicity of recall in probe count is pinned by pytest — a
+    non-monotone curve means the cell ranking and the probe slice
+    disagree, the bug class this operator exists to catch.
+    """
+    from .ml import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(
+        spark, emb.select("vec_id", "embedding"), k=IVF_CELLS, iters=IVF_TRAIN_ITERS
+    )
+    centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    curves = []
+    for p in PROBE_SWEEP:
+        approx = (
+            _ivf_knn(emb, centroids, probes=p)
+            .select("query_id", "neighbor_id")
+            .withColumn("hit", F.lit(1))
+        )
+        curves.append(
+            exact.join(broadcast(approx), ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            )
+            .select(
+                F.lit(p).cast("int").alias("probes"),
+                "query_id",
+                "k",
+                "n_hit",
+                F.expr("(n_hit * 1000000L) div k").alias("recall_ppm"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def _probe_point_oracle(p: int) -> str:
+    return f"""
+SELECT {p}::INT AS probes, query_id,
+       count(*)::BIGINT AS k,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM (
+    SELECT e.query_id,
+           CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM ({ORACLE["knn_bruteforce"]}) e
+    LEFT JOIN ({_ivf_trained_oracle(probes=p)}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+GROUP BY query_id
+"""
+
+
+ORACLE["knn_probe_curve"] = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_probe_point_oracle(p)})" for p in PROBE_SWEEP
+)
+
+
 # ------------------------------------------------------------------ D71
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training (the DPR / ANCE
@@ -1557,4 +1644,5 @@ QUERIES = {
     "knn_ivfsq_recall_eval": knn_ivfsq_recall_eval,
     "embedding_covariance": embedding_covariance,
     "hard_negative_mining": hard_negative_mining,
+    "knn_probe_curve": knn_probe_curve,
 }

@@ -567,3 +567,21 @@ def test_copurchase_adamic_adar_planted(spark, tmp_path):
     assert abs(rows[0]["aa_e6"] - 2 / math.log(3) * 1_000_000) <= 2
     assert abs(rows[1]["aa_e6"] - 1 / math.log(2) * 1_000_000) <= 2
     assert all(40 not in (r["u"], r["v"]) for r in rows)
+
+
+# ----------------------------------------------------- knn_probe_curve
+def test_knn_probe_curve_monotone_and_bounded(spark, duck):
+    """On the real sf0.001 tables: per-query recall must be monotone
+    non-decreasing in probe count (more cells can only add candidates)
+    and every sweep point obeys 0 <= n_hit <= k."""
+    queries, oracles = _entry()
+    sdf = queries["knn_probe_curve"](spark, "/root/testdata/sf0.001")
+    assert_matches_oracle(sdf, duck, oracles["knn_probe_curve"])
+    rows = sdf.collect()
+    by_q: dict[int, dict[int, int]] = {}
+    for r in rows:
+        assert 0 <= r["n_hit"] <= r["k"]
+        by_q.setdefault(r["query_id"], {})[r["probes"]] = r["recall_ppm"]
+    for qid, curve in by_q.items():
+        ordered = [curve[p] for p in sorted(curve)]
+        assert ordered == sorted(ordered), (qid, curve)

@@ -461,3 +461,47 @@ def test_source_cap_rank_is_bucket_bounded(spark):
         assert re.match(r"source#\d+, b#\d+L, h#", spec), (
             "ranking window not (source, bucket)-partitioned: " + spec
         )
+
+
+def test_bpe_pair_stats_topk_is_distributed(spark):
+    """The top-30 must plan as TakeOrderedAndProject (distributed
+    per-partition top-k + tiny merge), so the rank window only ever
+    sees the finalists — never a single-partition sort of the full
+    pair frame."""
+    from grapefruit_spark.operators.text import bpe_pair_stats
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(bpe_pair_stats(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_adamic_adar_topk_is_distributed_and_no_cartesian(spark):
+    """Link-prediction ranking must be a distributed TakeOrdered; the
+    wedge/anti joins must be equi joins (no nested-loop/cartesian)."""
+    from grapefruit_spark.operators.graph import copurchase_adamic_adar
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(copurchase_adamic_adar(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_join_skew_report_no_windows(spark):
+    """The skew histogram must be pure aggregation: NO window anywhere
+    (a global weight sort/rank over the key frame is the C34
+    anti-pattern this report exists to replace)."""
+    from grapefruit_spark.operators.scale import join_skew_report
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(join_skew_report(spark, SF_DIR))
+    assert "windowspecdefinition" not in plan, plan[:800]
+
+
+def test_dsir_rate_join_broadcasts(spark):
+    """The 256-row log-ratio table must broadcast into the per-doc
+    scoring agg — the corpus side never shuffles for the join."""
+    from grapefruit_spark.operators.search import dsir_importance
+    from grapefruit_spark.plans import assert_broadcast_join
+
+    assert_broadcast_join(dsir_importance(spark, SF_DIR))

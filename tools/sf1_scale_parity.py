@@ -98,6 +98,15 @@ HEAVIES = [
     # r11: the pareto rewrite's range-partitioned rank must be proven at
     # 10x the gate scale (1M events / 10k users), like the CC pair was
     "events_pareto_share",
+    # r11 second session: the corpus-shuffling DSIR scorer, the
+    # distinct-word BPE collapse (disjoint vocab per replica -> 10x the
+    # word table), the support-pruned AA wedge path, the log2 skew
+    # histogram over the 6M-row fact, and the user-keyed type entropy
+    "dsir_importance",
+    "bpe_pair_stats",
+    "copurchase_adamic_adar",
+    "join_skew_report",
+    "events_type_entropy",
 ]
 
 _AB = "abcdefghijklmnopqrstuvwxyz"
