@@ -211,6 +211,8 @@ HEADLINE = [
     # points, exact baseline computed once — contains a knn_bruteforce
     # plus four probe-sliced rescans by design)
     "knn_probe_curve",
+    # charset-class QC profile (one narrow scan, regexp-length counts)
+    "doc_charset_stats",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -897,9 +897,86 @@ WHERE rank <= {BPE_TOP_PAIRS}
 """
 
 
+# ------------------------------------------------------------------ D76
+def doc_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profile per document — the charset-level QC that
+    catches what token-level heuristics miss: base64/hash blobs (digit
+    + other heavy), SHOUTING boilerplate (upper-in-alpha share),
+    markup/code dumps (low alpha share). CCNet/RefinedWeb-class
+    pipelines gate on exactly these ratios before any model-based
+    scoring, because they are one scan and kill the worst garbage
+    first.
+
+    Single narrow scan, zero shuffles, zero UDFs: each class count is
+    one regexp_replace-length expression (the doc_quality device), all
+    emission integer ppm via bigint div with nullif on empty docs;
+    `is_texty` pins the alpha ≥ 50% cut as an integer
+    cross-multiplication. Character classes are ASCII ([a-zA-Z], [0-9],
+    whitespace) so Java regex and RE2 agree byte-for-byte.
+    """
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "t", F.coalesce(F.col("text"), F.lit(""))
+    )
+    n = F.length("t")
+    alpha = n - F.length(F.regexp_replace("t", "[a-zA-Z]", ""))
+    upper = n - F.length(F.regexp_replace("t", "[A-Z]", ""))
+    digit = n - F.length(F.regexp_replace("t", "[0-9]", ""))
+    ws = n - F.length(F.regexp_replace("t", r"\s", ""))
+    base = docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        alpha.cast("bigint").alias("n_alpha"),
+        upper.cast("bigint").alias("n_upper"),
+        digit.cast("bigint").alias("n_digit"),
+        ws.cast("bigint").alias("n_ws"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        F.expr("(n_alpha * 1000000L) div nullif(n_chars, 0)").alias("alpha_ppm"),
+        F.expr("(n_upper * 1000000L) div nullif(n_alpha, 0)").alias(
+            "upper_in_alpha_ppm"
+        ),
+        F.expr("(n_digit * 1000000L) div nullif(n_chars, 0)").alias("digit_ppm"),
+        F.expr("(n_ws * 1000000L) div nullif(n_chars, 0)").alias("ws_ppm"),
+        F.expr(
+            "((n_chars - n_alpha - n_digit - n_ws) * 1000000L) div nullif(n_chars, 0)"
+        ).alias("other_ppm"),
+        (F.col("n_alpha") * 2 >= F.col("n_chars")).alias("is_texty"),
+    )
+
+
+ORACLE["doc_charset_stats"] = """
+WITH base AS (
+    SELECT doc_id,
+           length(coalesce(text, '')) AS n_chars,
+           length(coalesce(text, ''))
+             - length(regexp_replace(coalesce(text, ''), '[a-zA-Z]', '', 'g')) AS n_alpha,
+           length(coalesce(text, ''))
+             - length(regexp_replace(coalesce(text, ''), '[A-Z]', '', 'g')) AS n_upper,
+           length(coalesce(text, ''))
+             - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS n_digit,
+           length(coalesce(text, ''))
+             - length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS n_ws
+    FROM documents
+)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       CAST((n_alpha * 1000000) // nullif(n_chars, 0) AS BIGINT) AS alpha_ppm,
+       CAST((n_upper * 1000000) // nullif(n_alpha, 0) AS BIGINT) AS upper_in_alpha_ppm,
+       CAST((n_digit * 1000000) // nullif(n_chars, 0) AS BIGINT) AS digit_ppm,
+       CAST((n_ws * 1000000) // nullif(n_chars, 0) AS BIGINT) AS ws_ppm,
+       CAST(((n_chars - n_alpha - n_digit - n_ws) * 1000000) // nullif(n_chars, 0)
+            AS BIGINT) AS other_ppm,
+       (n_alpha * 2 >= n_chars) AS is_texty
+FROM base
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "bpe_pair_stats": bpe_pair_stats,
+    "doc_charset_stats": doc_charset_stats,
     "doc_repetition_stats": doc_repetition_stats,
     "langid_confusion": langid_confusion,
     "vocab_growth": vocab_growth,

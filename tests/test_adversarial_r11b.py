@@ -585,3 +585,49 @@ def test_knn_probe_curve_monotone_and_bounded(spark, duck):
     for qid, curve in by_q.items():
         ordered = [curve[p] for p in sorted(curve)]
         assert ordered == sorted(ordered), (qid, curve)
+
+
+# ----------------------------------------------------- doc_charset_stats
+def test_doc_charset_stats_planted(spark, tmp_path):
+    """Shouting text, a digit/symbol blob, empty and NULL docs, and a
+    non-ASCII doc (accents count as OTHER, not alpha — both regex
+    engines are ASCII-classed) — replayed in pure python."""
+    rows = [
+        (1, "HELLO WORLD", "en"),           # upper-heavy, texty
+        (2, "a1b2== ++ 99389131//", "en"),  # blob: digits+symbols
+        (3, "", "en"),                      # empty: every ratio NULL
+        (4, None, "en"),                    # NULL == empty by coalesce
+        (5, "café naïve", "fr"),  # accents -> other
+    ]
+    _write_docs(tmp_path, rows)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    sdf = queries["doc_charset_stats"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["doc_charset_stats"])
+    got = {r["doc_id"]: r for r in sdf.collect()}
+
+    def replay(t):
+        import re
+        n = len(t)
+        alpha = len(re.findall(r"[a-zA-Z]", t))
+        upper = len(re.findall(r"[A-Z]", t))
+        digit = len(re.findall(r"[0-9]", t))
+        ws = len(re.findall(r"[\t\n\x0b\f\r ]", t))
+        return n, alpha, upper, digit, ws
+
+    for did, text in ((1, "HELLO WORLD"), (2, "a1b2== ++ 99389131//"),
+                      (5, "café naïve")):
+        n, alpha, upper, digit, ws = replay(text)
+        r = got[did]
+        assert r["n_chars"] == n
+        assert r["alpha_ppm"] == alpha * 1000000 // n
+        assert r["upper_in_alpha_ppm"] == (upper * 1000000 // alpha if alpha else None)
+        assert r["digit_ppm"] == digit * 1000000 // n
+        assert r["other_ppm"] == (n - alpha - digit - ws) * 1000000 // n
+        assert r["is_texty"] == (alpha * 2 >= n)
+    for empty in (3, 4):
+        assert got[empty]["n_chars"] == 0
+        assert got[empty]["alpha_ppm"] is None
+        assert got[empty]["is_texty"]  # 0 >= 0: vacuously texty, pinned
+    # accents are NOT ascii-alpha: doc 5 has other_ppm > 0
+    assert got[5]["other_ppm"] > 0
