@@ -213,6 +213,9 @@ HEADLINE = [
     "knn_probe_curve",
     # charset-class QC profile (one narrow scan, regexp-length counts)
     "doc_charset_stats",
+    # LSH band-shape tuning curve (three band joins over one signature
+    # build — the MinHash twin of knn_probe_curve)
+    "minhash_band_curve",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -524,15 +524,17 @@ def _minhash_sig_ctes(src: str, prefix: str, seed: int = 42) -> str:
 ),"""
 
 
-def _band_cte(sigs: str, name: str) -> str:
+def _band_cte(
+    sigs: str, name: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> str:
     """Band-key CTE over a sigs relation; keys are the band slice values
     (the Spark side hashes the slice — injective w.h.p., so collision
     sets agree). Trailing comma for composition."""
-    r = LSH_ROWS
+    r = rows
     return f"""{name} AS (
     SELECT doc_id, b.i AS band,
            array_to_string(sig[{r} * b.i + 1 : {r} * b.i + {r}], ',') AS key
-    FROM {sigs}, (SELECT unnest(range({LSH_BANDS})) AS i) b
+    FROM {sigs}, (SELECT unnest(range({bands})) AS i) b
 ),"""
 
 
@@ -1096,8 +1098,156 @@ FROM (
 """
 
 
+# ------------------------------------------------------------------ D77
+#: (bands, rows) configs swept — all factorizations of NUM_PERM the
+#: production threshold debate is actually between (r=2 permissive,
+#: r=4 the deployed 16×4, r=8 strict)
+BAND_SWEEP = ((32, 2), (16, 4), (8, 8))
+
+
+def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-shape tuning curve — the datasketch/FAISS-style sweep
+    that picks (bands, rows) for a target Jaccard threshold: with the
+    SAME 64-perm signatures, each (b, r) factorization detects a pair
+    of similarity s with probability 1 − (1 − s^r)^b, so r=2 is the
+    permissive recall end and r=8 the strict precision end. Per config
+    this reports the candidate volume (what the band join pays), the
+    verified pairs (est ≥ τ among candidates), and recall against the
+    UNION of verified pairs across the sweep — banding detection
+    isolated from estimator error (minhash_est_error's axis), the two
+    numbers a dedup deployment trades off.
+
+    Scale: signatures build ONCE (persisted, same O(corpus) pass as
+    dedup_minhash) and each sweep point pays only its own O(n·b) band
+    shuffle + candidate join — candidates carry ids only, signatures
+    rejoin per config for the verify. The union frame is
+    O(verified pairs). No O(n²) anywhere; the truth set is the
+    retrievable-from-signatures set, which is exactly what band tuning
+    decides between.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = minhash_signatures(table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs.count()
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(NUM_PERM)),
+        6,
+    )
+    per_cfg = []
+    verified_frames = []
+    for b, r in BAND_SWEEP:
+        banded = sigs.select(
+            "doc_id", F.explode(band_keys(F.col("sig"), b, r)).alias("bk")
+        )
+        x, y = banded.alias("x"), banded.alias("y")
+        cands = (
+            x.join(
+                y,
+                (F.col("x.bk") == F.col("y.bk"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        scored = (
+            cands.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", (est >= MINHASH_TAU).alias("ok"))
+        )
+        verified_frames.append(
+            scored.where("ok").select("doc_a", "doc_b")
+        )
+        per_cfg.append(
+            scored.agg(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.when(F.col("ok"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_verified"),
+            )
+        )
+    union_verified = verified_frames[0]
+    for fr in verified_frames[1:]:
+        union_verified = union_verified.unionAll(fr)
+    n_union = union_verified.distinct().agg(
+        F.count(F.lit(1)).alias("n_union")
+    )
+    out = per_cfg[0]
+    for c in per_cfg[1:]:
+        out = out.unionAll(c)
+    return out.join(F.broadcast(n_union)).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_verified",
+        "n_union",
+        F.expr("(n_verified * 1000000L) div nullif(n_union, 0)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+def _band_curve_oracle(seed: int = 42) -> str:
+    cfg_ctes, stat_rows, v_names = [], [], []
+    for b, r in BAND_SWEEP:
+        n = f"b{b}"
+        cfg_ctes.append(_band_cte("sigs", f"{n}_bands", bands=b, rows=r))
+        cfg_ctes.append(
+            f"""{n}_cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM {n}_bands a JOIN {n}_bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+{n}_scored AS (
+    SELECT c.doc_a, c.doc_b, ({_EST_SQL} >= {MINHASH_TAU}) AS ok
+    FROM {n}_cands c
+    JOIN sigs sa ON c.doc_a = sa.doc_id
+    JOIN sigs sb ON c.doc_b = sb.doc_id
+),"""
+        )
+        v_names.append(f"SELECT doc_a, doc_b FROM {n}_scored WHERE ok")
+        stat_rows.append(
+            f"""SELECT {b}::INT AS bands, {r}::INT AS rows_per_band,
+       count(*)::BIGINT AS n_candidates,
+       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+FROM {n}_scored"""
+        )
+    union_cte = f"""u AS (
+    SELECT count(*)::BIGINT AS n_union FROM (
+        {" UNION ".join(v_names)}
+    )
+)"""
+    stats = " UNION ALL ".join(f"({s})" for s in stat_rows)
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                       t -> length(t) > 0) AS tks
+    FROM documents
+),
+{_minhash_sig_ctes("tk", "", seed)}
+{"".join(cfg_ctes)}
+{union_cte}
+SELECT bands, rows_per_band, n_candidates, n_verified, n_union,
+       CAST((n_verified * 1000000) // nullif(n_union, 0) AS BIGINT) AS recall_ppm
+FROM ({stats}) CROSS JOIN u
+"""
+
+
+ORACLE["minhash_band_curve"] = _band_curve_oracle()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "minhash_band_curve": minhash_band_curve,
     "dup_span_docs": dup_span_docs,
     "dedup_spans_apply": dedup_spans_apply,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,

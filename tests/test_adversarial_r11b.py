@@ -631,3 +631,43 @@ def test_doc_charset_stats_planted(spark, tmp_path):
         assert got[empty]["is_texty"]  # 0 >= 0: vacuously texty, pinned
     # accents are NOT ascii-alpha: doc 5 has other_ppm > 0
     assert got[5]["other_ppm"] > 0
+
+
+# --------------------------------------------------- minhash_band_curve
+def test_minhash_band_curve_invariants(spark, tmp_path):
+    """Mid-similarity corpus (mutated copies at varying overlap): per
+    config verified <= candidates and recall_ppm <= 1e6; the (16, 4)
+    sweep point must agree EXACTLY with the deployed dedup_minhash
+    pipeline's verified pair count (same signatures, same banding);
+    the union covers every config's verified set."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    did = 0
+    for base in range(6):
+        words = [vocab[rng.randrange(50)] for _ in range(40)]
+        did += 1
+        rows.append((did, " ".join(words), "en"))
+        # mutated copy: overlap tuned to straddle the tau=0.5 boundary
+        mut = list(words)
+        for _ in range(rng.randrange(4, 14)):
+            mut[rng.randrange(40)] = vocab[rng.randrange(50)]
+        did += 1
+        rows.append((did, " ".join(mut), "en"))
+    _write_docs(tmp_path, rows)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    sdf = queries["minhash_band_curve"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["minhash_band_curve"])
+    got = {r["bands"]: r for r in sdf.collect()}
+    assert set(got) == {32, 16, 8}
+    n_union = {r["n_union"] for r in got.values()}
+    assert len(n_union) == 1
+    for r in got.values():
+        assert r["n_verified"] <= r["n_candidates"]
+        assert r["n_verified"] <= r["n_union"]
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+    deployed = queries["dedup_minhash"](spark, str(tmp_path)).count()
+    assert got[16]["n_verified"] == deployed
