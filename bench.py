@@ -216,6 +216,8 @@ HEADLINE = [
     # LSH band-shape tuning curve (three band joins over one signature
     # build — the MinHash twin of knn_probe_curve)
     "minhash_band_curve",
+    # deterministic A/B experiment readout (one user-keyed agg)
+    "events_ab_lift",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -1476,9 +1476,102 @@ ORDER BY user_id
 """
 
 
+# ----------------------------------------------------------------- C37
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over the event log: users split into two
+    arms by the deterministic md5 hash of user_id (the same device the
+    split/sample family uses — assignment is a pure function of the
+    key, so any backfill or re-run reproduces it), conversion = the
+    user emitted ≥ 1 'purchase' event. One row: per-arm user counts,
+    converted counts, conversion in ppm, the lift in ppm, and the
+    exact-integer cross-product difference c_b·n_a − c_a·n_b whose sign
+    is the lift direction with ZERO rounding anywhere — the
+    deterministic significance-direction probe (the z-test numerator's
+    integer core) that needs no sqrt and therefore no cross-engine
+    libm exposure.
+
+    Scale: one map-side-combined per-user aggregate (the corpus's only
+    shuffle, keyed on the user axis), a narrow hash-bucket map, then a
+    2-group aggregate folded to one broadcast-size row. No windows, no
+    joins against unbounded sides.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+        ).alias("converted")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    armed = per_user.select(
+        F.when(bucket % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        "converted",
+    )
+    return armed.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.expr("(c_a * 1000000L) div nullif(n_a, 0)").alias("conv_a_ppm"),
+        F.expr("(c_b * 1000000L) div nullif(n_b, 0)").alias("conv_b_ppm"),
+        F.expr(
+            "((c_b * 1000000L) div nullif(n_b, 0))"
+            " - ((c_a * 1000000L) div nullif(n_a, 0))"
+        ).alias("lift_ppm"),
+        (F.col("c_b") * F.col("n_a") - F.col("c_a") * F.col("n_b")).alias(
+            "cross_diff"
+        ),
+    )
+
+
+ORACLE["events_ab_lift"] = """
+WITH per_user AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY 1
+),
+armed AS (
+    SELECT CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 2 = 0
+                THEN 'A' ELSE 'B' END AS arm,
+           converted
+    FROM per_user
+),
+agg AS (
+    SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+           CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS c_b
+    FROM armed
+)
+SELECT n_a, n_b, c_a, c_b,
+       CAST((c_a * 1000000) // nullif(n_a, 0) AS BIGINT) AS conv_a_ppm,
+       CAST((c_b * 1000000) // nullif(n_b, 0) AS BIGINT) AS conv_b_ppm,
+       CAST(((c_b * 1000000) // nullif(n_b, 0))
+            - ((c_a * 1000000) // nullif(n_a, 0)) AS BIGINT) AS lift_ppm,
+       CAST(c_b * n_a - c_a * n_b AS BIGINT) AS cross_diff
+FROM agg
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "events_type_entropy": events_type_entropy,
+    "events_ab_lift": events_ab_lift,
     "stream_markov_sim": stream_markov_sim,
     "events_value_mad": events_value_mad,
     "events_state_intervals": events_state_intervals,

@@ -671,3 +671,63 @@ def test_minhash_band_curve_invariants(spark, tmp_path):
         assert 0 <= r["recall_ppm"] <= 1_000_000
     deployed = queries["dedup_minhash"](spark, str(tmp_path)).count()
     assert got[16]["n_verified"] == deployed
+
+
+# -------------------------------------------------------- events_ab_lift
+def _write_events_typed(d, rows):
+    """rows: (user_id, event_type)"""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(len(rows))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+
+
+def test_events_ab_lift_planted(spark, tmp_path):
+    """Users planted so conversion differs by arm; the md5 arm
+    assignment and every count replay in pure python."""
+    import hashlib
+
+    def arm(u: int) -> str:
+        return "A" if int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2 == 0 else "B"
+
+    rows = []
+    # 30 users; convert exactly those with u % 3 == 0
+    for u in range(1, 31):
+        rows.append((u, "view"))
+        if u % 3 == 0:
+            rows.append((u, "purchase"))
+    _write_events_typed(tmp_path, rows)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["events"])
+    sdf = queries["events_ab_lift"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["events_ab_lift"])
+    r = sdf.collect()[0]
+    exp = {"A": [0, 0], "B": [0, 0]}  # [users, converted]
+    for u in range(1, 31):
+        a = arm(u)
+        exp[a][0] += 1
+        exp[a][1] += 1 if u % 3 == 0 else 0
+    assert (r["n_a"], r["c_a"]) == tuple(exp["A"])
+    assert (r["n_b"], r["c_b"]) == tuple(exp["B"])
+    assert r["conv_a_ppm"] == exp["A"][1] * 1000000 // exp["A"][0]
+    assert r["cross_diff"] == exp["B"][1] * exp["A"][0] - exp["A"][1] * exp["B"][0]
+
+
+def test_events_ab_lift_empty(spark, tmp_path):
+    _write_events_typed(tmp_path, [])
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["events"])
+    sdf = queries["events_ab_lift"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["events_ab_lift"])
