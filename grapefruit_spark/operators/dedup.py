@@ -1117,13 +1117,18 @@ def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolated from estimator error (minhash_est_error's axis), the two
     numbers a dedup deployment trades off.
 
-    Scale: signatures build ONCE (persisted, same O(corpus) pass as
-    dedup_minhash) and each sweep point pays only its own O(n·b) band
-    shuffle + candidate join — candidates carry ids only, signatures
-    rejoin per config for the verify. The union frame is
-    O(verified pairs). No O(n²) anywhere; the truth set is the
-    retrievable-from-signatures set, which is exactly what band tuning
-    decides between.
+    Scale — the sweep costs ONE band join, not three: the configs NEST
+    (a 4-row band matches ⟺ both its 2-row halves match, an 8-row band
+    ⟺ all four), so a single O(n·32) mini-band (2-row) collision join
+    + a per-pair bit_or MASK of matching mini-band indices derives
+    every config's candidate set with pure integer tests — bit i set ⇒
+    (32,2) candidate; adjacent bit PAIR 2i,2i+1 both set ⇒ (16,4);
+    nibble 4i..4i+3 full ⇒ (8,8). The 64-slot agreement verify then
+    runs once over the distinct pair frame (the mini-band candidates
+    are a superset of every config's). The direct three-join
+    formulation measured 8.1 s at sf0.1; this one reuses dedup_minhash's
+    cost shape. The oracle keeps the DIRECT per-config formulation —
+    the hash gate proves the nesting rewrite is value-identical.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1138,60 +1143,89 @@ def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(float(NUM_PERM)),
         6,
     )
-    per_cfg = []
-    verified_frames = []
-    for b, r in BAND_SWEEP:
-        banded = sigs.select(
-            "doc_id", F.explode(band_keys(F.col("sig"), b, r)).alias("bk")
-        )
-        x, y = banded.alias("x"), banded.alias("y")
-        cands = (
-            x.join(
-                y,
-                (F.col("x.bk") == F.col("y.bk"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            )
-            .select(
-                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-            )
-            .distinct()
-        )
-        scored = (
-            cands.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select("doc_a", "doc_b", (est >= MINHASH_TAU).alias("ok"))
-        )
-        verified_frames.append(
-            scored.where("ok").select("doc_a", "doc_b")
-        )
-        per_cfg.append(
-            scored.agg(
-                F.lit(b).cast("int").alias("bands"),
-                F.lit(r).cast("int").alias("rows_per_band"),
-                F.count(F.lit(1)).alias("n_candidates"),
-                F.sum(F.when(F.col("ok"), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_verified"),
-            )
-        )
-    union_verified = verified_frames[0]
-    for fr in verified_frames[1:]:
-        union_verified = union_verified.unionAll(fr)
-    n_union = union_verified.distinct().agg(
-        F.count(F.lit(1)).alias("n_union")
+    fine_b, fine_r = BAND_SWEEP[0]  # (32, 2): the mini-band grid
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(band_keys(F.col("sig"), fine_b, fine_r)).alias("band", "bk"),
     )
-    out = per_cfg[0]
-    for c in per_cfg[1:]:
-        out = out.unionAll(c)
-    return out.join(F.broadcast(n_union)).select(
-        "bands",
-        "rows_per_band",
-        "n_candidates",
-        "n_verified",
-        "n_union",
-        F.expr("(n_verified * 1000000L) div nullif(n_union, 0)").alias(
-            "recall_ppm"
-        ),
+    x, y = banded.alias("x"), banded.alias("y")
+    masks = (
+        x.join(
+            y,
+            (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.band").alias("band"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.expr("bit_or(shiftleft(1L, band))").alias("m"))
+    )
+
+    def _grouped_flag(rows_per_band: int) -> F.Column:
+        g = rows_per_band // fine_r  # consecutive mini-bands per band
+        if g == 1:
+            return F.col("m") != 0
+        full = (1 << g) - 1
+        tests = [
+            (F.shiftright(F.col("m"), g * i).bitwiseAND(full) == full)
+            for i in range(fine_b // g)
+        ]
+        out = tests[0]
+        for t in tests[1:]:
+            out = out | t
+        return out
+
+    scored = (
+        masks.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "m",
+            (est >= MINHASH_TAU).alias("ok"),
+            *[
+                _grouped_flag(r).alias(f"c{b}")
+                for b, r in BAND_SWEEP
+            ],
+        )
+    )
+    aggs = scored.agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_union"),
+        *[
+            a
+            for b, _ in BAND_SWEEP
+            for a in (
+                F.sum(F.when(F.col(f"c{b}"), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"nc{b}"),
+                F.sum(F.when(F.col(f"c{b}") & F.col("ok"), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"nv{b}"),
+            )
+        ],
+    )
+    rows = [
+        f"named_struct('bands', {b}, 'rows_per_band', {r},"
+        f" 'n_candidates', nc{b}, 'n_verified', nv{b})"
+        for b, r in BAND_SWEEP
+    ]
+    return (
+        aggs.select(
+            F.explode(F.expr(f"array({', '.join(rows)})")).alias("cfg"), "n_union"
+        )
+        .select(
+            F.col("cfg.bands").cast("int").alias("bands"),
+            F.col("cfg.rows_per_band").cast("int").alias("rows_per_band"),
+            F.col("cfg.n_candidates").alias("n_candidates"),
+            F.col("cfg.n_verified").alias("n_verified"),
+            "n_union",
+            F.expr(
+                "(cfg.n_verified * 1000000L) div nullif(n_union, 0)"
+            ).alias("recall_ppm"),
+        )
     )
 
 
