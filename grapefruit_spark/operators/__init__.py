@@ -111,6 +111,13 @@ _REPROVE_SINCE: dict[str, int] = {
     # exhaustion instead of silently emitting unconverged labels —
     # values identical (the cap never binds on LSH graphs), path changed
     "dedup_clusters_star": 11,
+    # r11: lang_id stages its token array once instead of re-splitting
+    # the text inside all five per-language hit counters (the
+    # doc_repetition_stats CodegenFallback lesson) — values identical
+    # (hash-green at sf0.01/0.1 locally), plan changed; langid_confusion
+    # consumes lang_id's frame and must re-prove with it
+    "lang_id": 11,
+    "langid_confusion": 11,
 }
 
 

@@ -43,8 +43,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-list language ID: argmax of per-language token hits,
     alphabetical tie-break, 'und' (undetermined) when no hits."""
     docs = table(spark, sf_dir, "documents")
-    toks = ws_tokens(F.lower(F.col("text")))
-    scored = docs.select(
+    # stage the token array once: five per-language hit counters would
+    # otherwise each re-split the text (CodegenFallback higher-order
+    # filters — the doc_repetition_stats lesson)
+    staged = docs.select(
+        "doc_id", "lang", ws_tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    toks = F.col("toks")
+    scored = staged.select(
         "doc_id",
         "lang",
         *[_stop_hits(toks, ws).alias(f"s_{lang}") for lang, ws in sorted(STOPWORDS.items())],
@@ -300,11 +306,23 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines by construction. One scan, no shuffle.
     """
     docs = table(spark, sf_dir, "documents")
-    words = ws_tokens(F.col("text"))
-    lower_words = ws_tokens(F.lower(F.col("text")))
-    lines = F.split(F.col("text"), "\n")
     stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
-    base = docs.select(
+    # stage the three split arrays ONCE: higher-order array functions
+    # are CodegenFallback, and inlining `words`/`lines` into their 2/3
+    # consumers re-splits the text per reference (the
+    # doc_repetition_stats lesson — CollapseProject keeps this
+    # projection because the aliases are expensive and multiply-used)
+    staged = docs.select(
+        "doc_id",
+        F.col("text"),
+        ws_tokens(F.col("text")).alias("words"),
+        ws_tokens(F.lower(F.col("text"))).alias("lower_words"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    )
+    words, lower_words, lines = (
+        F.col("words"), F.col("lower_words"), F.col("lines")
+    )
+    base = staged.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
         F.length(F.regexp_replace("text", r"\s", "")).cast("bigint").alias("word_chars"),
