@@ -218,6 +218,8 @@ HEADLINE = [
     "minhash_band_curve",
     # deterministic A/B experiment readout (one user-keyed agg)
     "events_ab_lift",
+    # per-doc marginal trigram novelty (tfidf-shaped shuffles)
+    "doc_ngram_novelty",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -12,7 +12,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import BPE_RE, md5_fingerprint, normalize_text, rolling_hash, ws_tokens
+from ..functions import (
+    BPE_RE,
+    md5_fingerprint,
+    normalize_text,
+    rolling_hash,
+    word_ngrams,
+    ws_tokens,
+)
 
 ORACLE: dict[str, str] = {}
 
@@ -991,10 +998,91 @@ FROM base
 """
 
 
+# ------------------------------------------------------------------ D78
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document marginal novelty: the fraction of a doc's DISTINCT
+    word trigrams whose corpus-wide FIRST appearance (minimum doc_id —
+    stand-in for ingest order) is this doc. The data-valuation signal
+    dedup-aware curation ranks on: a doc whose trigrams all debuted
+    earlier adds no new sequences (novelty → 0, boilerplate and
+    near-dups), a high-novelty doc is the one worth keeping when the
+    token budget forces a choice. vocab_growth gives the corpus-level
+    Heaps curve; this is its per-document attribution.
+
+    Scale: tfidf's shuffle shape — explode → distinct (doc, gram) →
+    groupBy(gram) min(doc_id) (map-side combined, skew-proof) →
+    join-back → per-doc agg. No windows; gramless docs (< 3 tokens)
+    surface with zeros via the left join (the dsir_importance device),
+    so the output is total over documents. All-integer ppm emission.
+    """
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(word_ngrams(ws_tokens(F.lower(F.col("text"))), 3)).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_distinct_grams", F.lit(0)).cast("bigint").alias(
+            "n_distinct_grams"
+        ),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.coalesce(
+            F.expr("(n_novel * 1000000L) div nullif(n_distinct_grams, 0)"),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )
+
+
+ORACLE["doc_ngram_novelty"] = f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           unnest([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS g
+    FROM toks WHERE len(tk) >= 3
+),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+per_doc AS (
+    SELECT doc_id,
+           count(*)::BIGINT AS n_distinct_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+    FROM grams JOIN firsts USING (g)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_distinct_grams, 0)::BIGINT AS n_distinct_grams,
+       coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+       coalesce(CAST((p.n_novel * 1000000) // nullif(p.n_distinct_grams, 0)
+                     AS BIGINT), 0) AS novelty_ppm
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "bpe_pair_stats": bpe_pair_stats,
     "doc_charset_stats": doc_charset_stats,
+    "doc_ngram_novelty": doc_ngram_novelty,
     "doc_repetition_stats": doc_repetition_stats,
     "langid_confusion": langid_confusion,
     "vocab_growth": vocab_growth,

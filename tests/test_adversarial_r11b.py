@@ -731,3 +731,31 @@ def test_events_ab_lift_empty(spark, tmp_path):
     con = _duck_for(str(tmp_path), ["events"])
     sdf = queries["events_ab_lift"](spark, str(tmp_path))
     assert_matches_oracle(sdf, con, oracles["events_ab_lift"])
+
+
+# ---------------------------------------------------- doc_ngram_novelty
+def test_doc_ngram_novelty_planted(spark, tmp_path):
+    """An exact later copy scores 0 novelty, the original 1e6; a doc
+    sharing half its trigrams splits accordingly; short/NULL docs
+    surface with zeros (total output)."""
+    rows = [
+        (1, "a b c d e", "en"),       # trigrams: abc bcd cde (all novel)
+        (2, "a b c d e", "en"),       # exact copy: all debuted in doc 1
+        (3, "a b c x y z", "en"),     # 'a b c' old; 'b c x','c x y','x y z' new
+        (4, "q r", "en"),             # < 3 tokens: zeros
+        (5, None, "en"),              # NULL text: zeros
+    ]
+    _write_docs(tmp_path, rows)
+    queries, oracles = _entry()
+    con = _duck_for(str(tmp_path), ["documents"])
+    sdf = queries["doc_ngram_novelty"](spark, str(tmp_path))
+    assert_matches_oracle(sdf, con, oracles["doc_ngram_novelty"])
+    got = {r["doc_id"]: r for r in sdf.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["n_distinct_grams"] == 3 and got[1]["novelty_ppm"] == 1_000_000
+    assert got[2]["n_distinct_grams"] == 3 and got[2]["n_novel"] == 0
+    assert got[2]["novelty_ppm"] == 0
+    assert got[3]["n_distinct_grams"] == 4 and got[3]["n_novel"] == 3
+    assert got[3]["novelty_ppm"] == 3 * 1000000 // 4
+    for z in (4, 5):
+        assert got[z]["n_distinct_grams"] == 0 and got[z]["novelty_ppm"] == 0
