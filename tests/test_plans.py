@@ -505,3 +505,15 @@ def test_dsir_rate_join_broadcasts(spark):
     from grapefruit_spark.plans import assert_broadcast_join
 
     assert_broadcast_join(dsir_importance(spark, SF_DIR))
+
+
+def test_band_curve_uses_miniband_masks(spark):
+    """minhash_band_curve must derive every config's candidates from
+    the single mini-band join + bit_or masks (the nesting rewrite); if
+    a refactor reverts to one band join per config, the mask aggregate
+    disappears and this canary fails."""
+    from grapefruit_spark.operators.dedup import minhash_band_curve
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(minhash_band_curve(spark, SF_DIR))
+    assert "bit_or" in plan, plan[:800]
