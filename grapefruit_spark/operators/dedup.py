@@ -1104,6 +1104,11 @@ FROM (
 #: r=4 the deployed 16×4, r=8 strict)
 BAND_SWEEP = ((32, 2), (16, 4), (8, 8))
 
+#: executed plan of the last band-curve mask aggregate (plan-canary hook;
+#: the operator returns a rebuilt one-row frame so the mask join is not
+#: visible on the returned DataFrame's plan)
+_LAST_BAND_CURVE_PLAN = ""
+
 
 def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-shape tuning curve — the datasketch/FAISS-style sweep
@@ -1129,12 +1134,32 @@ def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation measured 8.1 s at sf0.1; this one reuses dedup_minhash's
     cost shape. The oracle keeps the DIRECT per-config formulation —
     the hash gate proves the nesting rewrite is value-identical.
+
+    Mini-band keys are the RAW signature-slice values (band index +
+    the two minima, comma-joined), not an xxhash64 of them: unlike
+    dedup_minhash — where a band-key collision only adds a candidate
+    later rejected by the est ≥ τ verify — here `n_candidates` is
+    itself an emitted value, so a single 64-bit collision at corpus
+    scale would silently inflate it. Raw r=2 slices are ~2×20 digits,
+    barely wider than the hash they replace.
+
+    100 TB knob: the tuning table does not need the full corpus —
+    set ``GRAPEFRUIT_BAND_CURVE_SAMPLE`` (fraction in (0, 1]) to sweep
+    a deterministic md5-threshold sample of documents. Default 1.0
+    (whole corpus) so driver oracles are unchanged at test scale.
     """
+    import os
+
     from pyspark.storagelevel import StorageLevel
 
-    sigs = minhash_signatures(table(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    docs = table(spark, sf_dir, "documents")
+    frac = float(os.environ.get("GRAPEFRUIT_BAND_CURVE_SAMPLE", "1.0"))
+    if frac < 1.0:
+        gate = F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint") % 1_000_000
+        docs = docs.where(gate < int(frac * 1_000_000))
+    sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -1144,10 +1169,17 @@ def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     fine_b, fine_r = BAND_SWEEP[0]  # (32, 2): the mini-band grid
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(band_keys(F.col("sig"), fine_b, fine_r)).alias("band", "bk"),
+    raw_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.array_join(F.slice("sig", i * fine_r + 1, fine_r), ","),
+            )
+            for i in range(fine_b)
+        ]
     )
+    banded = sigs.select("doc_id", F.posexplode(raw_keys).alias("band", "bk"))
     x, y = banded.alias("x"), banded.alias("y")
     masks = (
         x.join(
@@ -1207,6 +1239,17 @@ def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+    # EAGER (disclosed): the agg frame is ONE row — materialize it so the
+    # 64-perm signature cache can be released immediately instead of
+    # living for the whole session (ml.py's emb.unpersist pattern). The
+    # executed mask-join plan is kept on the module hook for the plan
+    # canary (tests/test_plans.py), since the returned frame is rebuilt
+    # from the collected row.
+    global _LAST_BAND_CURVE_PLAN
+    _LAST_BAND_CURVE_PLAN = aggs._jdf.queryExecution().executedPlan().toString()
+    agg_row = aggs.collect()[0]
+    sigs.unpersist()
+    aggs = spark.createDataFrame([agg_row], schema=aggs.schema)
     rows = [
         f"named_struct('bands', {b}, 'rows_per_band', {r},"
         f" 'n_candidates', nc{b}, 'n_verified', nv{b})"

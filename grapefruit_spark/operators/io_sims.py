@@ -221,7 +221,13 @@ def write_manifest_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
     )
     docs.write.partitionBy("lang").mode("overwrite").parquet(base)
-    back = spark.read.parquet(base)
+    # explicit schema on read-back: hive partition discovery would
+    # otherwise TYPE-INFER the partition column, so a numeric-looking
+    # lang value (e.g. '90') silently round-trips as INT and changes
+    # the groupBy key type vs the source table's VARCHAR
+    back = spark.read.schema("doc_id bigint, n_chars bigint, lang string").parquet(
+        base
+    )
     checksum = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint")

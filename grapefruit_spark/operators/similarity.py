@@ -1328,10 +1328,12 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape = knn_topk_partitioned's: the bounded query panel
     (ids, vectors, labels) broadcasts once; each partition scores its
     rows with one numpy matmul, applies the label/self mask, and emits
-    only its local 2k finalists — the global ranking window then sees
+    only its local k finalists — the global ranking window then sees
     O(partitions × Q × k) rows, never the corpus. cos is rounded to
-    6 dp BEFORE ranking so Spark and the oracle rank identically
-    (ties by neighbor_id).
+    6 dp BEFORE the LOCAL cut (lexsort ties by neighbor_id, the same
+    order the global window uses), so the local top-k is exactly the
+    partition's contribution to the global top-k — no tie-group buffer
+    needed.
     """
     emb = table(spark, sf_dir, "embeddings")
     qrows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
@@ -1356,16 +1358,18 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cand_ids, cand_lbl, cand_sims = ids[keep], labels[keep], sims[qi][keep]
                 if not len(cand_ids):
                     continue
-                # 2k finalists so post-rounding ties can't drop a
-                # negative the global (rounded, id) sort would keep
-                top = np.argsort(-cand_sims, kind="stable")[: 2 * TOP_K]
+                # round BEFORE the local cut and tie-break by
+                # neighbor_id — the exact order of the global window —
+                # so a rounded-tie group can never straddle the cut
+                r_sims = np.round(cand_sims, 6)
+                top = np.lexsort((cand_ids, -r_sims))[:TOP_K]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
                         "query_label": labels_q[qi],
                         "neighbor_id": cand_ids[top],
                         "neighbor_label": cand_lbl[top],
-                        "cos_sim": np.round(cand_sims[top], 6),
+                        "cos_sim": r_sims[top],
                     }
                 )
 

@@ -936,8 +936,9 @@ def doc_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one regexp_replace-length expression (the doc_quality device), all
     emission integer ppm via bigint div with nullif on empty docs;
     `is_texty` pins the alpha ≥ 50% cut as an integer
-    cross-multiplication. Character classes are ASCII ([a-zA-Z], [0-9],
-    whitespace) so Java regex and RE2 agree byte-for-byte.
+    cross-multiplication. Character classes are EXPLICIT ASCII sets
+    ([a-zA-Z], [0-9], [ \\t\\n\\r\\f]) on both engines — a bare ``\\s``
+    would diverge on U+000B, which Java includes and RE2 excludes.
     """
     docs = table(spark, sf_dir, "documents").withColumn(
         "t", F.coalesce(F.col("text"), F.lit(""))
@@ -946,7 +947,7 @@ def doc_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha = n - F.length(F.regexp_replace("t", "[a-zA-Z]", ""))
     upper = n - F.length(F.regexp_replace("t", "[A-Z]", ""))
     digit = n - F.length(F.regexp_replace("t", "[0-9]", ""))
-    ws = n - F.length(F.regexp_replace("t", r"\s", ""))
+    ws = n - F.length(F.regexp_replace("t", "[ \\t\\n\\r\\f]", ""))
     base = docs.select(
         "doc_id",
         n.cast("bigint").alias("n_chars"),
@@ -982,7 +983,7 @@ WITH base AS (
            length(coalesce(text, ''))
              - length(regexp_replace(coalesce(text, ''), '[0-9]', '', 'g')) AS n_digit,
            length(coalesce(text, ''))
-             - length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS n_ws
+             - length(regexp_replace(coalesce(text, ''), '[ \\t\\n\\r\\f]', '', 'g')) AS n_ws
     FROM documents
 )
 SELECT doc_id,

@@ -511,9 +511,12 @@ def test_band_curve_uses_miniband_masks(spark):
     """minhash_band_curve must derive every config's candidates from
     the single mini-band join + bit_or masks (the nesting rewrite); if
     a refactor reverts to one band join per config, the mask aggregate
-    disappears and this canary fails."""
-    from grapefruit_spark.operators.dedup import minhash_band_curve
-    from grapefruit_spark.plans import executed_plan
+    disappears and this canary fails. The operator eagerly collects the
+    one-row aggregate (to unpersist the signature cache), so the mask
+    plan is read from the module hook, not the returned frame."""
+    from grapefruit_spark.operators import dedup
 
-    plan = executed_plan(minhash_band_curve(spark, SF_DIR))
-    assert "bit_or" in plan, plan[:800]
+    dedup.minhash_band_curve(spark, SF_DIR).collect()
+    assert "bit_or" in dedup._LAST_BAND_CURVE_PLAN, (
+        dedup._LAST_BAND_CURVE_PLAN[:800]
+    )
