@@ -485,6 +485,16 @@ def main() -> None:
         for k in ("common_now_total", "selfnow_total"):
             if k in out:
                 out[k + "_norm"] = round(out[k] / calib_ratio, 3)
+    # PRIMARY round gate (r11 protocol amendment, made explicit in r12):
+    # the calib-NORMALIZED total over the query set shared with the r5
+    # anchor, divided by the anchor's total, must stay ≤ 1.05. Raw is
+    # disclosed beside it but is NOT the gate — an out-of-band host
+    # window (calib 1.27-1.45 for the whole r11 session) makes raw
+    # drift read as engine drift. The anchor is pinned to BENCH_r05.json
+    # (the oldest stable-registry record) so the gate doesn't ratchet.
+    anchor = _anchor_summary(timings, sf, memo_on, calib_ratio)
+    if anchor:
+        out.update(anchor)
     if errors:
         out["errors"] = errors
     # the driver records only the LAST 2000 chars of stdout; once the
@@ -581,6 +591,46 @@ def _common_prev_summary(
             if dropped:
                 out["selfprev_memo_excluded"] = dropped
     return out
+
+
+#: the pinned anchor record for the primary (normalized) round gate
+ANCHOR_RECORD = "BENCH_r05.json"
+#: gate threshold: normalized shared-set total / anchor total ≤ this
+ANCHOR_GATE_MAX = 1.05
+
+
+def _anchor_summary(
+    timings: dict[str, float], sf: float, memo_on: bool, calib_ratio: float
+) -> dict:
+    """The primary round-over-round gate (r12 protocol): compare the
+    CALIBRATION-NORMALIZED total over the query set shared with the
+    pinned r5 anchor against the anchor's own total. Raw ratio is
+    disclosed beside it. Memo-mode consumer exclusion mirrors
+    _common_prev_summary so the shared set is like-for-like."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    rec = _bench_record(os.path.join(root, ANCHOR_RECORD))
+    if not rec or rec.get("sf") != sf:
+        return {}
+    names = set(rec["queries"]) & set(timings)
+    if bool(rec.get("cluster_memo")) != memo_on:
+        names -= _CLUSTER_CONSUMERS
+    names = sorted(names)
+    if not names:
+        return {}
+    anchor_total = round(sum(rec["queries"][n] for n in names), 3)
+    now_total = round(sum(timings[n] for n in names), 3)
+    now_norm = round(now_total / calib_ratio, 3)
+    return {
+        "anchor_record": ANCHOR_RECORD,
+        "anchor_n": len(names),
+        "anchor_total": anchor_total,
+        "anchor_now_total": now_total,
+        "anchor_now_total_norm": now_norm,
+        "anchor_ratio_raw": round(now_total / anchor_total, 4),
+        "anchor_ratio_norm": round(now_norm / anchor_total, 4),
+        "anchor_gate_max": ANCHOR_GATE_MAX,
+        "anchor_gate_pass": (now_norm / anchor_total) <= ANCHOR_GATE_MAX,
+    }
 
 
 def _bench_record(path: str) -> dict | None:
