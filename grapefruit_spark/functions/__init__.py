@@ -9,8 +9,25 @@ over arrays rather than exploding rows.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def materialize_ctes(sql: str) -> str:
+    """Rewrite every ``name AS (`` CTE head to ``AS MATERIALIZED (``.
+
+    The unrolled-iteration oracles (PCA power steps, ridge GD, BPE
+    merges, PQ Lloyd chains) reference each step's CTE more than once;
+    DuckDB 1.0 INLINES non-materialized CTEs per reference, so a
+    16-step chain whose step is referenced twice expands to 2^16 scans
+    of the base parquet — "Too many open files" long before any row is
+    produced. Materializing evaluates each step exactly once (the same
+    cost shape as the Spark side). Plain ``AS (`` only occurs at CTE
+    heads in these generated strings — SQL never writes ``AS (`` in an
+    expression context."""
+    return re.sub(r"\bAS\s+\(", "AS MATERIALIZED (", sql)
 
 # ---------------------------------------------------------------- text
 

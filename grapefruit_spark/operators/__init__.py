@@ -118,6 +118,23 @@ _REPROVE_SINCE: dict[str, int] = {
     # consumes lang_id's frame and must re-prove with it
     "lang_id": 11,
     "langid_confusion": 11,
+    # r12 (ADVICE_r11): hard_negative_mining rounds cosine BEFORE the
+    # partition-local cut with neighbor_id tie-break (drops the 2k
+    # buffer) — values identical, emission changed
+    "hard_negative_mining": 12,
+    # r12 (ADVICE_r11): minhash_band_curve mini-band keys are raw slice
+    # values (not xxhash64), the one-row aggregate is eagerly collected
+    # so the signature cache unpersists, and a sample knob was added —
+    # values identical (hash-green at sf0.01/0.1 locally), plan changed
+    "minhash_band_curve": 12,
+    # r12 (ADVICE_r11): doc_charset_stats uses the explicit
+    # [ \t\n\r\f] whitespace class on both engines (bare \s diverges on
+    # U+000B) — values identical on gate data, emission changed
+    "doc_charset_stats": 12,
+    # r12 (ADVICE_r11): write_manifest_sim reads the hive layout back
+    # with an explicit schema (partition-column type inference off) —
+    # values identical, read path changed
+    "write_manifest_sim": 12,
 }
 
 

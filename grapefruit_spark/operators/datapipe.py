@@ -794,6 +794,66 @@ FROM (
 """
 
 
+def shuffle_order_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL deterministic training permutation — shuffle_order
+    proves the ordering contract on a 100-row sample; this row proves
+    the permutation PRIMITIVE at corpus scale: every document gets its
+    exact global position, with no unpartitioned sort anywhere.
+
+    Scale (the events_pareto_share device): the keyed frame is range-
+    partitioned on the shuffle key, row_number runs PER RANGE PARTITION
+    (each task sorts ~n/P rows), and the exact global position is the
+    local rank plus the partition's row offset — offsets come from an
+    O(P)-row count frame whose cumsum window is bounded by config, not
+    data. This is exactly how a 100 TB epoch shuffle materializes:
+    one range shuffle, then embarrassingly-parallel local sorts.
+
+    Determinism: the key md5(seed, doc_id) is collision-free in
+    practice and NULL-safe (doc_id coalesced to ''); rows sharing a key
+    (duplicate/NULL doc_ids) tie-break by doc_id, and since such rows
+    are value-identical, whichever consecutive positions they receive
+    yield the same emitted row SET in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(
+            F.lit("epoch0:"), F.coalesce(F.col("doc_id").cast("string"), F.lit(""))
+        )
+    )
+    keyed = docs.select("doc_id", key.alias("shuffle_key"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = keyed.repartitionByRange(
+        nparts, F.asc("shuffle_key"), F.asc("doc_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.asc("shuffle_key"), F.asc("doc_id")
+    )
+    local = ranged.withColumn("_rn", F.row_number().over(w_local))
+    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        (F.col("_rn") + F.col("_off")).cast("bigint").alias("position"),
+        "doc_id",
+        "shuffle_key",
+    )
+
+
+ORACLE["shuffle_order_full"] = """
+SELECT row_number() OVER (ORDER BY shuffle_key, doc_id) AS position,
+       doc_id, shuffle_key
+FROM (
+    SELECT doc_id,
+           md5('epoch0:' || coalesce(doc_id::VARCHAR, '')) AS shuffle_key
+    FROM documents
+)
+"""
+
+
 
 
 # ------------------------------------------------------------------ D24
@@ -1421,6 +1481,7 @@ QUERIES = {
     "contamination_report": contamination_report,
     "doc_chunking": doc_chunking,
     "shuffle_order": shuffle_order,
+    "shuffle_order_full": shuffle_order_full,
     "profile_orders": profile_orders,
     "validate_constraints": validate_constraints,
     "sample_stratified": sample_stratified,

@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions import md5_hash60, md5_hash60_sql, word_ngrams, ws_tokens
+from ..functions import (
+    materialize_ctes,
+    md5_hash60,
+    md5_hash60_sql,
+    word_ngrams,
+    ws_tokens,
+)
 
 ORACLE: dict[str, str] = {}
 
@@ -960,9 +966,369 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+# ------------------------------------------------------------------ D82
+#: hashed-bigram feature buckets / fixed-point feature scale / ridge GD
+#: hyperparameters for the learned quality classifier
+QC_BUCKETS = 64
+QC_SCALE = 1024
+QC_ITERS = 32
+QC_ETA = 0.5
+QC_LAM = 0.001
+#: bias feature index (one past the last bucket)
+QC_BIAS = QC_BUCKETS
+
+#: classifier label: the six CONTENT rules of quality_gopher_rules; the
+#: stopword rule is excluded by design (an English-lexicon prior the
+#: learned filter exists to replace — and degenerate on this corpus)
+_QC_RULES = (
+    "r_word_count",
+    "r_mean_word_len",
+    "r_symbol_ratio",
+    "r_bullet_lines",
+    "r_ellipsis_lines",
+    "r_alpha_words",
+)
+_QC_LABEL_SQL = " AND ".join(_QC_RULES)
+
+
+def _qc_label() -> F.Column:
+    # built lazily — F.expr needs an active SparkContext
+    return F.expr(_QC_LABEL_SQL)
+
+
+def quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter, fit step — the CCNet/fastText move (Joulin
+    et al. 2017 features; Wenzek et al. 2020 pipeline position): ridge
+    least-squares on QC_BUCKETS hashed word-bigram features (+bias),
+    labels = the conjunction of quality_gopher_rules' six CONTENT rules
+    (word count, mean word length, symbol/bullet/ellipsis ratios, alpha
+    share). The stopword rule is deliberately excluded from the label:
+    it encodes an English-lexicon prior, and replacing hand lexicons
+    with learned feature weights is the entire point of the
+    rules → classifier upgrade (it is also degenerate on this corpus —
+    0 passes — so including it would train on all-negative labels).
+    This closes the rules → learned-filter loop: the rule gate is exact
+    but brittle; the regression generalizes its decision to the feature
+    profile and its weights transfer to UNGATED corpora.
+
+    Scale shape: ONE distributed pass builds the exact-integer normal
+    equations — per partition a dense (B+1)² int64 Gram of the fixed-
+    point feature codes plus the Xᵀy vector (embedding_covariance's
+    gram_partial device, O(B²×partitions) shuffle rows at any corpus
+    size); the ridge solve is then a bounded driver epilogue: QC_ITERS
+    unrolled gradient-descent steps on the (B+1)² matrix (a CLOSED-FORM
+    solve would need an SQL-inexpressible inversion — fixed-step GD on
+    a 2-smooth objective is deterministic, contractive, and mirrors as
+    chained matvec CTEs, the embedding_pca device).
+
+    Cross-engine exactness: G and c are exact integer sums (codes ≤
+    1024, DECIMAL(38,0)-folded reduce); both engines then run the same
+    float recurrence w ← w − η(Mw − v + λw) from w₀ = 0, so weights
+    agree to accumulation-order noise (~1e-15) and the floor-scaled e6
+    emission tolerates it. The feature code (tf·1024) div n_grams —
+    bigint div truncates identically in both engines — with bias
+    feature QC_BIAS = 1024 on EVERY document (gramless docs carry only
+    the bias).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .text import quality_gopher_rules
+
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    f = (
+        docs.select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
+        .select("doc_id", (md5_hash60(F.col("bg")) % QC_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ng = f.groupBy("doc_id").agg(F.sum("tf").alias("n_grams"))
+    codes = f.join(ng, "doc_id").select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("feat"),
+        F.expr(f"(tf * {QC_SCALE}) div n_grams").cast("bigint").alias("code"),
+    )
+    labels = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", _qc_label().cast("int").alias("y")
+    )
+    per_doc = labels.join(
+        codes.groupBy("doc_id").agg(
+            F.collect_list("feat").alias("feats"),
+            F.collect_list("code").alias("codes"),
+        ),
+        "doc_id",
+        "left",
+    ).select("y", "feats", "codes")
+
+    nf = QC_BUCKETS + 1
+
+    def gram_partial(batches):
+        acc_g = np.zeros((nf, nf), dtype=np.int64)
+        acc_c = np.zeros(nf, dtype=np.int64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            x = np.zeros((len(pdf), nf), dtype=np.int64)
+            for r, (fe, co) in enumerate(zip(pdf["feats"], pdf["codes"])):
+                if fe is not None and len(fe):
+                    x[r, np.asarray(fe, dtype=np.int64)] = np.asarray(
+                        co, dtype=np.int64
+                    )
+                x[r, QC_BIAS] = QC_SCALE
+            y = pdf["y"].to_numpy().astype(np.int64)
+            acc_g += x.T @ x
+            acc_c += x.T @ y
+        if not any_rows:
+            return
+        iu = np.triu_indices(nf)
+        out = pd.DataFrame(
+            {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"),
+             "ps": acc_g[iu]}
+        )
+        cvec = pd.DataFrame(
+            {"i": np.arange(nf, dtype="int32"),
+             "j": np.full(nf, -1, dtype="int32"), "ps": acc_c}
+        )
+        yield pd.concat([out, cvec], ignore_index=True)
+
+    partials = per_doc.mapInPandas(gram_partial, schema="i int, j int, ps long")
+    rows = (
+        partials.groupBy("i", "j")
+        .agg(F.sum(F.col("ps").cast("decimal(38,0)")).cast("bigint").alias("s"))
+        .collect()
+    )
+    n_docs = docs.count()
+    g = np.zeros((nf, nf), dtype=np.float64)
+    c = np.zeros(nf, dtype=np.float64)
+    for r in rows:
+        if r["j"] == -1:
+            c[r["i"]] = float(r["s"])
+        else:
+            g[r["i"], r["j"]] = float(r["s"])
+            g[r["j"], r["i"]] = float(r["s"])
+    m = g / (n_docs * QC_SCALE * QC_SCALE)
+    v = c / (n_docs * QC_SCALE)
+    w = np.zeros(nf, dtype=np.float64)
+    for _ in range(QC_ITERS):
+        w = w - QC_ETA * (m @ w - v + QC_LAM * w)
+    return spark.createDataFrame(
+        [(int(i), int(np.floor(w[i] * 1e6))) for i in range(nf)],
+        schema="feat int, weight_e6 bigint",
+    )
+
+
+def _qc_fit_ctes() -> str:
+    """The classifier-fit pipeline as CTEs terminating in w{QC_ITERS}
+    (feat, w): integer feature codes, labels from the full gopher-rules
+    oracle, exact-integer G/c aggregates, then QC_ITERS unrolled GD
+    matvec steps (embedding_pca's chained-CTE device)."""
+    from .text import ORACLE as _TEXT_ORACLE
+
+    gopher = _TEXT_ORACLE["quality_gopher_rules"]
+    ctes = [
+        f"""toksq AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+featsq AS (
+    SELECT doc_id, {md5_hash60_sql("bg")} % {QC_BUCKETS} AS bucket
+    FROM (
+        SELECT doc_id,
+               unnest([array_to_string(tk[i:i+1], ' ')
+                       FOR i IN range(1, len(tk))]) AS bg
+        FROM toksq WHERE len(tk) >= 2
+    )
+),
+fq AS (SELECT doc_id, bucket, count(*) AS tf FROM featsq GROUP BY 1, 2),
+ngq AS (SELECT doc_id, sum(tf) AS n_grams FROM fq GROUP BY 1),
+codesq AS (
+    SELECT doc_id, CAST(bucket AS INT) AS feat,
+           CAST((tf * {QC_SCALE}) // n_grams AS BIGINT) AS code
+    FROM fq JOIN ngq USING (doc_id)
+    UNION ALL
+    SELECT doc_id, {QC_BIAS} AS feat, {QC_SCALE} AS code FROM documents
+),
+lblq AS (
+    SELECT doc_id, CASE WHEN {_QC_LABEL_SQL} THEN 1 ELSE 0 END AS y
+    FROM ({gopher})
+),
+gq AS (
+    SELECT a.feat AS i, b.feat AS j,
+           CAST(sum(CAST(a.code * b.code AS DECIMAL(38,0))) AS BIGINT) AS s
+    FROM codesq a JOIN codesq b USING (doc_id)
+    GROUP BY 1, 2
+),
+cq AS (
+    SELECT x.feat AS i,
+           CAST(sum(CAST(x.code * l.y AS DECIMAL(38,0))) AS BIGINT) AS s
+    FROM codesq x JOIN lblq l USING (doc_id)
+    GROUP BY 1
+),
+ndq AS (SELECT count(*)::BIGINT AS n FROM documents),
+mq AS (
+    SELECT i, j, CAST(s AS DOUBLE) / (ndq.n * {QC_SCALE}.0 * {QC_SCALE}.0) AS a
+    FROM gq, ndq
+),
+vq AS (
+    -- DENSE over all features: a bucket unused by every document must
+    -- still carry v = 0 (numpy's dense zero default), else the weight
+    -- table loses rows on tiny/hostile corpora
+    SELECT fa.feat,
+           coalesce(CAST(cq.s AS DOUBLE)
+                    / ((SELECT n FROM ndq) * {QC_SCALE}.0), 0.0) AS v
+    FROM (SELECT CAST(unnest(range(0, {QC_BIAS + 1})) AS INT) AS feat) fa
+    LEFT JOIN cq ON cq.i = fa.feat
+),
+w0 AS (SELECT feat, 0.0 AS w FROM vq)"""
+    ]
+    for t in range(QC_ITERS):
+        ctes.append(
+            f"""mw{t} AS (
+    SELECT m.i AS feat, sum(m.a * w.w) AS mw
+    FROM mq m JOIN w{t} w ON m.j = w.feat GROUP BY 1
+),
+w{t + 1} AS (
+    SELECT w.feat,
+           w.w - {QC_ETA} * (coalesce(mw.mw, 0.0) - v.v + {QC_LAM} * w.w) AS w
+    FROM w{t} w
+    LEFT JOIN mw{t} mw USING (feat)
+    JOIN vq v USING (feat)
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+ORACLE["quality_classifier_fit"] = materialize_ctes(
+    "WITH "
+    + _qc_fit_ctes()
+    + f"""
+SELECT feat, CAST(floor(w * 1000000) AS BIGINT) AS weight_e6
+FROM w{QC_ITERS}
+"""
+)
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter, scoring step: every document scored by
+    the fitted ridge weights — ŷ = Σ_b w_b·(code_b/1024) + w_bias — with
+    the rule label beside it and a prediction thresholded at the TRAIN-
+    SET MEAN score (the natural ridge operating point on an imbalanced
+    0/1 target; a fixed 0.5 cut just reproduces the base rate). The row
+    is simultaneously the inference path and the train-set confusion
+    table a filter deployment reviews before flipping from rules to
+    model. Fit is re-derived in-process (the knn_*_recall_eval
+    composition pattern); at 100 TB the weight table (65 rows) would be
+    broadcast from a stored artifact, which is exactly what this plan
+    does — the per-doc scan joins ONLY the broadcast weight frame plus
+    one 1-row mean broadcast.
+
+    All-integer exactness end to end: scores are integer micro-units
+    built from the fit row's EMITTED e6 weights (bit-identical across
+    engines), and the mean threshold is the cross-multiplied integer
+    comparison score·n ≥ Σscores — no float anywhere in this operator.
+    """
+    import numpy as np
+
+    from .text import quality_gopher_rules
+
+    wrows = quality_classifier_fit(spark, sf_dir).collect()
+    # re-derive the un-floored weights? No: score from the EMITTED e6
+    # weights so the scoring row composes the fit row's proven values —
+    # both engines then share bit-identical weights and the only float
+    # is the final dot product of exact integers scaled once.
+    wmap = {r["feat"]: r["weight_e6"] for r in wrows}
+
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    f = (
+        docs.select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
+        .select("doc_id", (md5_hash60(F.col("bg")) % QC_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ng = f.groupBy("doc_id").agg(F.sum("tf").alias("n_grams"))
+    codes = f.join(ng, "doc_id").select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("feat"),
+        F.expr(f"(tf * {QC_SCALE}) div n_grams").cast("bigint").alias("code"),
+    )
+    wdf = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in sorted(wmap.items())],
+        schema="feat int, weight_e6 bigint",
+    )
+    # Σ code·w_e6 is an exact integer; one final div by the scale keeps
+    # the emitted score integer too (micro-units of ŷ)
+    dot = (
+        codes.join(F.broadcast(wdf), "feat")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("code") * F.col("weight_e6")).alias("sprod"))
+    )
+    bias = int(wmap[QC_BIAS])
+    labels = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", _qc_label().cast("int").alias("label")
+    )
+    scored = labels.join(dot, "doc_id", "left").select(
+        "doc_id",
+        "label",
+        (
+            F.expr(f"coalesce(sprod, 0L) div {QC_SCALE}")
+            + F.lit(bias)
+        ).cast("bigint").alias("score_e6"),
+    )
+    mean = scored.agg(
+        F.sum("score_e6").alias("s_tot"),
+        F.count(F.lit(1)).alias("n_tot"),
+    )
+    return scored.join(F.broadcast(mean)).select(
+        "doc_id",
+        "label",
+        "score_e6",
+        (F.col("score_e6") * F.col("n_tot") >= F.col("s_tot"))
+        .cast("int")
+        .alias("predicted"),
+    )
+
+
+ORACLE["quality_classifier_score"] = materialize_ctes(
+    "WITH "
+    + _qc_fit_ctes()
+    + f""",
+wfit AS (
+    SELECT feat, CAST(floor(w * 1000000) AS BIGINT) AS weight_e6
+    FROM w{QC_ITERS}
+),
+dotq AS (
+    SELECT c.doc_id, sum(c.code * w.weight_e6) AS sprod
+    FROM (SELECT doc_id, feat, code FROM codesq WHERE feat < {QC_BIAS}) c
+    JOIN wfit w USING (feat)
+    GROUP BY 1
+),
+biasq AS (SELECT weight_e6 AS b FROM wfit WHERE feat = {QC_BIAS}),
+scoredq AS (
+    SELECT l.doc_id, l.y AS label,
+           CAST(coalesce(d.sprod, 0) // {QC_SCALE} + b.b AS BIGINT) AS score_e6
+    FROM lblq l LEFT JOIN dotq d USING (doc_id) CROSS JOIN biasq b
+),
+meanq AS (
+    SELECT CAST(sum(score_e6) AS BIGINT) AS s_tot,
+           count(*)::BIGINT AS n_tot
+    FROM scoredq
+)
+SELECT s.doc_id, s.label, s.score_e6,
+       CASE WHEN s.score_e6 * m.n_tot >= m.s_tot
+            THEN 1 ELSE 0 END::INT AS predicted
+FROM scoredq s CROSS JOIN meanq m
+"""
+)
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "dsir_importance": dsir_importance,
+    "quality_classifier_fit": quality_classifier_fit,
+    "quality_classifier_score": quality_classifier_score,
     "term_pmi": term_pmi,
     "bm25_search": bm25_search,
     "doc_unigram_logprob": doc_unigram_logprob,

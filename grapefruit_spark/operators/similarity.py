@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..functions import cosine_similarity
+from ..functions import materialize_ctes as _mat
 
 ORACLE: dict[str, str] = {}
 
@@ -1533,6 +1534,151 @@ CROSS JOIN n
 """
 
 
+# ------------------------------------------------------------------ D80
+#: principal components extracted / power-iteration count per component.
+#: 96 iterations is sized for a NEAR-FLAT spectrum (the synthetic
+#: embeddings are close to isotropic, λ2/λ1 ≈ 0.93 → contraction needs
+#: ~70 steps for 1e-2); on real embedding corpora (sharp spectra) it
+#: over-converges harmlessly, and each step is one O(dim²) matvec —
+#: driver-side microseconds, oracle-side a 64-row materialized CTE
+PCA_COMPONENTS = 4
+PCA_ITERS = 96
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA — the consumer of embedding_covariance's exact
+    integer Gram (the "driver-side eigendecomposition is O(dim³),
+    trivially bounded" epilogue that docstring promises): top
+    PCA_COMPONENTS eigenvectors of the trace-normalized covariance by
+    power iteration with deflation (Golub & Van Loan §8.2), emitting
+    per (component, dim) the floor-scaled loading and per component the
+    explained-variance share in ppm. This is the principal-SUBSPACE
+    upgrade over embedding_dim_prune's variance diagonal: dim_prune
+    keeps axis-aligned dims, this finds the rotated basis a whitening /
+    compaction step actually projects onto.
+
+    Scale: the distributed work is embedding_covariance's ONE corpus
+    scan (O(dim²×partitions) shuffle rows); everything after operates
+    on the O(dim²) covariance — a bounded EAGER driver epilogue
+    (knn_sq8's documented-bounded collect class), never a corpus join.
+
+    Cross-engine exactness: both engines start from the IDENTICAL
+    integer covariance numerators (cov_num is exact int64 — proven by
+    embedding_covariance's gate) and run the same recurrence: A =
+    cov_num / trace, v₀ = 1/√dim (= 0.125, exact in binary for dim 64),
+    16 × (w = Av; v = w/‖w‖), λ = vᵀAv, deflate A −= λvvᵀ. Per-step
+    float sums differ only in accumulation order (~1e-15 relative), and
+    normalized power iteration is non-expansive, so loadings agree to
+    ~1e-13 — emitted floor-scaled at e6 where a flip needs the product
+    within 1e-7 of an integer. The eigenvector SIGN is seed-determined
+    (same recurrence → same sign), so no sign convention is needed.
+    """
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    dim = max(r["dim_i"] for r in cov_rows)
+    c_int = np.zeros((dim, dim), dtype=np.int64)
+    for r in cov_rows:
+        i, j = r["dim_i"] - 1, r["dim_j"] - 1
+        c_int[i, j] = r["cov_num"]
+        c_int[j, i] = r["cov_num"]
+    tr = float(c_int.trace())
+    a = c_int.astype(np.float64) / tr
+
+    out = []
+    for comp in range(PCA_COMPONENTS):
+        v = np.full(dim, 1.0 / np.sqrt(dim))
+        for _ in range(PCA_ITERS):
+            w = a @ v
+            v = w / np.sqrt((w * w).sum())
+        lam = v @ a @ v
+        evr_ppm = int(np.floor(lam * 1e6))
+        for d in range(dim):
+            out.append(
+                (comp, d + 1, int(np.floor(v[d] * 1e6)), evr_ppm)
+            )
+        a = a - lam * np.outer(v, v)
+
+    return spark.createDataFrame(
+        out, schema="component int, dim int, loading_e6 bigint, evr_ppm bigint"
+    )
+
+
+def _pca_oracle() -> str:
+    """embedding_pca mirrored: the integer-covariance CTEs (exactly
+    embedding_covariance's oracle interior), then PCA_COMPONENTS ×
+    PCA_ITERS unrolled power-iteration CTEs (the pagerank/kmeans
+    chained-CTE device) with deflation between components."""
+    ctes = [
+        f"""codes AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(floor(unnest(embedding)::DOUBLE * {COV_CODE_SCALE} + 0.5) AS BIGINT) AS c
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+tri AS (
+    SELECT a.i AS di, b.i AS dj,
+           count(*)::BIGINT * sum(a.c * b.c)::BIGINT
+               - sum(a.c)::BIGINT * sum(b.c)::BIGINT AS cov_num
+    FROM codes a JOIN codes b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+),
+covf AS (
+    SELECT di AS i, dj AS j, cov_num FROM tri
+    UNION ALL
+    SELECT dj, di, cov_num FROM tri WHERE di < dj
+),
+trc AS (SELECT CAST(sum(cov_num) AS DOUBLE) AS tr FROM tri WHERE di = dj),
+nd AS (SELECT CAST(max(i) AS DOUBLE) AS d FROM covf),
+a0_0 AS (SELECT i, j, CAST(cov_num AS DOUBLE) / trc.tr AS a FROM covf, trc)"""
+    ]
+    stat_rows = []
+    for c in range(PCA_COMPONENTS):
+        p = f"a{c}"
+        ctes.append(
+            f"{p}_v0 AS (SELECT i AS dim, 1.0 / sqrt(nd.d) AS v FROM nd,"
+            " (SELECT DISTINCT i FROM covf))"
+        )
+        for t in range(PCA_ITERS):
+            ctes.append(
+                f"""{p}_v{t + 1} AS (
+    SELECT dim, w / sqrt(sum(w * w) OVER ()) AS v
+    FROM (
+        SELECT m.i AS dim, sum(m.a * v.v) AS w
+        FROM {p}_0 m JOIN {p}_v{t} v ON m.j = v.dim GROUP BY 1
+    )
+)"""
+            )
+        vf = f"{p}_v{PCA_ITERS}"
+        ctes.append(
+            f"""{p}_lam AS (
+    SELECT sum(vi.v * m.a * vj.v) AS lam
+    FROM {p}_0 m JOIN {vf} vi ON m.i = vi.dim JOIN {vf} vj ON m.j = vj.dim
+)"""
+        )
+        if c + 1 < PCA_COMPONENTS:
+            ctes.append(
+                f"""a{c + 1}_0 AS (
+    SELECT m.i, m.j, m.a - l.lam * vi.v * vj.v AS a
+    FROM {p}_0 m
+    JOIN {vf} vi ON m.i = vi.dim JOIN {vf} vj ON m.j = vj.dim
+    CROSS JOIN {p}_lam l
+)"""
+            )
+        stat_rows.append(
+            f"""SELECT {c} AS component, v.dim,
+       CAST(floor(v.v * 1000000) AS BIGINT) AS loading_e6,
+       CAST(floor(l.lam * 1000000) AS BIGINT) AS evr_ppm
+FROM {vf} v CROSS JOIN {p}_lam l"""
+        )
+    body = " UNION ALL ".join(f"({s})" for s in stat_rows)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT component, dim::INT AS dim, loading_e6, evr_ppm FROM ({body})"
+    )
+
+
+ORACLE["embedding_pca"] = _mat(_pca_oracle())
+
+
 # ------------------------------------------------------------------ D74
 #: cumulative variance coverage a kept dim set must reach (ppm)
 PRUNE_COVERAGE_PPM = 990_000
@@ -1630,6 +1776,374 @@ FROM ranked
 """
 
 
+# ----------------------------------------------------------------- D79
+#: PQ geometry: M subspaces × (dim/M) dims, K codes per subspace (4-bit
+#: codes — the FAISS PQx4 "fast-scan" shape), Lloyd iterations per book
+PQ_M = 4
+PQ_K = 16
+PQ_ITERS = 3
+#: fixed-point scale for the ADC lookup table entries — coarse enough
+#: (1e4) that the engines' ~1e-13-relative centroid divergence cannot
+#: flip a floor; distance ties broken by neighbor_id are exact
+PQ_ADC_SCALE = 10_000
+
+
+def _pq_fit(
+    spark: SparkSession,
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> tuple[list[np.ndarray], int]:
+    """Train all M product-quantizer codebooks jointly — Lloyd's on each
+    dim-subspace, but ONE corpus scan per iteration covers every
+    subspace (kmeans_fit's K×P partial-fold device, ml.py:46, widened to
+    M×K×P partials). Returns ([codebook_m (k × dim/m)], corpus n).
+
+    Init mirrors kmeans_fit: step-sampled rows by vec_id, each row's
+    subvectors seeding the corresponding codebook — deterministic and
+    SQL-mirrorable. EAGER builder (documented-bounded like knn_sq8's
+    stats collect): per iteration the driver folds M×K×P tiny partial
+    rows in sorted order, so accumulation is run-to-run deterministic.
+    """
+    from pyspark import StorageLevel
+
+    from .ml import _assign
+
+    emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
+    n = emb.count()
+    step = max(1, n // k)
+    init = (
+        emb.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < k))
+        .orderBy("vec_id")
+        .collect()
+    )
+    full = np.array([r["embedding"] for r in init], dtype=np.float64)
+    sub = full.shape[1] // m
+    books = [full[:, mi * sub : (mi + 1) * sub].copy() for mi in range(m)]
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(books)
+
+        def partials(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            bks = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+                rows = []
+                for mi, cb in enumerate(bks):
+                    sm = mat[:, mi * sub : (mi + 1) * sub]
+                    cl, _sq = _assign(sm, cb)
+                    for j in np.unique(cl):
+                        sel = cl == j
+                        rows.append(
+                            (pid, mi, int(j), int(sel.sum()),
+                             sm[sel].sum(axis=0).tolist())
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["part_id", "sub", "cluster", "n", "sumvec"]
+                )
+
+        parts = sorted(
+            emb.select("embedding")
+            .mapInPandas(
+                partials,
+                schema="part_id long, sub int, cluster int, n long,"
+                " sumvec array<double>",
+            )
+            .collect(),
+            key=lambda r: (r["part_id"], r["sub"], r["cluster"]),
+        )
+        counts = np.zeros((m, k))
+        sums = [np.zeros_like(b) for b in books]
+        for r in parts:
+            counts[r["sub"], r["cluster"]] += r["n"]
+            sums[r["sub"]][r["cluster"]] += np.array(r["sumvec"])
+        new_books = []
+        for mi in range(m):
+            b = books[mi].copy()
+            nz = counts[mi] > 0
+            b[nz] = sums[mi][nz] / counts[mi][nz, None]
+            new_books.append(b)
+        books = new_books
+        bc.destroy()
+    emb.unpersist(blocking=False)
+    return books, n
+
+
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the remaining FAISS tier (IndexIVFPQ, Jégou et al. 2011
+    "Product Quantization for Nearest Neighbor Search"): coarse IVF
+    cells prune WHICH vectors are scored, and each vector is held as M
+    4-bit PQ codes (dim/M-dim subspace codebooks trained by Lloyd's), so
+    the scored representation is M·log2(K)/8 bytes/vector — 2 bits/dim
+    here vs SQ8's 8, a further 4× memory cut on top of IVF's pruning.
+    Search is asymmetric distance computation (ADC): per query ONE M×K
+    lookup table of subspace distances is built driver-side, and each
+    candidate's distance is M integer table lookups + a sum.
+
+    Plan: two bounded eager builders (the joint PQ fit — M×K×P partial
+    rows per iteration, _pq_fit above — and the ≤IVF_CELLS step-sampled
+    centroid collect), then ONE Arrow mapInPandas pass: each partition
+    assigns its rows' top-1 cell and M PQ codes (numpy argmin against
+    broadcast codebooks — ml.py's _assign), masks candidates to each
+    query's probed cells, and ranks by the integer ADC sum; the global
+    merge sees only partitions×Q×k finalists. Zero corpus joins, zero
+    corpus shuffles — knn_ivf_sq8's exact cost shape with the code
+    matrix 4× smaller.
+
+    Cross-engine exactness: cell assignment and the Lloyd recurrences
+    mirror knn_ivf/kmeans_embeddings' proven CTE devices; the ADC table
+    entry floor(1e4·‖q_m − c‖²) tolerates the engines' ~1e-13-relative
+    centroid divergence (a flip needs the product within 1e-5 of an
+    integer), and the ranked distance is an integer sum — (dist_q,
+    neighbor_id) is a total order, so partition-local top-k is exact.
+    Recall vs exact: knn_pq_recall_eval (the fifth ANN QA row).
+    """
+    from .ml import _assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    books, n = _pq_fit(spark, emb.select("vec_id", "embedding"))
+    sub = books[0].shape[1]
+
+    step = max(1, n // IVF_CELLS)
+    cent_rows = (
+        emb.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < IVF_CELLS))
+        .select((F.col("vec_id") / step).cast("int").alias("cell"), "embedding")
+        .orderBy("cell")
+        .collect()
+    )
+    cells_arr = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cent = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    def assign_cells(mat: np.ndarray, top: int) -> np.ndarray:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms) @ cent_n.T
+        order = np.argsort(-sims, axis=1, kind="stable")  # ties → lower cell
+        return cells_arr[order[:, :top]]
+
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_cells = assign_cells(q_mat, IVF_PROBES)
+    adc = np.zeros((len(q_ids), PQ_M, PQ_K), dtype=np.int64)
+    for mi, cb in enumerate(books):
+        qs = q_mat[:, mi * sub : (mi + 1) * sub]
+        d = (
+            -2.0 * (qs @ cb.T)
+            + (cb * cb).sum(axis=1)
+            + (qs * qs).sum(axis=1, keepdims=True)
+        )
+        adc[:, mi, :] = np.floor(d * PQ_ADC_SCALE).astype(np.int64)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq_cells = spark.sparkContext.broadcast(q_cells)
+    b_adc = spark.sparkContext.broadcast(adc)
+    b_books = spark.sparkContext.broadcast(books)
+
+    def local_topk(batches):
+        sub_idx = np.arange(PQ_M)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cell = assign_cells(mat, 1)[:, 0]
+            codes = np.empty((len(mat), PQ_M), dtype=np.int64)
+            for mi, cb in enumerate(b_books.value):
+                codes[:, mi], _ = _assign(mat[:, mi * sub : (mi + 1) * sub], cb)
+            for qi, qid in enumerate(bq_ids.value):
+                keep = np.isin(cell, bq_cells.value[qi]) & (ids != qid)
+                if not keep.any():
+                    continue
+                dist = b_adc.value[qi][sub_idx, codes[keep]].sum(axis=1)
+                cand_ids = ids[keep]
+                top = np.lexsort((cand_ids, dist))[:TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[top],
+                        "dist_q": dist[top],
+                    }
+                )
+
+    local = emb.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, dist_q long"
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "dist_q", "rank")
+    )
+
+
+def _pq_subspace_ctes(mi: int, k: int, iters: int) -> str:
+    """One subspace's trained codebook as prefixed chained CTEs — the
+    unrolled-Lloyd device of ml.py:176 parameterized for a dim slice.
+    Terminal relation: s{mi}_c{iters} (cluster, cent)."""
+    lo, hi = mi * (64 // PQ_M) + 1, (mi + 1) * (64 // PQ_M)
+    p = f"s{mi}"
+    parts = [
+        f"{p}_e AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM e),",
+        f"""{p}_c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cent
+    FROM {p}_e, pqp WHERE vec_id % pqp.step = 0 AND vec_id / pqp.step < {k}
+),""",
+    ]
+    for i in range(iters):
+        parts.append(f"""{p}_a{i} AS (
+    SELECT vec_id, emb, cluster FROM (
+        SELECT x.vec_id, x.emb, c.cluster,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                   -2.0 * list_dot_product(x.emb, c.cent)
+                       + list_dot_product(c.cent, c.cent), c.cluster) AS rn
+        FROM {p}_e x CROSS JOIN {p}_c{i} c
+    ) WHERE rn = 1
+),
+{p}_c{i + 1} AS (
+    SELECT prev.cluster, coalesce(upd.cent, prev.cent) AS cent
+    FROM {p}_c{i} prev LEFT JOIN (
+        SELECT cluster, list(s / n ORDER BY pos) AS cent FROM (
+            SELECT cluster, pos, sum(v) AS s, count(*) AS n FROM (
+                SELECT cluster, unnest(emb) AS v,
+                       unnest(range(len(emb))) AS pos
+                FROM {p}_a{i}
+            ) GROUP BY cluster, pos
+        ) GROUP BY cluster
+    ) upd USING (cluster)
+),""")
+    return "\n".join(parts)
+
+
+def _pq_oracle() -> str:
+    """knn_ivf_pq mirrored: IVF cells/cand from knn_ivf_sq8's CTEs, M
+    per-subspace unrolled-Lloyd codebooks, final code assignment, the
+    floor-scaled ADC table, and the integer ADC-sum ranking."""
+    sub_ctes = "\n".join(_pq_subspace_ctes(mi, PQ_K, PQ_ITERS) for mi in range(PQ_M))
+    code_legs, adc_legs = [], []
+    for mi in range(PQ_M):
+        p, cf = f"s{mi}", f"s{mi}_c{PQ_ITERS}"
+        code_legs.append(
+            f"""SELECT vec_id, {mi} AS sub, cluster AS code FROM (
+    SELECT x.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+               -2.0 * list_dot_product(x.emb, c.cent)
+                   + list_dot_product(c.cent, c.cent), c.cluster) AS rn
+    FROM {p}_e x CROSS JOIN {cf} c
+) WHERE rn = 1"""
+        )
+        adc_legs.append(
+            f"""SELECT q.vec_id AS query_id, {mi} AS sub, c.cluster AS code,
+       CAST(floor({PQ_ADC_SCALE} * (
+           -2.0 * list_dot_product(q.emb, c.cent)
+               + list_dot_product(c.cent, c.cent)
+               + list_dot_product(q.emb, q.emb))) AS BIGINT) AS dpart
+FROM (SELECT vec_id, emb FROM {p}_e WHERE vec_id < {N_QUERIES}) q
+CROSS JOIN {cf} c"""
+        )
+    codes = " UNION ALL ".join(code_legs)
+    adcs = " UNION ALL ".join(adc_legs)
+    return f"""
+WITH p AS (SELECT greatest(1, count(*) // {IVF_CELLS}) AS step FROM embeddings),
+pqp AS (SELECT greatest(1, count(*) // {PQ_K}) AS step FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cinit AS (
+    SELECT vec_id // p.step AS cluster, emb AS cent
+    FROM e, p WHERE vec_id % p.step = 0 AND vec_id / p.step < {IVF_CELLS}
+),
+ranked_cells AS (
+    SELECT vec_id, cell, rn FROM (
+        SELECT e.vec_id, c.cluster AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
+                            c.cluster ASC) AS rn
+        FROM e CROSS JOIN cinit c
+    )
+),
+cand AS (
+    SELECT pr.vec_id AS query_id, cc.vec_id AS neighbor_id
+    FROM (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1) cc
+    JOIN (SELECT vec_id, cell FROM ranked_cells
+          WHERE rn <= {IVF_PROBES} AND vec_id < {N_QUERIES}) pr USING (cell)
+    WHERE cc.vec_id != pr.vec_id
+),
+{sub_ctes}
+codes AS ({codes}),
+adc AS ({adcs}),
+dist AS (
+    SELECT ca.query_id, ca.neighbor_id,
+           CAST(sum(a.dpart) AS BIGINT) AS dist_q
+    FROM cand ca
+    JOIN codes co ON co.vec_id = ca.neighbor_id
+    JOIN adc a ON a.query_id = ca.query_id AND a.sub = co.sub
+              AND a.code = co.code
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, dist_q, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist_q ASC, neighbor_id ASC) AS rank
+    FROM dist
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+ORACLE["knn_ivf_pq"] = _mat(_pq_oracle())
+
+
+def knn_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF-PQ index vs the exact cosine top-k — the
+    fifth row of the ANN QA matrix (LSH / IVF / SQ8 / IVF-SQ8 / IVF-PQ).
+    PQ's loss combines cell pruning with PER-SUBSPACE quantization (a
+    much coarser 2-bit/dim code than SQ8's 8), so this row is the one
+    that decides whether the extra 4× memory cut is affordable on this
+    corpus. Same integer-ppm contract as the other four rows."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        knn_ivf_pq(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.expr("(n_hit * 1000000L) div k").alias("recall_ppm"),
+        )
+    )
+
+
+ORACLE["knn_pq_recall_eval"] = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_bruteforce"]}) bf),
+approx AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_ivf_pq"]}) pq),
+j AS (
+    SELECT e.query_id,
+           CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       count(*)::BIGINT AS k,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY query_id
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "embedding_dim_prune": embedding_dim_prune,
@@ -1646,7 +2160,10 @@ QUERIES = {
     "knn_sq_recall_eval": knn_sq_recall_eval,
     "knn_ivf_sq8": knn_ivf_sq8,
     "knn_ivfsq_recall_eval": knn_ivfsq_recall_eval,
+    "knn_ivf_pq": knn_ivf_pq,
+    "knn_pq_recall_eval": knn_pq_recall_eval,
     "embedding_covariance": embedding_covariance,
+    "embedding_pca": embedding_pca,
     "hard_negative_mining": hard_negative_mining,
     "knn_probe_curve": knn_probe_curve,
 }

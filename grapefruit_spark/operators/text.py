@@ -922,6 +922,151 @@ WHERE rank <= {BPE_TOP_PAIRS}
 """
 
 
+# ------------------------------------------------------------------ D81
+#: sequential BPE merges trained by bpe_merge_sequence
+BPE_MERGES = 8
+
+
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE training (Sennrich et al. 2016) — the actual
+    distributed tokenizer-training step that bpe_pair_stats' single-
+    iteration statistics feed: BPE_MERGES sequential merges over the
+    corpus' distinct-word frequency table, emitting the learned merge
+    table (merge_idx, pair, n_pair-at-merge-time). Each iteration is
+    (a) a deterministic argmax over the weighted adjacent-symbol-pair
+    counts (ties → pair text ascending) and (b) an in-row greedy
+    left-to-right non-overlapping rewrite of every word's symbols.
+
+    Scale shape: the corpus collapses ONCE to distinct words (Heaps-
+    sublinear, bpe_pair_stats' device); each iteration is then a
+    map-side-combined pair count + a distributed TakeOrdered(1) argmax
+    (one tiny row to the driver — the kmeans/pagerank bounded-EAGER
+    loop class) + ONE narrow JVM string replace. No UDF, no shuffle
+    beyond the pair groupBy, vocab never leaves the executors.
+
+    The rewrite trick that keeps both engines exact: words are encoded
+    with a TERMINATING marker per symbol ("hello" → "h|e|l|l|o|"), so
+    the merge of pair (s1, s2) is the plain string replace of
+    "s1|s2|" with "s1s2|" — adjacent occurrences share NO boundary
+    characters (unlike space-separated encodings), and both Spark and
+    DuckDB's replace() scan left-to-right non-overlapping: exactly
+    BPE's greedy semantics, one codegen'd expression per iteration.
+    The vocabulary is restricted to purely-alphabetic words (^[a-z]+$
+    after lowercasing) so the marker can never collide with a symbol.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+    wf = (
+        words.where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .select(F.regexp_replace("w", "(.)", "$1|").alias("enc"), "n_w")
+    )
+
+    from pyspark.storagelevel import StorageLevel
+
+    cur = wf.persist(StorageLevel.MEMORY_AND_DISK)
+    merges: list[tuple[int, str, int]] = []
+    for t in range(BPE_MERGES):
+        # stage the symbol array in its own projection — referencing the
+        # higher-order split three times inline would re-evaluate it per
+        # reference (the doc_repetition_stats CodegenFallback lesson)
+        pairs = (
+            cur.select(
+                "n_w",
+                F.expr(r"filter(split(enc, '\\|'), s -> s != '')").alias("syms"),
+            )
+            .where(F.size("syms") >= 2)
+            .select(
+                "n_w",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> concat(element_at(syms, i), ' ',"
+                        " element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n_w").cast("bigint").alias("n_pair"))
+            .orderBy(F.desc("n_pair"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n_pair = top[0]["pair"], int(top[0]["n_pair"])
+        merges.append((t + 1, pair, n_pair))
+        s1, s2 = pair.split(" ")
+        nxt = cur.select(
+            F.expr(f"replace(enc, '{s1}|{s2}|', '{s1}{s2}|')").alias("enc"),
+            "n_w",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()
+        cur.unpersist(blocking=False)
+        cur = nxt
+    cur.unpersist(blocking=False)
+    return spark.createDataFrame(
+        merges, schema="merge_idx int, pair string, n_pair bigint"
+    )
+
+
+def _bpe_merge_oracle(k: int = BPE_MERGES) -> str:
+    """bpe_merge_sequence mirrored: chained CTEs, one (pair-count →
+    argmax → replace-rewrite) triple per merge (the kmeans/pagerank
+    unrolled-iteration device)."""
+    ctes = [
+        f"""w0 AS (
+    SELECT regexp_replace(w, '(.)', '\\1|', 'g') AS enc, count(*) AS n_w
+    FROM (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents)
+    WHERE regexp_matches(w, '^[a-z]+$')
+    GROUP BY 1
+)"""
+    ]
+    legs = []
+    for t in range(k):
+        ctes.append(
+            f"""p{t} AS (
+    SELECT unnest([syms[i] || ' ' || syms[i + 1] FOR i IN range(1, len(syms))])
+               AS pair,
+           n_w
+    FROM (
+        SELECT list_filter(string_split(enc, '|'), s -> s != '') AS syms, n_w
+        FROM w{t}
+    ) WHERE len(syms) >= 2
+),
+m{t} AS (
+    SELECT pair, n_pair FROM (
+        SELECT pair, sum(n_w)::BIGINT AS n_pair,
+               row_number() OVER (ORDER BY sum(n_w) DESC, pair ASC) AS rn
+        FROM p{t} GROUP BY pair
+    ) WHERE rn = 1
+),
+w{t + 1} AS (
+    SELECT replace(w.enc,
+                   replace(m.pair, ' ', '|') || '|',
+                   replace(m.pair, ' ', '') || '|') AS enc,
+           w.n_w
+    FROM w{t} w CROSS JOIN m{t} m
+)"""
+        )
+        legs.append(f"SELECT {t + 1} AS merge_idx, pair, n_pair FROM m{t}")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT merge_idx, pair, n_pair FROM ("
+        + " UNION ALL ".join(f"({s})" for s in legs)
+        + ")"
+    )
+
+
+from ..functions import materialize_ctes as _mat
+
+ORACLE["bpe_merge_sequence"] = _mat(_bpe_merge_oracle())
+
+
 # ------------------------------------------------------------------ D76
 def doc_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-class profile per document — the charset-level QC that
@@ -1082,6 +1227,7 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 QUERIES = {
     "lang_id": lang_id,
     "bpe_pair_stats": bpe_pair_stats,
+    "bpe_merge_sequence": bpe_merge_sequence,
     "doc_charset_stats": doc_charset_stats,
     "doc_ngram_novelty": doc_ngram_novelty,
     "doc_repetition_stats": doc_repetition_stats,

@@ -92,6 +92,18 @@ RICH_QUERIES = [
     ("text", "vocab_growth"),
     # mixed sources sharing a Zipf head give a dense overlap matrix
     ("text", "source_overlap_jaccard"),
+    # r12 additions: the changed/new documents-only operators re-prove
+    # on the hostile corpus. Note bpe_merge_sequence's alphabetic-word
+    # contract makes THIS vocab (w0..w2499, digit-bearing) empty — the
+    # rich run deliberately pins the degenerate no-merge path that both
+    # engines must agree on (0 rows); the real-path proof is the sf
+    # gates + the python replay test.
+    ("text", "doc_charset_stats"),
+    ("text", "bpe_merge_sequence"),
+    ("search", "quality_classifier_fit"),
+    ("search", "quality_classifier_score"),
+    ("datapipe", "shuffle_order_full"),
+    ("dedup", "minhash_band_curve"),
 ]
 
 
