@@ -1679,6 +1679,112 @@ FROM {vf} v CROSS JOIN {p}_lam l"""
 ORACLE["embedding_pca"] = _mat(_pca_oracle())
 
 
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA apply step — project every embedding onto the learned
+    principal components (the compaction/whitening transform
+    embedding_pca's loadings exist to drive): per vector the CENTERED
+    integer projection numerator for each component,
+    proj_num[c] = Σ_d (code_d·n − s_d) · loading_e6[c][d], where
+    code_d = floor(x_d·4096 + 0.5) is the covariance fixed-point code
+    and (n, s_d) are the corpus count and per-dim code sums — i.e.
+    n·scale·1e6 × the centered projection, exact in integers.
+
+    All-integer exactness end to end (the quality_classifier_score
+    device): loadings come from embedding_pca's EMITTED e6 values
+    (bit-identical cross-engine by that row's gate), codes and sums are
+    exact, so the projection is pure integer arithmetic — no float
+    anywhere in this operator.
+
+    Scale: loadings (256 values) and the per-dim sums (64) are bounded
+    collects; the projection itself is ONE narrow zip_with/aggregate
+    map over the corpus — fully inside codegen, zero shuffles, zero
+    UDFs. This is exactly how a 100 TB projection runs: broadcast the
+    rotation, stream the vectors through it.
+    """
+    pca_rows = embedding_pca(spark, sf_dir).collect()
+    loads: dict[int, dict[int, int]] = {}
+    for r in pca_rows:
+        loads.setdefault(r["component"], {})[r["dim"]] = r["loading_e6"]
+    dim = max(max(d) for d in loads.values())
+
+    cov_stats = (
+        embedding_covariance(spark, sf_dir)
+        .where(F.col("dim_i") == F.col("dim_j"))
+        .select("dim_i", "n_vecs", "s_i")
+        .collect()
+    )
+    n_vecs = cov_stats[0]["n_vecs"]
+    s = {r["dim_i"]: r["s_i"] for r in cov_stats}
+
+    emb = table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    cols = [F.col("vec_id")]
+    for c in sorted(loads):
+        warr = F.array(
+            *[F.lit(int(loads[c][d])) for d in range(1, dim + 1)]
+        )
+        # Σ_d floor(x·4096 + 0.5)·w — codegen'd zip_with + aggregate
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                warr,
+                lambda x, w: (
+                    F.floor(x.cast("double") * COV_CODE_SCALE + F.lit(0.5))
+                    .cast("bigint")
+                    * w
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        const_c = sum(int(s[d]) * int(loads[c][d]) for d in range(1, dim + 1))
+        cols.append(
+            (dot * F.lit(int(n_vecs)) - F.lit(const_c))
+            .cast("bigint")
+            .alias(f"proj_num_{c}")
+        )
+    return emb.select(*cols)
+
+
+def _pca_project_oracle() -> str:
+    """embedding_pca_project mirrored: the full PCA chain (for wfit's
+    e6 loadings), the covariance count/sums, then the integer centered
+    projection — pivoted wide to one row per vector."""
+    comp_cols = ",\n       ".join(
+        f"""CAST(sum(CASE WHEN w.component = {c}
+                 THEN (cd.c * st.n - st.s) * w.loading_e6 END) AS BIGINT)
+           AS proj_num_{c}"""
+        for c in range(PCA_COMPONENTS)
+    )
+    return (
+        _pca_oracle()
+        .replace(
+            "\nSELECT component, dim::INT AS dim, loading_e6, evr_ppm FROM (",
+            """,
+wfit AS (
+    SELECT component, dim, loading_e6 FROM (""",
+        )
+        + f"""
+),
+cstats AS (
+    SELECT i AS dim, sum(c)::BIGINT AS s, count(*)::BIGINT AS n
+    FROM codes GROUP BY 1
+),
+cd AS (SELECT vec_id, i AS dim, c FROM codes)
+SELECT cd.vec_id,
+       {comp_cols}
+FROM cd
+JOIN cstats st USING (dim)
+JOIN wfit w USING (dim)
+GROUP BY cd.vec_id
+"""
+    )
+
+
+ORACLE["embedding_pca_project"] = _mat(_pca_project_oracle())
+
+
 # ------------------------------------------------------------------ D74
 #: cumulative variance coverage a kept dim set must reach (ppm)
 PRUNE_COVERAGE_PPM = 990_000
@@ -2164,6 +2270,7 @@ QUERIES = {
     "knn_pq_recall_eval": knn_pq_recall_eval,
     "embedding_covariance": embedding_covariance,
     "embedding_pca": embedding_pca,
+    "embedding_pca_project": embedding_pca_project,
     "hard_negative_mining": hard_negative_mining,
     "knn_probe_curve": knn_probe_curve,
 }

@@ -1013,10 +1013,12 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merge_oracle(k: int = BPE_MERGES) -> str:
-    """bpe_merge_sequence mirrored: chained CTEs, one (pair-count →
-    argmax → replace-rewrite) triple per merge (the kmeans/pagerank
-    unrolled-iteration device)."""
+def _bpe_fit_ctes(k: int = BPE_MERGES) -> str:
+    """The BPE training chain as CTEs: w0 (encoded distinct-word freq
+    table) through w{k}, with p{t}/m{t} (pair counts / argmax) between.
+    The rewrite LEFT-joins the argmax row so an early merge exhaustion
+    (no pairs left) carries the vocabulary through unchanged — exactly
+    the Spark loop's break semantics."""
     ctes = [
         f"""w0 AS (
     SELECT regexp_replace(w, '(.)', '\\1|', 'g') AS enc, count(*) AS n_w
@@ -1045,17 +1047,32 @@ m{t} AS (
     ) WHERE rn = 1
 ),
 w{t + 1} AS (
-    SELECT replace(w.enc,
-                   replace(m.pair, ' ', '|') || '|',
-                   replace(m.pair, ' ', '') || '|') AS enc,
+    SELECT CASE WHEN m.pair IS NULL THEN w.enc
+               ELSE replace(w.enc,
+                            replace(m.pair, ' ', '|') || '|',
+                            replace(m.pair, ' ', '') || '|') END AS enc,
            w.n_w
-    FROM w{t} w CROSS JOIN m{t} m
+    FROM w{t} w LEFT JOIN m{t} m ON TRUE
 )"""
         )
         legs.append(f"SELECT {t + 1} AS merge_idx, pair, n_pair FROM m{t}")
+    _BPE_LEGS[k] = legs
+    return ",\n".join(ctes)
+
+
+#: merge-emission legs per k, filled by _bpe_fit_ctes (module-build time)
+_BPE_LEGS: dict[int, list[str]] = {}
+
+
+def _bpe_merge_oracle(k: int = BPE_MERGES) -> str:
+    """bpe_merge_sequence mirrored: chained CTEs, one (pair-count →
+    argmax → replace-rewrite) triple per merge (the kmeans/pagerank
+    unrolled-iteration device)."""
+    ctes = _bpe_fit_ctes(k)
+    legs = _BPE_LEGS[k]
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ctes
         + "\nSELECT merge_idx, pair, n_pair FROM ("
         + " UNION ALL ".join(f"({s})" for s in legs)
         + ")"
@@ -1065,6 +1082,90 @@ w{t + 1} AS (
 from ..functions import materialize_ctes as _mat
 
 ORACLE["bpe_merge_sequence"] = _mat(_bpe_merge_oracle())
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply step — encode the corpus with the learned merge table
+    and report what tokenizer training actually bought: distinct words,
+    word instances, total character-symbols before, total symbols after
+    the BPE_MERGES merges, and the corpus compression in ppm. This is
+    the consumer of bpe_merge_sequence (the fit → apply pairing of
+    quality_classifier_fit/score), and symbols-after is the token count
+    this merge table would feed a model — the tokenizer-budget number.
+
+    Scale: the merge table is ≤ BPE_MERGES collected rows (EAGER,
+    bounded); encoding applies the SAME chain of narrow JVM string
+    replaces training used — composed into ONE expression over the
+    distinct-word table — then a single map-side-combined aggregate.
+    The corpus never re-tokenizes per merge.
+    """
+    merges = sorted(
+        (r["merge_idx"], r["pair"])
+        for r in bpe_merge_sequence(spark, sf_dir).collect()
+    )
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
+    wf = (
+        words.where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .select(F.regexp_replace("w", "(.)", "$1|").alias("enc"), "n_w")
+    )
+    expr = "enc"
+    for _, pair in merges:
+        s1, s2 = pair.split(" ")
+        expr = f"replace({expr}, '{s1}|{s2}|', '{s1}{s2}|')"
+    staged = wf.select(
+        "n_w",
+        F.expr(r"size(filter(split(enc, '\\|'), s -> s != ''))").alias("nc"),
+        F.expr(
+            rf"size(filter(split({expr}, '\\|'), s -> s != ''))"
+        ).alias("ns"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+        F.coalesce(F.sum("n_w"), F.lit(0)).cast("bigint").alias("n_word_instances"),
+        F.coalesce(F.sum(F.col("n_w") * F.col("nc")), F.lit(0))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.coalesce(F.sum(F.col("n_w") * F.col("ns")), F.lit(0))
+        .cast("bigint")
+        .alias("n_symbols"),
+    ).select(
+        "*",
+        F.expr(
+            "((n_chars - n_symbols) * 1000000L) div nullif(n_chars, 0)"
+        ).alias("saved_ppm"),
+    )
+
+
+ORACLE["bpe_encode_stats"] = _mat(
+    "WITH "
+    + _bpe_fit_ctes()
+    + f""",
+base AS (
+    SELECT n_w, len(list_filter(string_split(enc, '|'), s -> s != '')) AS nc
+    FROM w0
+),
+fin AS (
+    SELECT n_w, len(list_filter(string_split(enc, '|'), s -> s != '')) AS ns
+    FROM w{BPE_MERGES}
+),
+agg AS (
+    SELECT (SELECT count(*) FROM w0)::BIGINT AS n_distinct_words,
+           CAST(coalesce((SELECT sum(n_w) FROM w0), 0) AS BIGINT)
+               AS n_word_instances,
+           CAST(coalesce((SELECT sum(n_w * nc) FROM base), 0) AS BIGINT)
+               AS n_chars,
+           CAST(coalesce((SELECT sum(n_w * ns) FROM fin), 0) AS BIGINT)
+               AS n_symbols
+)
+SELECT *,
+       CAST((n_chars - n_symbols) * 1000000 // nullif(n_chars, 0) AS BIGINT)
+           AS saved_ppm
+FROM agg
+"""
+)
 
 
 # ------------------------------------------------------------------ D76
@@ -1228,6 +1329,7 @@ QUERIES = {
     "lang_id": lang_id,
     "bpe_pair_stats": bpe_pair_stats,
     "bpe_merge_sequence": bpe_merge_sequence,
+    "bpe_encode_stats": bpe_encode_stats,
     "doc_charset_stats": doc_charset_stats,
     "doc_ngram_novelty": doc_ngram_novelty,
     "doc_repetition_stats": doc_repetition_stats,

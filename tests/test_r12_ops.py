@@ -258,3 +258,79 @@ def test_ivf_pq_plan_stays_corpus_join_free(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_pca_project_matches_python_integers(spark):
+    """The projection is pure integer arithmetic from the emitted
+    loadings — replay it exactly (==, not allclose) in python."""
+    from grapefruit_spark.operators.similarity import (
+        COV_CODE_SCALE,
+        embedding_pca,
+        embedding_pca_project,
+    )
+
+    loads: dict[int, dict[int, int]] = {}
+    for r in embedding_pca(spark, SF_DIR).collect():
+        loads.setdefault(r["component"], {})[r["dim"]] = r["loading_e6"]
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet'"
+        " WHERE embedding IS NOT NULL"
+    ).fetchall()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    codes = np.floor(mat * COV_CODE_SCALE + 0.5).astype(object)  # exact ints
+    n = len(rows)
+    s = codes.sum(axis=0)
+    expect = {}
+    for (vid, _), c in zip(rows, codes):
+        expect[vid] = {
+            comp: int(sum((c[d - 1] * n - s[d - 1]) * w for d, w in ws.items()))
+            for comp, ws in loads.items()
+        }
+    got = embedding_pca_project(spark, SF_DIR).collect()
+    assert len(got) == n
+    for r in got:
+        for comp in loads:
+            assert r[f"proj_num_{comp}"] == expect[r["vec_id"]][comp]
+
+
+def test_bpe_encode_stats_consistent_with_merge_table(spark):
+    """Encoding with the learned merges must save exactly
+    Σ n_pair-at-merge-time symbols? No — later merges change pair
+    counts; but n_chars − n_symbols must be POSITIVE and at most the
+    total of all merge counts (each applied merge removes one symbol
+    per occurrence at application time, and occurrences only shrink
+    after training order). Also replay the python encode exactly."""
+    from grapefruit_spark.operators.text import (
+        bpe_encode_stats,
+        bpe_merge_sequence,
+    )
+
+    stats = bpe_encode_stats(spark, SF_DIR).collect()[0]
+    merges = bpe_merge_sequence(spark, SF_DIR).collect()
+    saved = stats["n_chars"] - stats["n_symbols"]
+    assert saved == sum(r["n_pair"] for r in merges), (
+        saved,
+        [r["n_pair"] for r in merges],
+    )
+    # python replay of the full encode
+    wc = _docs_words()
+    vocab = {w: list(w) for w in wc}
+    for r in sorted(merges, key=lambda r: r["merge_idx"]):
+        s1, s2 = r["pair"].split(" ")
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert stats["n_distinct_words"] == len(wc)
+    assert stats["n_word_instances"] == sum(wc.values())
+    assert stats["n_chars"] == sum(len(w) * c for w, c in wc.items())
+    assert stats["n_symbols"] == sum(
+        len(vocab[w]) * c for w, c in wc.items()
+    )

@@ -100,6 +100,7 @@ RICH_QUERIES = [
     # gates + the python replay test.
     ("text", "doc_charset_stats"),
     ("text", "bpe_merge_sequence"),
+    ("text", "bpe_encode_stats"),
     ("search", "quality_classifier_fit"),
     ("search", "quality_classifier_score"),
     ("datapipe", "shuffle_order_full"),
