@@ -1574,6 +1574,17 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same recurrence → same sign), so no sign convention is needed.
     """
     cov_rows = embedding_covariance(spark, sf_dir).collect()
+    return spark.createDataFrame(
+        _pca_rows_from_cov(cov_rows),
+        schema="component int, dim int, loading_e6 bigint, evr_ppm bigint",
+    )
+
+
+def _pca_rows_from_cov(cov_rows) -> list[tuple[int, int, int, int]]:
+    """The driver-side eigensolve: collected covariance rows → the
+    (component, dim, loading_e6, evr_ppm) tuples. Shared by
+    embedding_pca and embedding_pca_project so the corpus pays ONE
+    covariance pass per caller."""
     dim = max(r["dim_i"] for r in cov_rows)
     c_int = np.zeros((dim, dim), dtype=np.int64)
     for r in cov_rows:
@@ -1596,10 +1607,7 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (comp, d + 1, int(np.floor(v[d] * 1e6)), evr_ppm)
             )
         a = a - lam * np.outer(v, v)
-
-    return spark.createDataFrame(
-        out, schema="component int, dim int, loading_e6 bigint, evr_ppm bigint"
-    )
+    return out
 
 
 def _pca_oracle() -> str:
@@ -1701,20 +1709,14 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDFs. This is exactly how a 100 TB projection runs: broadcast the
     rotation, stream the vectors through it.
     """
-    pca_rows = embedding_pca(spark, sf_dir).collect()
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
     loads: dict[int, dict[int, int]] = {}
-    for r in pca_rows:
-        loads.setdefault(r["component"], {})[r["dim"]] = r["loading_e6"]
+    for comp, d, w, _evr in _pca_rows_from_cov(cov_rows):
+        loads.setdefault(comp, {})[d] = w
     dim = max(max(d) for d in loads.values())
 
-    cov_stats = (
-        embedding_covariance(spark, sf_dir)
-        .where(F.col("dim_i") == F.col("dim_j"))
-        .select("dim_i", "n_vecs", "s_i")
-        .collect()
-    )
-    n_vecs = cov_stats[0]["n_vecs"]
-    s = {r["dim_i"]: r["s_i"] for r in cov_stats}
+    n_vecs = cov_rows[0]["n_vecs"]
+    s = {r["dim_i"]: r["s_i"] for r in cov_rows if r["dim_i"] == r["dim_j"]}
 
     emb = table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
