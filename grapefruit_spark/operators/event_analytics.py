@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import dec_sum
+from ..functions import dec_sum, md5_hash60, md5_hash60_sql
 
 ORACLE: dict[str, str] = {}
 
@@ -1568,6 +1568,245 @@ FROM agg
 """
 
 
+# ----------------------------------------------------------------- C38
+#: Count-Min Sketch geometry: d hash rows × w buckets
+CMS_D = 4
+CMS_W = 1024
+CMS_TOP = 10
+
+
+def events_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy-hitter QA (Cormode & Muthukrishnan 2005):
+    build a d×w CMS over per-user event counts, then report — for the
+    top-CMS_TOP EXACT heavy hitters — the exact count, the CMS estimate
+    (min over the d row cells), and the overestimate in ppm. This is
+    the sketch-error-measurement row for the COUNT sketch family, the
+    companion of minhash_est_error (Jaccard) and knn_*_recall_eval
+    (ANN): every estimator in the repo ships with the operator that
+    measures its error. Unlike the HLL/GK rows (engine-internal by
+    design, rows-only), CMS built on the portable md5 hash is exactly
+    SQL-mirrorable, so this sketch IS hash-gated.
+
+    Scale: CMS is a SUM sketch — the d×w cell grid map-side-combines
+    under any partitioning (this is why CMS is THE streaming/merge-
+    friendly heavy-hitter structure); the build is one aggregate over
+    the per-user frame exploded d ways (≤ d·w cells out of any
+    partition), the exact top-K is a TakeOrdered, and the estimate join
+    touches only K·d broadcast rows. Nothing here scales with corpus
+    size except the two map-side-combined aggregates.
+
+    All-integer: buckets from md5_hash60 % w, cells and estimates are
+    integer sums/mins, overestimate ppm via bigint div. CMS guarantees
+    est ≥ exact, so over_ppm ≥ 0 (pinned by pytest).
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+    def bucket(r: int) -> F.Column:
+        return (
+            md5_hash60(F.col("user_id").cast("string"), f"|cms{r}")
+            % CMS_W
+        ).cast("int")
+
+    hashed = per_user.select(
+        "user_id",
+        "n_events",
+        F.posexplode(F.array(*[bucket(r) for r in range(CMS_D)])).alias(
+            "row_id", "bucket"
+        ),
+    )
+    cells = hashed.groupBy("row_id", "bucket").agg(
+        F.sum("n_events").cast("bigint").alias("cell")
+    )
+    top = (
+        per_user.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(CMS_TOP)
+        .select(
+            "user_id",
+            "n_events",
+            F.posexplode(F.array(*[bucket(r) for r in range(CMS_D)])).alias(
+                "row_id", "bucket"
+            ),
+        )
+    )
+    return (
+        top.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy("user_id", "n_events")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("n_events").alias("n_exact"),
+            "cms_est",
+            F.expr(
+                "((cms_est - n_events) * 1000000L) div n_events"
+            ).alias("over_ppm"),
+        )
+    )
+
+
+_cms_buckets = ", ".join(
+    f"{md5_hash60_sql('user_id::VARCHAR', f'|cms{r}')} % {CMS_W}"
+    for r in range(CMS_D)
+)
+ORACLE["events_cms_error"] = f"""
+WITH per_user AS (
+    SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1
+),
+hashed AS (
+    SELECT user_id, n_events,
+           generate_subscripts(bks, 1) - 1 AS row_id, unnest(bks) AS bucket
+    FROM (SELECT user_id, n_events, [{_cms_buckets}] AS bks FROM per_user)
+),
+cells AS (
+    SELECT row_id, bucket, CAST(sum(n_events) AS BIGINT) AS cell
+    FROM hashed GROUP BY 1, 2
+),
+top AS (
+    SELECT user_id, n_events FROM per_user
+    ORDER BY n_events DESC, user_id ASC LIMIT {CMS_TOP}
+),
+est AS (
+    SELECT h.user_id, h.n_events, min(c.cell) AS cms_est
+    FROM (SELECT user_id, n_events,
+                 generate_subscripts(bks, 1) - 1 AS row_id,
+                 unnest(bks) AS bucket
+          FROM (SELECT user_id, n_events, [{_cms_buckets}] AS bks
+                FROM top)) h
+    JOIN cells c ON c.row_id = h.row_id AND c.bucket = h.bucket
+    GROUP BY 1, 2
+)
+SELECT user_id, n_events AS n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST((cms_est - n_events) * 1000000 // n_events AS BIGINT) AS over_ppm
+FROM est
+"""
+
+
+#: widths swept by events_cms_width_curve — divisor-nested so the whole
+#: sweep derives from the ONE finest-width cell grid
+CMS_WIDTHS = (64, 256, 1024)
+
+
+def events_cms_width_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS width tuning curve — the minhash_band_curve of the count-
+    sketch family: the same d-row sketch evaluated at widths 64/256/
+    1024, reporting per width the mean and max heavy-hitter
+    overestimate (ppm over the exact counts of the top-CMS_TOP users).
+    Read where the curve flattens to size the sketch for a target key
+    cardinality — the memory/error trade a production CMS deployment
+    actually decides.
+
+    Scale — the sweep costs ONE sketch build, not three: the widths
+    NEST (w | W ⇒ h mod w = (h mod W) mod w), so the finest-width cell
+    grid is built once and each coarser grid is an O(d·W) rollup of its
+    cells — the band-curve nesting trick in modular form. Estimates are
+    pointwise monotone (coarser width ⇒ superset cells ⇒ larger min),
+    which the pytest pins.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w_max = CMS_WIDTHS[-1]
+
+    def bucket(r: int) -> F.Column:
+        return (
+            md5_hash60(F.col("user_id").cast("string"), f"|cms{r}")
+            % w_max
+        ).cast("int")
+
+    hashed = per_user.select(
+        "user_id",
+        "n_events",
+        F.posexplode(F.array(*[bucket(r) for r in range(CMS_D)])).alias(
+            "row_id", "bucket"
+        ),
+    )
+    cells = hashed.groupBy("row_id", "bucket").agg(
+        F.sum("n_events").cast("bigint").alias("cell")
+    )
+    top = (
+        per_user.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(CMS_TOP)
+        .select(
+            "user_id",
+            "n_events",
+            F.posexplode(F.array(*[bucket(r) for r in range(CMS_D)])).alias(
+                "row_id", "bucket"
+            ),
+        )
+    )
+    legs = []
+    for w in CMS_WIDTHS:
+        cw = cells.groupBy(
+            "row_id", (F.col("bucket") % w).alias("bucket_w")
+        ).agg(F.sum("cell").alias("cell"))
+        est = (
+            top.withColumn("bucket_w", F.col("bucket") % w)
+            .join(F.broadcast(cw), ["row_id", "bucket_w"])
+            .groupBy("user_id", "n_events")
+            .agg(F.min("cell").alias("est"))
+            .select(
+                F.expr("((est - n_events) * 1000000L) div n_events").alias(
+                    "over_ppm"
+                )
+            )
+        )
+        legs.append(
+            est.agg(
+                F.lit(w).alias("width"),
+                F.expr(f"sum(over_ppm) div {CMS_TOP}").alias("mean_over_ppm"),
+                F.max("over_ppm").alias("max_over_ppm"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("width")
+
+
+def _cms_width_leg(w: int) -> str:
+    return f"""SELECT {w} AS width,
+       CAST(sum(over_ppm) // {CMS_TOP} AS BIGINT) AS mean_over_ppm,
+       CAST(max(over_ppm) AS BIGINT) AS max_over_ppm
+FROM (
+    SELECT CAST((min(c.cell) - any_value(h.n_events)) * 1000000
+                // any_value(h.n_events) AS BIGINT) AS over_ppm
+    FROM (SELECT user_id, n_events, row_id, bucket % {w} AS bucket_w
+          FROM tophash) h
+    JOIN (SELECT row_id, bucket % {w} AS bucket_w, sum(cell) AS cell
+          FROM cells GROUP BY 1, 2) c
+      ON c.row_id = h.row_id AND c.bucket_w = h.bucket_w
+    GROUP BY h.user_id
+)"""
+
+
+ORACLE["events_cms_width_curve"] = f"""
+WITH per_user AS (
+    SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1
+),
+hashed AS (
+    SELECT user_id, n_events,
+           generate_subscripts(bks, 1) - 1 AS row_id, unnest(bks) AS bucket
+    FROM (SELECT user_id, n_events, [{_cms_buckets}] AS bks FROM per_user)
+),
+cells AS (
+    SELECT row_id, bucket, CAST(sum(n_events) AS BIGINT) AS cell
+    FROM hashed GROUP BY 1, 2
+),
+top AS (
+    SELECT user_id, n_events FROM per_user
+    ORDER BY n_events DESC, user_id ASC LIMIT {CMS_TOP}
+),
+tophash AS (
+    SELECT user_id, n_events,
+           generate_subscripts(bks, 1) - 1 AS row_id, unnest(bks) AS bucket
+    FROM (SELECT user_id, n_events, [{_cms_buckets}] AS bks FROM top)
+)
+SELECT width, mean_over_ppm, max_over_ppm FROM (
+    {" UNION ALL ".join(f"({_cms_width_leg(w)})" for w in CMS_WIDTHS)}
+)
+ORDER BY width
+"""
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "events_type_entropy": events_type_entropy,
@@ -1589,6 +1828,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_heavy_hitters": events_heavy_hitters,
+    "events_cms_error": events_cms_error,
+    "events_cms_width_curve": events_cms_width_curve,
     "events_histogram": events_histogram,
     "events_pareto_share": events_pareto_share,
     "events_burstiness": events_burstiness,

@@ -334,3 +334,61 @@ def test_bpe_encode_stats_consistent_with_merge_table(spark):
     assert stats["n_symbols"] == sum(
         len(vocab[w]) * c for w, c in wc.items()
     )
+
+
+def test_cms_overestimates_and_width_monotonicity(spark):
+    """CMS guarantees est >= exact (over_ppm >= 0); widening the sketch
+    can only shrink every estimate (cells at coarser widths are sums of
+    finer cells), so the mean/max curves are non-increasing in width."""
+    from grapefruit_spark.operators.event_analytics import (
+        events_cms_error,
+        events_cms_width_curve,
+    )
+
+    for r in events_cms_error(spark, SF_DIR).collect():
+        assert r["cms_est"] >= r["n_exact"]
+        assert r["over_ppm"] >= 0
+    curve = sorted(
+        events_cms_width_curve(spark, SF_DIR).collect(),
+        key=lambda r: r["width"],
+    )
+    assert [r["width"] for r in curve] == [64, 256, 1024]
+    for a, b in zip(curve, curve[1:]):
+        assert a["mean_over_ppm"] >= b["mean_over_ppm"]
+        assert a["max_over_ppm"] >= b["max_over_ppm"]
+
+
+def test_cms_estimate_matches_python_sketch(spark):
+    """Full python CMS replay from the parquet — exact integers."""
+    import hashlib
+
+    from grapefruit_spark.operators.event_analytics import (
+        CMS_D,
+        CMS_TOP,
+        CMS_W,
+        events_cms_error,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT user_id, count(*) FROM '{SF_DIR}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    counts = dict(rows)
+
+    def bucket(uid: int, r: int) -> int:
+        h = hashlib.md5(f"{uid}|cms{r}".encode()).hexdigest()[:15]
+        return int(h, 16) % CMS_W
+
+    cells: dict[tuple[int, int], int] = {}
+    for uid, n in counts.items():
+        for r in range(CMS_D):
+            k = (r, bucket(uid, r))
+            cells[k] = cells.get(k, 0) + n
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP]
+    expect = {
+        uid: min(cells[(r, bucket(uid, r))] for r in range(CMS_D))
+        for uid, _ in top
+    }
+    got = events_cms_error(spark, SF_DIR).collect()
+    assert len(got) == min(CMS_TOP, len(counts))
+    for r in got:
+        assert r["cms_est"] == expect[r["user_id"]], r

@@ -55,6 +55,10 @@ RICH_EVENT_QUERIES = [
     # r10 second wave: hostile streams carry real per-user skew, so the
     # ntile tie contract (n_events DESC, user_id ASC) gets exercised
     ("event_analytics", "events_pareto_share"),
+    # r12: the CMS pair — the Zipf user distribution gives real
+    # collision mass at every width
+    ("event_analytics", "events_cms_error"),
+    ("event_analytics", "events_cms_width_curve"),
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
