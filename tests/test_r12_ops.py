@@ -392,3 +392,25 @@ def test_cms_estimate_matches_python_sketch(spark):
     assert len(got) == min(CMS_TOP, len(counts))
     for r in got:
         assert r["cms_est"] == expect[r["user_id"]], r
+
+
+def test_classifier_score_broadcasts_weights(spark):
+    """The per-doc scoring scan may join ONLY broadcast frames (the
+    65-row weight table and the 1-row mean) — a shuffle join on the
+    corpus side would be the 100 TB regression this canary guards."""
+    from grapefruit_spark.operators.search import quality_classifier_score
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(quality_classifier_score(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_estimate_join_is_broadcast(spark):
+    """The K·d estimate probe joins the (d×w)-bounded cell grid — both
+    sides are config-bounded, so the join must broadcast, never
+    shuffle-sort the sketch."""
+    from grapefruit_spark.operators.event_analytics import events_cms_error
+    from grapefruit_spark.plans import assert_broadcast_join
+
+    assert_broadcast_join(events_cms_error(spark, SF_DIR))
