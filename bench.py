@@ -220,6 +220,23 @@ HEADLINE = [
     "events_ab_lift",
     # per-doc marginal trigram novelty (tfidf-shaped shuffles)
     "doc_ngram_novelty",
+    # round-12 wave: the IVF-PQ tier + its recall row, distributed PCA
+    # (fit from the exact Gram + the all-integer projection), iterated
+    # BPE training + the encode/compression report, the learned quality
+    # classifier (exact-integer normal equations + GD) + its scoring
+    # row, the full range-partitioned training permutation, and the CMS
+    # heavy-hitter QA pair (one sketch build feeds the width sweep)
+    "knn_ivf_pq",
+    "knn_pq_recall_eval",
+    "embedding_pca",
+    "embedding_pca_project",
+    "bpe_merge_sequence",
+    "bpe_encode_stats",
+    "quality_classifier_fit",
+    "quality_classifier_score",
+    "shuffle_order_full",
+    "events_cms_error",
+    "events_cms_width_curve",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10
