@@ -1890,10 +1890,14 @@ FROM ranked
 PQ_M = 4
 PQ_K = 16
 PQ_ITERS = 3
-#: fixed-point scale for the ADC lookup table entries — coarse enough
-#: (1e4) that the engines' ~1e-13-relative centroid divergence cannot
-#: flip a floor; distance ties broken by neighbor_id are exact
-PQ_ADC_SCALE = 10_000
+#: fixed-point grid for the ADC distance: queries AND codebook
+#: centroids quantize to floor(x·4096 + 0.5) integer codes and the
+#: table entry is the EXACT integer Σ(Δcode)² — the knn_sq8 device.
+#: (The earlier floor(1e4·‖q−c‖²)-of-a-double formulation flipped one
+#: ulp on the adversarial integer-grid corpus, where the product lands
+#: exactly on integers and the two engines' dot-product orders round
+#: opposite ways.)
+PQ_CENT_SCALE = 4096
 
 
 def _pq_fit(
@@ -2006,11 +2010,15 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness: cell assignment and the Lloyd recurrences
     mirror knn_ivf/kmeans_embeddings' proven CTE devices; the ADC table
-    entry floor(1e4·‖q_m − c‖²) tolerates the engines' ~1e-13-relative
-    centroid divergence (a flip needs the product within 1e-5 of an
-    integer), and the ranked distance is an integer sum — (dist_q,
-    neighbor_id) is a total order, so partition-local top-k is exact.
-    Recall vs exact: knn_pq_recall_eval (the fifth ANN QA row).
+    quantizes query subvectors AND codebook centroids to the 4096
+    fixed-point grid and its entry is the EXACT integer Σ(Δcode)² —
+    no floor of a float distance anywhere (that formulation flipped an
+    ulp on the adversarial integer-grid corpus), and the centroid
+    quantization tolerates the engines' ~1e-13 Lloyd divergence (a flip
+    needs a centroid within 1e-13·4096 of a half-integer). The ranked
+    distance is an integer sum — (dist_q, neighbor_id) is a total
+    order, so partition-local top-k is exact. Recall vs exact:
+    knn_pq_recall_eval (the fifth ANN QA row).
     """
     from .ml import _assign
 
@@ -2042,13 +2050,12 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_cells = assign_cells(q_mat, IVF_PROBES)
     adc = np.zeros((len(q_ids), PQ_M, PQ_K), dtype=np.int64)
     for mi, cb in enumerate(books):
-        qs = q_mat[:, mi * sub : (mi + 1) * sub]
-        d = (
-            -2.0 * (qs @ cb.T)
-            + (cb * cb).sum(axis=1)
-            + (qs * qs).sum(axis=1, keepdims=True)
-        )
-        adc[:, mi, :] = np.floor(d * PQ_ADC_SCALE).astype(np.int64)
+        qs = np.floor(
+            q_mat[:, mi * sub : (mi + 1) * sub] * PQ_CENT_SCALE + 0.5
+        ).astype(np.int64)
+        cq = np.floor(cb * PQ_CENT_SCALE + 0.5).astype(np.int64)
+        diff = qs[:, None, :] - cq[None, :, :]  # (Q, K, sub)
+        adc[:, mi, :] = (diff * diff).sum(axis=2)
     bq_ids = spark.sparkContext.broadcast(q_ids)
     bq_cells = spark.sparkContext.broadcast(q_cells)
     b_adc = spark.sparkContext.broadcast(adc)
@@ -2147,13 +2154,15 @@ def _pq_oracle() -> str:
 ) WHERE rn = 1"""
         )
         adc_legs.append(
-            f"""SELECT q.vec_id AS query_id, {mi} AS sub, c.cluster AS code,
-       CAST(floor({PQ_ADC_SCALE} * (
-           -2.0 * list_dot_product(q.emb, c.cent)
-               + list_dot_product(c.cent, c.cent)
-               + list_dot_product(q.emb, q.emb))) AS BIGINT) AS dpart
-FROM (SELECT vec_id, emb FROM {p}_e WHERE vec_id < {N_QUERIES}) q
-CROSS JOIN {cf} c"""
+            f"""SELECT q.vec_id AS query_id, {mi} AS sub, c.code,
+       CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dpart
+FROM (SELECT vec_id, generate_subscripts(emb, 1) AS d,
+             CAST(floor(unnest(emb) * {PQ_CENT_SCALE} + 0.5) AS BIGINT) AS qv
+      FROM {p}_e WHERE vec_id < {N_QUERIES}) q
+JOIN (SELECT cluster AS code, generate_subscripts(cent, 1) AS d,
+             CAST(floor(unnest(cent) * {PQ_CENT_SCALE} + 0.5) AS BIGINT) AS cv
+      FROM {cf}) c USING (d)
+GROUP BY 1, 2, 3"""
         )
     codes = " UNION ALL ".join(code_legs)
     adcs = " UNION ALL ".join(adc_legs)

@@ -130,7 +130,9 @@ def synthesize(spark, dest: str = DEST, reps: int = REPS) -> dict:
     meta_path = os.path.join(dest, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            return json.load(f)
+            meta = json.load(f)
+        if meta.get("emb_reps"):  # pre-r12 caches lack the emb replicas
+            return meta
     os.makedirs(dest, exist_ok=True)
 
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
@@ -188,16 +190,47 @@ def synthesize(spark, dest: str = DEST, reps: int = REPS) -> dict:
         out = out.unionByName(p)
     _single_file(out, f"{dest}/events.parquet")
 
+    # embeddings x10 (r12): vec_id offset per replica + a per-replica
+    # ARRAY ROTATION of the dims — preserves norms and the per-replica
+    # distance structure while keeping cross-replica neighborhoods
+    # non-degenerate (plain replication would plant 9 exact copies of
+    # every query vector). Replica 0 is identity, so the vec_id < 8
+    # query contract still selects the original queries.
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = 64
+    emb_parts = []
+    for r in range(reps):
+        if r == 0:
+            rotated = F.col("embedding")
+        else:
+            rotated = F.concat(
+                F.slice("embedding", r + 1, dim - r),
+                F.slice("embedding", 1, r),
+            )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + r * 100_000).alias("vec_id"),
+                rotated.alias("embedding"),
+                "label",
+            )
+        )
+    out = emb_parts[0]
+    for pt in emb_parts[1:]:
+        out = out.unionByName(pt)
+    _single_file(out, f"{dest}/embeddings.parquet")
+
     for t in (
-        "region nation customer supplier part orders embeddings"
+        "region nation customer supplier part orders"
     ).split():
         shutil.copy(f"{SRC}/{t}.parquet", f"{dest}/{t}.parquet")
 
     meta = {
         "reps": reps,
+        "emb_reps": reps,
         "documents": spark.read.parquet(f"{dest}/documents.parquet").count(),
         "lineitem": spark.read.parquet(f"{dest}/lineitem.parquet").count(),
         "events": spark.read.parquet(f"{dest}/events.parquet").count(),
+        "embeddings": spark.read.parquet(f"{dest}/embeddings.parquet").count(),
     }
     with open(meta_path, "w") as f:
         json.dump(meta, f)
