@@ -1933,6 +1933,10 @@ def _pq_fit(
     full = np.array([r["embedding"] for r in init], dtype=np.float64)
     sub = full.shape[1] // m
     books = [full[:, mi * sub : (mi + 1) * sub].copy() for mi in range(m)]
+    # sparse vec_id spaces (10x replicas, hostile corpora) can yield
+    # fewer than k init rows — size everything off the ACTUAL codebook,
+    # exactly as the oracle's row_number init does (kmeans_fit device)
+    k = books[0].shape[0]
 
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(books)
@@ -2048,7 +2052,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r["vec_id"] for r in qrows])
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_cells = assign_cells(q_mat, IVF_PROBES)
-    adc = np.zeros((len(q_ids), PQ_M, PQ_K), dtype=np.int64)
+    adc = np.zeros((len(q_ids), PQ_M, books[0].shape[0]), dtype=np.int64)
     for mi, cb in enumerate(books):
         qs = np.floor(
             q_mat[:, mi * sub : (mi + 1) * sub] * PQ_CENT_SCALE + 0.5
