@@ -1778,6 +1778,10 @@ FROM (
 )"""
 
 
+# the sim's oracle IS the one-shot sketch SQL: hash-green proves the
+# increment-merged grid is value-identical to the batch-built one
+ORACLE["stream_cms_sim"] = ORACLE["events_cms_error"]
+
 ORACLE["events_cms_width_curve"] = f"""
 WITH per_user AS (
     SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1
@@ -1807,6 +1811,80 @@ ORDER BY width
 """
 
 
+def stream_cms_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CMS maintenance sim — the property that makes CMS
+    THE streaming heavy-hitter sketch: cell grids are sums, so a sketch
+    maintained by merging per-batch increments is BIT-IDENTICAL to the
+    one-shot sketch over the union. The event log splits into two
+    deterministic arrival batches (event_id parity), each batch builds
+    its own d×w grid, the grids merge by cell addition, and the merged
+    sketch answers the same top-K estimate query. The ORACLE is the
+    one-shot events_cms_error SQL — a hash-green row therefore PROVES
+    increment-merge ≡ batch, the invariant a production streaming
+    deployment (foreachBatch merging grids into a stored sketch) rests
+    on. The ingest_dedup batch pattern applied to a sketch.
+
+    Scale: each batch's grid is one map-side-combined aggregate
+    (≤ d·w cells out of any partition); the merge is an O(d·w) union
+    rollup — state is KB-sized forever, never keyed by user.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def bucket(r: int) -> F.Column:
+        return (
+            md5_hash60(F.col("user_id").cast("string"), f"|cms{r}")
+            % CMS_W
+        ).cast("int")
+
+    grids = []
+    for b in range(2):
+        batch = ev.where(F.col("event_id") % 2 == b)
+        per_user_b = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        grids.append(
+            per_user_b.select(
+                "n_events",
+                F.posexplode(
+                    F.array(*[bucket(r) for r in range(CMS_D)])
+                ).alias("row_id", "bucket"),
+            )
+            .groupBy("row_id", "bucket")
+            .agg(F.sum("n_events").cast("bigint").alias("cell"))
+        )
+    merged = (
+        grids[0]
+        .unionByName(grids[1])
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("cell").cast("bigint").alias("cell"))
+    )
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    top = (
+        per_user.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(CMS_TOP)
+        .select(
+            "user_id",
+            "n_events",
+            F.posexplode(F.array(*[bucket(r) for r in range(CMS_D)])).alias(
+                "row_id", "bucket"
+            ),
+        )
+    )
+    return (
+        top.join(F.broadcast(merged), ["row_id", "bucket"])
+        .groupBy("user_id", "n_events")
+        .agg(F.min("cell").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("n_events").alias("n_exact"),
+            "cms_est",
+            F.expr(
+                "((cms_est - n_events) * 1000000L) div n_events"
+            ).alias("over_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "events_user_lifetime": events_user_lifetime,
     "events_type_entropy": events_type_entropy,
@@ -1830,6 +1908,7 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_cms_error": events_cms_error,
     "events_cms_width_curve": events_cms_width_curve,
+    "stream_cms_sim": stream_cms_sim,
     "events_histogram": events_histogram,
     "events_pareto_share": events_pareto_share,
     "events_burstiness": events_burstiness,

@@ -414,3 +414,21 @@ def test_cms_estimate_join_is_broadcast(spark):
     from grapefruit_spark.plans import assert_broadcast_join
 
     assert_broadcast_join(events_cms_error(spark, SF_DIR))
+
+
+def test_stream_cms_sim_merge_equals_batch(spark):
+    """The incremental sim's merged sketch must answer EXACTLY like the
+    one-shot sketch — same rows, same estimates (CMS merge identity)."""
+    from grapefruit_spark.operators.event_analytics import (
+        events_cms_error,
+        stream_cms_sim,
+    )
+
+    one_shot = {
+        r["user_id"]: tuple(r)
+        for r in events_cms_error(spark, SF_DIR).collect()
+    }
+    merged = {
+        r["user_id"]: tuple(r) for r in stream_cms_sim(spark, SF_DIR).collect()
+    }
+    assert merged == one_shot
