@@ -59,6 +59,7 @@ RICH_EVENT_QUERIES = [
     # collision mass at every width
     ("event_analytics", "events_cms_error"),
     ("event_analytics", "events_cms_width_curve"),
+    ("event_analytics", "stream_cms_sim"),
 ]
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
