@@ -966,6 +966,7 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     cur = wf.persist(StorageLevel.MEMORY_AND_DISK)
+    prev = None
     merges: list[tuple[int, str, int]] = []
     for t in range(BPE_MERGES):
         # stage the symbol array in its own projection — referencing the
@@ -988,6 +989,10 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pair"),
             )
         )
+        # this argmax job is ALSO what materializes cur's cache (built
+        # lazily from prev's cached frame), so the loop pays ONE job per
+        # merge instead of argmax + an extra count() materializer —
+        # prev is only released after cur has been realized from it
         top = (
             pairs.groupBy("pair")
             .agg(F.sum("n_w").cast("bigint").alias("n_pair"))
@@ -995,6 +1000,8 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist(blocking=False)
         if not top:
             break
         pair, n_pair = top[0]["pair"], int(top[0]["n_pair"])
@@ -1004,10 +1011,10 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"replace(enc, '{s1}|{s2}|', '{s1}{s2}|')").alias("enc"),
             "n_w",
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        nxt.count()
-        cur.unpersist(blocking=False)
-        cur = nxt
+        prev, cur = cur, nxt
     cur.unpersist(blocking=False)
+    if prev is not None:
+        prev.unpersist(blocking=False)
     return spark.createDataFrame(
         merges, schema="merge_idx int, pair string, n_pair bigint"
     )
