@@ -44,7 +44,6 @@ HEADLINE = [
     "running_total",
     "price_percentiles",
     "events_sliding",
-    "dedup_clusters",
     # extended TPC-H block
     "q2_min_cost_supplier",
     "q7_volume_shipping",
@@ -94,7 +93,6 @@ HEADLINE = [
     "supplier_hhi",
     "events_value_mad",
     "doc_entropy",
-    "jaccard_clusters",
     "dup_span_docs",
     "vocab_coverage",
     # round-5 addition: exact-substring dedup APPLY step
@@ -121,7 +119,6 @@ HEADLINE = [
     # out of HEADLINE deliberately — they are correctness instruments
     # whose wall is temp-file staging)
     "events_markov_surprisal",
-    "dedup_keep_best",
     # round-9 additions: the DISTRIBUTED pagerank/PPR tier forced onto
     # the driver graph (fused_max_edges=0) — standing per-round evidence
     # and wall tracking for the loop that actually runs at 100 TB
@@ -131,29 +128,13 @@ HEADLINE = [
     # round-9 new operators: CUSUM drift detection, MinHash estimator
     # QA, held-out stupid-backoff LM scoring
     "events_cusum_drift",
-    "minhash_est_error",
     "doc_backoff_surprisal",
     "embedding_drift_aa",
     "events_seasonal_ratio",
-    # round-10 additions: the rest of the cluster-consuming dedup family
-    # (VERDICT_r9 order #4). Under the session cluster memo (on by
-    # default here, disclosed as "cluster_memo") these reuse the one CC
-    # frame their builder query already materialized — the number is the
-    # marginal cost of each report, which is how a pipeline consumes CC
-    # output. NOTE: keep each family member AFTER its builder in this
-    # list (dedup_clusters / jaccard_clusters) so the builder's row keeps
-    # recording the full from-scratch build.
-    "split_leakage_safe",
-    "dedup_cluster_stats",
-    "doc_dup_ratio_by_source",
     # round-10 new operators: CCNet-style perplexity bucketing (rides
-    # the backoff LM), token-mass dedup savings (a cluster-memo
-    # consumer), and the alternating-star CC tier (NOT memoized by
-    # design — its row tracks the second implementation's own wall
-    # against dedup_clusters' min-label build)
+    # the backoff LM) — the cluster family itself now lives in the
+    # r13 PINNED block at the end of this list
     "doc_perplexity_buckets",
-    "dedup_token_savings",
-    "dedup_clusters_star",
     "phrase_search",
     "events_transition_dwell",
     "contamination_report",
@@ -215,7 +196,6 @@ HEADLINE = [
     "doc_charset_stats",
     # LSH band-shape tuning curve (three band joins over one signature
     # build — the MinHash twin of knn_probe_curve)
-    "minhash_band_curve",
     # deterministic A/B experiment readout (one user-keyed agg)
     "events_ab_lift",
     # per-doc marginal trigram novelty (tfidf-shaped shuffles)
@@ -237,6 +217,44 @@ HEADLINE = [
     "shuffle_order_full",
     "events_cms_error",
     "events_cms_width_curve",
+    # round-13 (VERDICT_r12 order #4a): the PINNED cluster-family block.
+    # r12's apparent dedup_clusters regression was exactly mirrored by a
+    # dedup_clusters_star improvement — run-order/host effects aliasing
+    # between rows that share a cost shape (the same LSH pair-graph
+    # build, each timed from scratch). Keeping the three builds and the
+    # memo consumers ADJACENT in one fixed order makes every row's run
+    # context identical round-over-round, so a delta on one row is that
+    # row's delta. Builders first (their timed runs bypass the memo and
+    # track the full from-scratch build), the star alternative beside
+    # its twin, then the marginal-cost memo consumers.
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "jaccard_clusters",
+    "dedup_keep_best",
+    "dedup_cluster_stats",
+    "doc_dup_ratio_by_source",
+    "dedup_token_savings",
+    "split_leakage_safe",
+    # the MinHash-QA pair shares the same aliasing shape (both pay a
+    # signature build) — pinned adjacent for the same reason
+    "minhash_est_error",
+    "minhash_band_curve",
+    # round-13 (VERDICT_r12 order #4b): non-trivial rows that were never
+    # benched — exact n-gram similarity joins, the first two ANN recall
+    # rows, and the full-corpus bigram LM
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "knn_recall_eval",
+    "knn_ivf_recall_eval",
+    "doc_bigram_surprisal",
+    # round-13 new operators: maximal duplicate-run report + the
+    # >=50-token-policy apply step, PCA-rotated PQ + its (sixth) ANN
+    # recall row, and the versioned snapshot/time-travel round trip
+    "dup_run_stats",
+    "dedup_runs_apply",
+    "knn_ivf_opq",
+    "knn_opq_recall_eval",
+    "snapshot_read_sim",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 
 def materialize_ctes(sql: str) -> str:
-    """Rewrite every ``name AS (`` CTE head to ``AS MATERIALIZED (``.
+    """Rewrite every CTE head ``name AS (`` to ``name AS MATERIALIZED (``.
 
     The unrolled-iteration oracles (PCA power steps, ridge GD, BPE
     merges, PQ Lloyd chains) reference each step's CTE more than once;
@@ -24,10 +24,19 @@ def materialize_ctes(sql: str) -> str:
     16-step chain whose step is referenced twice expands to 2^16 scans
     of the base parquet — "Too many open files" long before any row is
     produced. Materializing evaluates each step exactly once (the same
-    cost shape as the Spark side). Plain ``AS (`` only occurs at CTE
-    heads in these generated strings — SQL never writes ``AS (`` in an
-    expression context."""
-    return re.sub(r"\bAS\s+\(", "AS MATERIALIZED (", sql)
+    cost shape as the Spark side).
+
+    The rewrite is ANCHORED to CTE heads (ADVICE_r12): an identifier
+    followed by ``AS (`` that is itself preceded by ``WITH`` or the
+    comma closing the previous CTE (comment lines allowed in between).
+    The earlier blanket ``\\bAS\\s+\\(`` rewrite would also fire inside
+    a string literal or expression context of any EMBEDDED oracle —
+    these composed strings nest other operators' full oracle texts."""
+    return re.sub(
+        r"((?:\bWITH\b|,)(?:\s|--[^\n]*\n)*)([A-Za-z_]\w*\s+)AS\s+\(",
+        r"\1\2AS MATERIALIZED (",
+        sql,
+    )
 
 # ---------------------------------------------------------------- text
 

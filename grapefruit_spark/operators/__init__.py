@@ -135,6 +135,18 @@ _REPROVE_SINCE: dict[str, int] = {
     # with an explicit schema (partition-column type inference off) —
     # values identical, read path changed
     "write_manifest_sim": 12,
+    # r13 (VERDICT_r12 order #3): doc_backoff_surprisal upgraded to the
+    # full trigram→bigram→unigram→OOV Brants recursion (new emission:
+    # n_trigrams + per-level bo_* counts); doc_perplexity_buckets
+    # consumes its frame and changes with it
+    "doc_backoff_surprisal": 13,
+    "doc_perplexity_buckets": 13,
+    # r13 (ADVICE_r12): NULL-text labels coalesce to 0 in both classifier
+    # rows (matching the oracle's CASE WHEN; the NULL previously reached
+    # numpy as NaN→INT64_MIN in fit) — values identical on NULL-free
+    # corpora, emission changed
+    "quality_classifier_fit": 13,
+    "quality_classifier_score": 13,
 }
 
 

@@ -1098,6 +1098,231 @@ FROM (
 """
 
 
+# ------------------------------------------------------------------ D83
+#: minimum duplicate-run length (tokens) the apply step strips — the
+#: Lee et al. (arXiv:2107.06499) exact-substring policy removes maximal
+#: duplicated runs of ≥ 50 tokens, not any covered token
+MIN_RUN_TOKENS = 50
+
+#: the CTE chain from documents to per-doc maximal duplicate runs
+#: (doc_id, run_start 1-based, run_len) — shared by both run oracles
+_RUNS_CTES = f"""toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                       t -> length(t) > 0) AS toks
+    FROM documents
+),
+fps AS (
+    SELECT doc_id,
+           [md5(array_to_string(toks[i:i+{SPAN_W - 1}], ' '))
+            FOR i IN range(1, len(toks) - {SPAN_W - 2})] AS fps
+    FROM toks WHERE len(toks) >= {SPAN_W}
+),
+pos_fp AS (
+    SELECT doc_id, pos, fps[pos] AS fp
+    FROM (SELECT doc_id, fps, unnest(range(1, len(fps) + 1)) AS pos FROM fps)
+),
+dup AS (
+    SELECT fp FROM (SELECT fp, doc_id FROM pos_fp GROUP BY 1, 2)
+    GROUP BY fp HAVING count(*) >= 2
+),
+st AS (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM pos_fp JOIN dup USING (fp)
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(CASE WHEN prev IS NULL OR pos > prev + {SPAN_W}
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM st
+),
+runs AS (
+    SELECT doc_id, min(pos) AS run_start,
+           max(pos) - min(pos) + {SPAN_W} AS run_len
+    FROM isl GROUP BY doc_id, island
+)"""
+
+
+def _dup_runs(arr: DataFrame) -> DataFrame:
+    """Maximal duplicate runs per doc — the gaps-and-islands merge of
+    overlapping duplicated SPAN_W-token spans (Lee et al. exact-substring
+    dedup operates on maximal runs, not fixed windows).
+
+    Input: the pinned (doc_id, fps) frame. A span starting at s covers
+    tokens [s, s+W−1]; starts are sorted per doc, so coverage is
+    contiguous iff s ≤ prev_s + W — one lag + running-sum island id
+    over a PER-DOC window (hash-partitioned on doc_id, no global sort;
+    a doc's duplicate-start list is tiny relative to the corpus, so the
+    window state is bounded at any scale). Returns (doc_id, run_start
+    0-based, run_len in tokens).
+    """
+    from pyspark.sql import Window
+
+    pos_fp = arr.select("doc_id", F.posexplode("fps").alias("pos", "fp"))
+    dup_fps = (
+        pos_fp.groupBy("fp", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("fp")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        pos_fp.join(dup_fps, "fp")
+        .select("doc_id", "pos")
+        .withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + SPAN_W),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_run").over(w))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("run_start"),
+        (F.max("pos") - F.min("pos") + SPAN_W).alias("run_len"),
+    )
+
+
+def dup_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-RUN length distribution: overlapping duplicated 8-token
+    spans merged into maximal runs per doc (gaps-and-islands over span
+    start positions), reported as run_len → (n_runs, n_docs,
+    tokens_covered). This is the report a dedup deployment reads to pick
+    the strip threshold: Lee et al. ("Deduplicating Training Data Makes
+    Language Models Better") dedup on maximal runs ≥ 50 tokens, and the
+    run-length histogram shows how much text each threshold removes.
+
+    Scale shape: same explode + two-level map-side-combinable aggregate
+    as dup_span_docs for the duplicated-fingerprint set, then a per-doc
+    window (hash-partitioned on doc_id) for the island merge, then a
+    run_len rollup whose cardinality is O(distinct run lengths).
+    """
+    from ..reliability import pin
+
+    docs = _spread(table(spark, sf_dir, "documents"))
+    arr = pin(
+        docs.select(
+            "doc_id",
+            F.transform(
+                word_ngrams(ws_tokens(normalize_text(F.col("text"))), SPAN_W),
+                lambda s: F.md5(s),
+            ).alias("fps"),
+        )
+    )
+    runs = _dup_runs(arr)
+    per_doc = runs.groupBy("run_len", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_runs_doc")
+    )
+    return per_doc.groupBy("run_len").agg(
+        F.sum("n_runs_doc").alias("n_runs"),
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_runs_doc") * F.col("run_len")).alias("tokens_covered"),
+    )
+
+
+ORACLE["dup_run_stats"] = f"""
+WITH {_RUNS_CTES}
+SELECT run_len,
+       count(*) AS n_runs,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) * run_len AS tokens_covered
+FROM runs
+GROUP BY run_len
+"""
+
+
+def dedup_runs_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup apply step at the PUBLISHED policy (Lee et
+    al., arXiv:2107.06499): strip only tokens covered by a maximal
+    duplicate run of ≥ MIN_RUN_TOKENS (50) tokens, emitting the cleaned
+    text. dedup_spans_apply is the any-covered-token (aggressive)
+    variant; this one leaves short incidental overlaps — common idioms,
+    shared titles — in place, which is what a production training
+    pipeline actually ships.
+
+    Scale shape: identical to dedup_spans_apply up to the duplicated-
+    fingerprint set; the island merge is a per-doc window on the
+    (small) duplicate-start rows; the strip is a per-doc array filter
+    against that doc's qualifying-run interval list — text never
+    shuffles except the final join back to the token arrays.
+    """
+    from ..reliability import pin
+
+    docs = _spread(table(spark, sf_dir, "documents"))
+    arr = pin(
+        docs.select(
+            "doc_id",
+            ws_tokens(normalize_text(F.col("text"))).alias("toks"),
+            F.transform(
+                word_ngrams(ws_tokens(normalize_text(F.col("text"))), SPAN_W),
+                lambda s: F.md5(s),
+            ).alias("fps"),
+        )
+    )
+    runs = _dup_runs(arr.select("doc_id", "fps")).where(
+        F.col("run_len") >= MIN_RUN_TOKENS
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("run_start").alias("a"),
+                (F.col("run_start") + F.col("run_len") - 1).alias("b"),
+            )
+        ).alias("rs")
+    )
+    joined = arr.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("rs", F.array().cast("array<struct<a:int,b:int>>")).alias("rs"),
+    )
+    # token i survives unless a qualifying run [a, b] covers it; both
+    # engines use their own self-consistent position base (0- vs 1-based)
+    clean = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("rs"), lambda r: (r["a"] <= i) & (i <= r["b"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(clean)).alias("n_removed"),
+        F.array_join(clean, " ").alias("clean_text"),
+    )
+
+
+ORACLE["dedup_runs_apply"] = f"""
+WITH {_RUNS_CTES},
+qruns AS (
+    SELECT doc_id,
+           list(struct_pack(a := run_start,
+                            b := run_start + run_len - 1) ORDER BY run_start)
+               AS rs
+    FROM runs WHERE run_len >= {MIN_RUN_TOKENS}
+    GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(t.toks) AS n_tokens,
+       len(t.toks) - len(clean) AS n_removed,
+       coalesce(array_to_string(clean, ' '), '') AS clean_text
+FROM (
+    SELECT t.doc_id, t.toks,
+           list_filter(t.toks,
+               (x, i) -> len(list_filter(
+                   coalesce(q.rs, CAST([] AS STRUCT(a BIGINT, b BIGINT)[])),
+                   r -> r.a <= i AND i <= r.b)) = 0
+           ) AS clean
+    FROM toks t LEFT JOIN qruns q USING (doc_id)
+) t
+"""
+
+
 # ------------------------------------------------------------------ D77
 #: (bands, rows) configs swept — all factorizations of NUM_PERM the
 #: production threshold debate is actually between (r=2 permissive,
@@ -1108,6 +1333,18 @@ BAND_SWEEP = ((32, 2), (16, 4), (8, 8))
 #: the operator returns a rebuilt one-row frame so the mask join is not
 #: visible on the returned DataFrame's plan)
 _LAST_BAND_CURVE_PLAN = ""
+
+
+def _band_curve_frac() -> float:
+    """The band-curve corpus-sample fraction, read ONCE at module import
+    so the Spark operator and its registered oracle can never disagree
+    about the sample (ADVICE_r12)."""
+    import os
+
+    return float(os.environ.get("GRAPEFRUIT_BAND_CURVE_SAMPLE", "1.0"))
+
+
+_BAND_CURVE_FRAC = _band_curve_frac()
 
 
 def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,21 +1381,22 @@ def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     barely wider than the hash they replace.
 
     100 TB knob: the tuning table does not need the full corpus —
-    set ``GRAPEFRUIT_BAND_CURVE_SAMPLE`` (fraction in (0, 1]) to sweep
-    a deterministic md5-threshold sample of documents. Default 1.0
-    (whole corpus) so driver oracles are unchanged at test scale.
+    set ``GRAPEFRUIT_BAND_CURVE_SAMPLE`` (fraction in (0, 1]) BEFORE
+    the module imports to sweep a deterministic md5-threshold sample of
+    documents. Default 1.0 (whole corpus). The knob is read ONCE at
+    import and mirrored into the registered ORACLE (ADVICE_r12: a
+    Spark-only filter would make any parity/hash run under the env var
+    report engine divergence that is actually sampling), so the pair
+    stays hash-comparable at every setting.
     """
-    import os
-
     from pyspark.storagelevel import StorageLevel
 
     docs = table(spark, sf_dir, "documents")
-    frac = float(os.environ.get("GRAPEFRUIT_BAND_CURVE_SAMPLE", "1.0"))
-    if frac < 1.0:
+    if _BAND_CURVE_FRAC < 1.0:
         gate = F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
         ).cast("bigint") % 1_000_000
-        docs = docs.where(gate < int(frac * 1_000_000))
+        docs = docs.where(gate < int(_BAND_CURVE_FRAC * 1_000_000))
     sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -1303,12 +1541,20 @@ FROM {n}_scored"""
     )
 )"""
     stats = " UNION ALL ".join(f"({s})" for s in stat_rows)
+    # mirror the import-time sample knob (ADVICE_r12): same md5-threshold
+    # gate as the Spark side, so a sampled run stays hash-comparable
+    gate = (
+        f"\n    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 1000000 < {int(_BAND_CURVE_FRAC * 1_000_000)}"
+        if _BAND_CURVE_FRAC < 1.0
+        else ""
+    )
     return f"""
 WITH tk AS (
     SELECT doc_id,
            list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
                        t -> length(t) > 0) AS tks
-    FROM documents
+    FROM documents{gate}
 ),
 {_minhash_sig_ctes("tk", "", seed)}
 {"".join(cfg_ctes)}
@@ -1327,6 +1573,8 @@ QUERIES = {
     "minhash_band_curve": minhash_band_curve,
     "dup_span_docs": dup_span_docs,
     "dedup_spans_apply": dedup_spans_apply,
+    "dup_run_stats": dup_run_stats,
+    "dedup_runs_apply": dedup_runs_apply,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "dedup_minhash": dedup_minhash,

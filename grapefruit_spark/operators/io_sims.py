@@ -259,8 +259,120 @@ ORDER BY lang
 """
 
 
+# ------------------------------------------------------------------ E10
+def snapshot_read_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot / time-travel round trip — the lakehouse primitive
+    between E3's dynamic overwrite and a real table format (Iceberg/
+    Delta at manifest granularity): a versioned MANIFEST (version →
+    list of data-file groups, one per hive partition) records three
+    commits against an orders table partitioned by o_orderpriority —
+
+    - v1 initial load: even-keyed orders;
+    - v2 append: the remaining orders (manifest = v1 entries + new
+      files; no data file is rewritten);
+    - v3 partition restatement: 1-URGENT rewritten with doubled
+      totalprice (manifest = v2 entries MINUS that partition's files
+      PLUS the replacement files — exactly how Iceberg's dynamic
+      overwrite commits, remove-matching + add);
+
+    then READS AS OF each version from its manifest alone and emits the
+    per-version integrity profile (n_rows, key_sum, decimal-rounded
+    total). Reading v1 after v3 committed is the time-travel proof: old
+    snapshots stay byte-stable because commits only ADD files and edit
+    the manifest, never mutate data in place. The oracle replays each
+    version from the source deltas, so a hash-green row proves all
+    three snapshot reads were lossless.
+
+    At 100 TB: each commit is one narrow columnar write of its delta;
+    the manifest operations are O(partitions) metadata, and read-as-of
+    prunes to the listed files — no full-table rewrite at any version.
+    """
+    import os
+    from urllib.parse import unquote
+
+    from ..streaming.events import scratch_dir
+
+    base = scratch_dir("gf_snapshot_sim_")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey").isNotNull() & F.col("o_orderpriority").isNotNull())
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+    b1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    b2 = orders.where(~(F.col("o_orderkey") % 2 == 0))
+    b3 = orders.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2  # ×2 is exact in binary fp
+    )
+    d1, d2, d3 = (os.path.join(base, b) for b in ("commit1", "commit2", "commit3"))
+    b1.write.partitionBy("o_orderpriority").mode("overwrite").parquet(d1)
+    b2.write.partitionBy("o_orderpriority").mode("overwrite").parquet(d2)
+    b3.write.partitionBy("o_orderpriority").mode("overwrite").parquet(d3)
+
+    def entries(d: str) -> list[tuple[str, str]]:
+        """(data-path, partition-value) per hive partition dir of a commit."""
+        return [
+            (os.path.join(d, p), unquote(p.split("=", 1)[1]))
+            for p in sorted(os.listdir(d))
+            if p.startswith("o_orderpriority=")
+        ]
+
+    v1 = entries(d1)
+    v2 = v1 + entries(d2)
+    v3 = [e for e in v2 if e[1] != "1-URGENT"] + entries(d3)
+
+    frames = []
+    for ver, manifest in ((1, v1), (2, v2), (3, v3)):
+        paths = [p for p, _ in manifest]
+        if paths:
+            snap = spark.read.schema("o_orderkey bigint, o_totalprice double").parquet(
+                *paths
+            )
+        else:  # degenerate corpus: an empty commit list still profiles
+            snap = spark.createDataFrame([], "o_orderkey bigint, o_totalprice double")
+        frames.append(
+            snap.agg(
+                F.lit(ver).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("total"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("version")
+
+
+ORACLE["snapshot_read_sim"] = """
+WITH o AS (
+    SELECT * FROM orders
+    WHERE o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
+)
+SELECT * FROM (
+    SELECT 1 AS version, count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total
+    FROM o WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+           round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE
+    FROM o
+    UNION ALL
+    SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
+           round(sum((CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN o_totalprice * 2 ELSE o_totalprice
+                      END)::DECIMAL(18,6)), 2)::DOUBLE
+    FROM o
+)
+ORDER BY version
+"""
+
+
 QUERIES = {
     "write_partition_overwrite_sim": write_partition_overwrite_sim,
     "schema_evolution_sim": schema_evolution_sim,
     "write_manifest_sim": write_manifest_sim,
+    "snapshot_read_sim": snapshot_read_sim,
 }

@@ -425,84 +425,114 @@ BACKOFF_MODEL_FRAC = 0.5
 
 
 def doc_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Held-out corpus-LM scoring with STUPID BACKOFF (r9): per-doc mean
-    −ln S(w₂|w₁) where the bigram model is trained on a deterministic
+    """Held-out corpus-LM scoring with TRIGRAM stupid backoff (r13;
+    Brants et al. 2007 run trigram-or-higher order in practice): per-doc
+    mean −ln S(w₃|w₁w₂) where the model is trained on a deterministic
     50% hash split of the corpus and ALL docs are scored against it.
 
-    This closes the realism gap in doc_bigram_surprisal: a model built
-    from the full corpus has seen every bigram it scores, so the backoff
-    path of a real perplexity filter never executes. With a held-out
-    model, scored docs genuinely contain unseen bigrams (and unseen
-    words), and the operator exercises the full Brants recursion:
+    The full four-level Brants recursion, each level α-discounted once
+    more than the last:
 
-        S(w₂|w₁) = c(w₁w₂)/c(w₁·)      if the bigram is in the model
-                 = α · c(w₂)/N          else, if w₂ is a model unigram
-                 = α · 1/N              else (OOV word scored as count 1)
+        S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂·)   if the trigram is in the model
+                   = α · c(w₂w₃)/c(w₂·)    else, if the bigram is
+                   = α² · c(w₃)/N          else, if w₃ is a model unigram
+                   = α² · 1/N              else (OOV word, count 1)
 
-    backoff_bigrams counts how often the doc fell off the bigram model —
-    itself a distribution-shift signal (high = the doc's word sequences
-    are foreign to the reference corpus). Membership is the same narrow
-    md5-bucket map as split_train_val, so the split is reproducible on
-    any cluster. Plan: one explode per doc for bigram tf, model stats by
-    groupBy + join-back (skew-proof partial aggs), the 1-row token total
-    broadcast; per-addend DECIMAL(28,12) ln quantization, floor(avg·10⁶)
-    emission — the doc_bigram_surprisal parity contract."""
+    bo_bigram / bo_unigram / bo_oov count how many of the doc's trigrams
+    resolved at each backoff level — the distribution-shift profile of
+    the doc against the reference corpus (and the branch-coverage gauge
+    the adversarial gate pins). Membership is the same narrow md5-bucket
+    map as split_train_val, so the split is reproducible on any cluster.
+
+    Plan: one explode per doc for trigram tf; model trigram/bigram/
+    unigram stats by groupBy + join-back (skew-proof partial aggs, each
+    model table joined on its own key — never a corpus×corpus join); the
+    1-row token total broadcast; per-addend DECIMAL(28,12) ln
+    quantization, floor(avg·10⁶) emission — the doc_bigram_surprisal
+    parity contract."""
     from .datapipe import _U32, _bucket
 
     docs = table(spark, sf_dir, "documents")
     toks = ws_tokens(F.lower(F.col("text")))
     is_model = _bucket(F.col("doc_id")) < int(BACKOFF_MODEL_FRAC * _U32)
     base = docs.select("doc_id", is_model.alias("is_model"), toks.alias("tk"))
-    bgs = base.select(
-        "doc_id", "is_model", F.explode(word_ngrams(F.col("tk"), 2)).alias("bg")
+    tgs = base.select(
+        "doc_id", "is_model", F.explode(word_ngrams(F.col("tk"), 3)).alias("tg")
     )
-    tf = bgs.groupBy("doc_id", "is_model", "bg").agg(F.count(F.lit(1)).alias("tf"))
-    bgc_m = (
-        tf.where("is_model").groupBy("bg").agg(F.sum("tf").alias("n_bg"))
+    tf = tgs.groupBy("doc_id", "is_model", "tg").agg(F.count(F.lit(1)).alias("tf"))
+    tgc_m = tf.where("is_model").groupBy("tg").agg(F.sum("tf").alias("n_tg"))
+    ctx_m = (
+        tgc_m.select(
+            F.split("tg", " ").getItem(0).alias("w1"),
+            F.split("tg", " ").getItem(1).alias("w2"),
+            "n_tg",
+        )
+        .groupBy("w1", "w2")
+        .agg(F.sum("n_tg").alias("n_ctx"))
     )
-    w1c_m = (
-        bgc_m.select(F.split("bg", " ").getItem(0).alias("w1"), "n_bg")
-        .groupBy("w1")
+    # bigram model tables are built from the BIGRAM explode (a doc's
+    # final bigram exists even where no trigram contains it), matching
+    # the r9 bigram-order model exactly at its own level
+    bgs_m = base.where("is_model").select(
+        F.explode(word_ngrams(F.col("tk"), 2)).alias("bg")
+    )
+    bgc_m = bgs_m.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    bfrom_m = (
+        bgc_m.select(F.split("bg", " ").getItem(0).alias("bw1"), "n_bg")
+        .groupBy("bw1")
         .agg(F.sum("n_bg").alias("n_from"))
     )
     uni_m = (
         base.where("is_model")
-        .select(F.explode("tk").alias("w2"))
-        .groupBy("w2")
+        .select(F.explode("tk").alias("w3"))
+        .groupBy("w3")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
     ntot = uni_m.agg(F.sum("n_w").cast("bigint").alias("n_total"))
+    a = F.lit(BACKOFF_ALPHA)
     s = (
-        F.when(F.col("n_bg").isNotNull(), F.col("n_bg") / F.col("n_from"))
-        .when(
-            F.col("n_w").isNotNull(),
-            F.lit(BACKOFF_ALPHA) * F.col("n_w") / F.col("n_total"),
-        )
-        .otherwise(F.lit(BACKOFF_ALPHA) / F.col("n_total"))
+        F.when(F.col("n_tg").isNotNull(), F.col("n_tg") / F.col("n_ctx"))
+        .when(F.col("n_bg").isNotNull(), a * F.col("n_bg") / F.col("n_from"))
+        .when(F.col("n_w").isNotNull(), a * a * F.col("n_w") / F.col("n_total"))
+        .otherwise(a * a / F.col("n_total"))
     )
     scored = (
-        tf.withColumn("w2", F.split("bg", " ").getItem(1))
+        tf.withColumn("w1", F.split("tg", " ").getItem(0))
+        .withColumn("w2", F.split("tg", " ").getItem(1))
+        .withColumn("w3", F.split("tg", " ").getItem(2))
+        .withColumn("bg", F.concat_ws(" ", F.col("w2"), F.col("w3")))
+        .join(tgc_m, "tg", "left")
+        .join(ctx_m, ["w1", "w2"], "left")
         .join(bgc_m, "bg", "left")
-        .withColumn("w1", F.split("bg", " ").getItem(0))
-        .join(w1c_m, "w1", "left")
-        .join(uni_m, "w2", "left")
+        .join(bfrom_m, F.col("w2") == F.col("bw1"), "left")
+        .join(uni_m, "w3", "left")
         .join(F.broadcast(ntot))
     )
+    off_tg = F.col("n_tg").isNull()
+    off_bg = off_tg & F.col("n_bg").isNull()
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum("tf").cast("bigint").alias("n_trigrams"),
             F.sum(
-                F.when(F.col("n_bg").isNull(), F.col("tf")).otherwise(F.lit(0))
-            ).cast("bigint").alias("backoff_bigrams"),
+                F.when(off_tg & F.col("n_bg").isNotNull(), F.col("tf")).otherwise(0)
+            ).cast("bigint").alias("bo_bigram"),
+            F.sum(
+                F.when(off_bg & F.col("n_w").isNotNull(), F.col("tf")).otherwise(0)
+            ).cast("bigint").alias("bo_unigram"),
+            F.sum(
+                F.when(off_bg & F.col("n_w").isNull(), F.col("tf")).otherwise(0)
+            ).cast("bigint").alias("bo_oov"),
             F.sum((F.col("tf") * -F.log(s)).cast("decimal(28,12)")).alias("ssum"),
         )
         .select(
             "doc_id",
-            "n_bigrams",
-            "backoff_bigrams",
+            "n_trigrams",
+            "bo_bigram",
+            "bo_unigram",
+            "bo_oov",
             F.floor(
-                F.col("ssum").cast("double") / F.col("n_bigrams") * 1000000
+                F.col("ssum").cast("double") / F.col("n_trigrams") * 1000000
             ).alias("avg_surprisal_e6"),
         )
     )
@@ -519,37 +549,58 @@ WITH toks AS (
            {_DUCK_TOKENS} AS tk
     FROM documents
 ),
-bgs AS (
+tgs AS (
     SELECT doc_id, is_model,
-           unnest([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]) AS bg
-    FROM toks WHERE len(tk) >= 2
+           unnest([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) AS tg
+    FROM toks WHERE len(tk) >= 3
 ),
-tf AS (SELECT doc_id, is_model, bg, count(*) AS tf FROM bgs GROUP BY 1, 2, 3),
-bgc_m AS (SELECT bg, sum(tf) AS n_bg FROM tf WHERE is_model GROUP BY 1),
-w1c_m AS (
-    SELECT string_split(bg, ' ')[1] AS w1, sum(n_bg) AS n_from
+tf AS (SELECT doc_id, is_model, tg, count(*) AS tf FROM tgs GROUP BY 1, 2, 3),
+tgc_m AS (SELECT tg, sum(tf) AS n_tg FROM tf WHERE is_model GROUP BY 1),
+ctx_m AS (
+    SELECT string_split(tg, ' ')[1] AS w1, string_split(tg, ' ')[2] AS w2,
+           sum(n_tg) AS n_ctx
+    FROM tgc_m GROUP BY 1, 2
+),
+bgs_m AS (
+    SELECT unnest([array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))]) AS bg
+    FROM toks WHERE is_model AND len(tk) >= 2
+),
+bgc_m AS (SELECT bg, count(*) AS n_bg FROM bgs_m GROUP BY 1),
+bfrom_m AS (
+    SELECT string_split(bg, ' ')[1] AS bw1, sum(n_bg) AS n_from
     FROM bgc_m GROUP BY 1
 ),
 uni_m AS (
-    SELECT w2, count(*) AS n_w FROM (
-        SELECT unnest(tk) AS w2 FROM toks WHERE is_model
+    SELECT w3, count(*) AS n_w FROM (
+        SELECT unnest(tk) AS w3 FROM toks WHERE is_model
     ) GROUP BY 1
 ),
 ntot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni_m)
 SELECT t.doc_id,
-       sum(t.tf)::BIGINT AS n_bigrams,
-       CAST(sum(CASE WHEN b.n_bg IS NULL THEN t.tf ELSE 0 END) AS BIGINT)
-           AS backoff_bigrams,
+       sum(t.tf)::BIGINT AS n_trigrams,
+       CAST(sum(CASE WHEN g.n_tg IS NULL AND b.n_bg IS NOT NULL
+                     THEN t.tf ELSE 0 END) AS BIGINT) AS bo_bigram,
+       CAST(sum(CASE WHEN g.n_tg IS NULL AND b.n_bg IS NULL
+                          AND u.n_w IS NOT NULL
+                     THEN t.tf ELSE 0 END) AS BIGINT) AS bo_unigram,
+       CAST(sum(CASE WHEN g.n_tg IS NULL AND b.n_bg IS NULL
+                          AND u.n_w IS NULL
+                     THEN t.tf ELSE 0 END) AS BIGINT) AS bo_oov,
        CAST(floor(sum(CAST(t.tf * -ln(
-               CASE WHEN b.n_bg IS NOT NULL THEN b.n_bg / w.n_from
-                    WHEN u.n_w IS NOT NULL THEN {a} * u.n_w / n.n_total
-                    ELSE {a} / n.n_total END
+               CASE WHEN g.n_tg IS NOT NULL THEN g.n_tg / c.n_ctx
+                    WHEN b.n_bg IS NOT NULL THEN {a} * b.n_bg / f.n_from
+                    WHEN u.n_w IS NOT NULL THEN {a} * {a} * u.n_w / n.n_total
+                    ELSE {a} * {a} / n.n_total END
            ) AS DECIMAL(28,12)))::DOUBLE / sum(t.tf) * 1000000) AS BIGINT)
            AS avg_surprisal_e6
 FROM tf t
-LEFT JOIN bgc_m b USING (bg)
-LEFT JOIN w1c_m w ON string_split(t.bg, ' ')[1] = w.w1
-LEFT JOIN uni_m u ON string_split(t.bg, ' ')[2] = u.w2
+LEFT JOIN tgc_m g USING (tg)
+LEFT JOIN ctx_m c ON string_split(t.tg, ' ')[1] = c.w1
+                 AND string_split(t.tg, ' ')[2] = c.w2
+LEFT JOIN bgc_m b ON string_split(t.tg, ' ')[2] || ' ' ||
+                     string_split(t.tg, ' ')[3] = b.bg
+LEFT JOIN bfrom_m f ON string_split(t.tg, ' ')[2] = f.bw1
+LEFT JOIN uni_m u ON string_split(t.tg, ' ')[3] = u.w3
 CROSS JOIN ntot n
 GROUP BY t.doc_id
 """
@@ -580,13 +631,13 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins where 3·cum ≥ n and ≥ 2n → docs bucket by integer bin compare
     against the broadcast 1-row thresholds. Bin-boundary ties all fall
     on the same side on both engines — no rank nondeterminism. Docs
-    with <2 tokens are unscorable by the bigram LM and are excluded, as
+    with <3 tokens are unscorable by the trigram LM and are excluded, as
     in doc_backoff_surprisal (disclosed; CCNet likewise scores only
     tokenizable text).
     """
     scored = doc_backoff_surprisal(spark, sf_dir).select(
         "doc_id",
-        "n_bigrams",
+        "n_trigrams",
         F.expr(f"avg_surprisal_e6 div {PPLX_BIN_E6}").alias("bin"),
     )
     from pyspark.sql.window import Window as _W
@@ -610,7 +661,7 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.sum("n_trigrams").cast("bigint").alias("n_trigrams"),
         )
         .orderBy("source", "bucket")
     )
@@ -620,7 +671,7 @@ def _pplx_buckets_oracle() -> str:
     return f"""
 WITH scored AS ({_backoff_oracle()}),
 binned AS (
-    SELECT s.doc_id, s.n_bigrams,
+    SELECT s.doc_id, s.n_trigrams,
            s.avg_surprisal_e6 // {PPLX_BIN_E6} AS bin
     FROM scored s
 ),
@@ -640,7 +691,7 @@ SELECT d.source,
             WHEN b.bin <= thr.b2 THEN 'middle'
             ELSE 'tail' END AS bucket,
        count(*) AS n_docs,
-       CAST(sum(b.n_bigrams) AS BIGINT) AS n_bigrams
+       CAST(sum(b.n_trigrams) AS BIGINT) AS n_trigrams
 FROM binned b
 JOIN documents d USING (doc_id)
 CROSS JOIN thr
@@ -1049,8 +1100,12 @@ def quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("int").alias("feat"),
         F.expr(f"(tf * {QC_SCALE}) div n_grams").cast("bigint").alias("code"),
     )
+    # coalesce: the gopher rule booleans are NULL for NULL-text docs and
+    # the oracle's CASE WHEN maps NULL to 0 — without it the NULL label
+    # reaches gram_partial via Arrow as NaN and .astype(int64) silently
+    # yields INT64_MIN, corrupting X'y (ADVICE_r12)
     labels = quality_gopher_rules(spark, sf_dir).select(
-        "doc_id", _qc_label().cast("int").alias("y")
+        "doc_id", F.coalesce(_qc_label().cast("int"), F.lit(0)).alias("y")
     )
     per_doc = labels.join(
         codes.groupBy("doc_id").agg(
@@ -1266,8 +1321,10 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("code") * F.col("weight_e6")).alias("sprod"))
     )
     bias = int(wmap[QC_BIAS])
+    # coalesce NULL rule conjunctions to 0, matching the oracle's CASE
+    # WHEN semantics on NULL-text docs (ADVICE_r12)
     labels = quality_gopher_rules(spark, sf_dir).select(
-        "doc_id", _qc_label().cast("int").alias("label")
+        "doc_id", F.coalesce(_qc_label().cast("int"), F.lit(0)).alias("label")
     )
     scored = labels.join(dot, "doc_id", "left").select(
         "doc_id",
@@ -1324,11 +1381,218 @@ FROM scoredq s CROSS JOIN meanq m
 )
 
 
+# ----------------------------------------------------------------- D82c
+#: logistic GD steps (fewer than ridge's 32: each step is a distributed
+#: pass, and the σ nonlinearity converges the separable directions fast)
+LOGIT_ITERS = 16
+#: fixed-point grid for the σ output (floor(σ·10¹²) — the per-addend
+#: DECIMAL(28,12)-class quantization of the surprisal rows, applied to
+#: exp instead of ln)
+LOGIT_P_SCALE = 10**12
+#: z normalizer: codes are on the 1024 grid, weights on the 10¹² grid
+LOGIT_Z_DEN = QC_SCALE * LOGIT_P_SCALE
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the shared semantics of
+    Spark's ``div`` and DuckDB's ``//`` (python's ``//`` floors)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter with the LOGISTIC objective (VERDICT_r12
+    order #8 attempt): fastText's actual loss (Joulin et al. 2017) is
+    logistic, not ridge — this row trains it by LOGIT_ITERS fixed-step
+    gradient-descent passes, σ evaluated distributedly each step
+    (logistic gradients don't compress into a Gram matrix the way
+    ridge's do, so per-iteration corpus passes are the honest cost of
+    the upgrade — the same shape any distributed LR trainer pays).
+
+    Cross-engine exactness — the entire recurrence is INTEGER except
+    one exp() per (doc, iteration) on bit-identical double inputs:
+    weights live on the 10¹² integer grid, per-doc logits are exact
+    integer dot products z_num = Σ code·w (DECIMAL(38,0)-folded, so
+    order-free), σ is computed on the shared double z = z_num/(1024·
+    10¹²) and immediately re-quantized as p = floor(10¹²·σ(z)), the
+    gradient Σ code·(p − y·10¹²) is again an exact integer, and the
+    update w ← w − g div (2·1024·n) − w div 2000 (η = 1/2, ηλ = 1/2000)
+    is pure truncating-integer arithmetic mirrored by DuckDB's ``//``.
+    A cross-engine flip therefore needs the two engines' exp() to
+    differ AND the true σ·10¹² to sit within that ulp of an integer —
+    the quantization absorbs last-ulp exp disagreement everywhere else
+    (the surprisal rows' ln device, applied to exp). Saturation is
+    exact on both engines: z ≪ 0 → exp(−z) = +inf → p = 0; z ≫ 0 →
+    exp(−z) = 0 → p = 10¹².
+
+    Scale: the per-iteration passes are two map-side-combinable
+    aggregates over the (doc, feat) code table (bounded by corpus
+    size, never feats²); the weight table (65 rows) broadcasts; the
+    driver folds a 65-row gradient per step.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .text import quality_gopher_rules
+
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    f = (
+        docs.select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
+        .select("doc_id", (md5_hash60(F.col("bg")) % QC_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ng = f.groupBy("doc_id").agg(F.sum("tf").alias("n_grams"))
+    codes = f.join(ng, "doc_id").select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("feat"),
+        F.expr(f"(tf * {QC_SCALE}) div n_grams").cast("bigint").alias("code"),
+    ).unionByName(
+        docs.select(
+            "doc_id",
+            F.lit(QC_BIAS).cast("int").alias("feat"),
+            F.lit(QC_SCALE).cast("bigint").alias("code"),
+        )
+    )
+    labels = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.coalesce(_qc_label().cast("int"), F.lit(0)).alias("y")
+    )
+    base = codes.join(labels, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = docs.count()
+
+    nf = QC_BUCKETS + 1
+    w = {j: 0 for j in range(nf)}
+    for _ in range(LOGIT_ITERS):
+        wdf = spark.createDataFrame(
+            [(j, w[j]) for j in range(nf)], schema="feat int, w long"
+        )
+        z = (
+            base.join(F.broadcast(wdf), "feat")
+            .groupBy("doc_id", "y")
+            .agg(
+                F.sum((F.col("code") * F.col("w")).cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("z_num")
+            )
+        )
+        sig = F.floor(
+            F.lit(float(LOGIT_P_SCALE))
+            / (
+                F.lit(1.0)
+                + F.exp(-(F.col("z_num").cast("double") / F.lit(float(LOGIT_Z_DEN))))
+            )
+        ).cast("bigint")
+        diff = z.select(
+            "doc_id",
+            (sig - F.col("y").cast("long") * F.lit(LOGIT_P_SCALE)).alias("d"),
+        )
+        g = (
+            base.join(diff, "doc_id")
+            .groupBy("feat")
+            .agg(
+                F.sum((F.col("code") * F.col("d")).cast("decimal(38,0)")).alias("g")
+            )
+            .collect()
+        )
+        grad = {r["feat"]: int(r["g"]) for r in g}
+        w = {
+            j: w[j]
+            - _trunc_div(grad.get(j, 0), 2 * QC_SCALE * n_docs)
+            - _trunc_div(w[j], 2000)
+            for j in range(nf)
+        }
+    base.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [(j, w[j]) for j in range(nf)], schema="feat int, weight_e12 bigint"
+    )
+
+
+def _logit_oracle() -> str:
+    """quality_classifier_logit mirrored: the classifier feature/label
+    CTEs, then LOGIT_ITERS × (exact-integer logit join → quantized σ →
+    exact-integer gradient → truncating-integer update) chained CTEs."""
+    from .text import ORACLE as _TEXT_ORACLE
+
+    gopher = _TEXT_ORACLE["quality_gopher_rules"]
+    p = LOGIT_P_SCALE
+    ctes = [
+        f"""toksq AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents
+),
+featsq AS (
+    SELECT doc_id, {md5_hash60_sql("bg")} % {QC_BUCKETS} AS bucket
+    FROM (
+        SELECT doc_id,
+               unnest([array_to_string(tk[i:i+1], ' ')
+                       FOR i IN range(1, len(tk))]) AS bg
+        FROM toksq WHERE len(tk) >= 2
+    )
+),
+fq AS (SELECT doc_id, bucket, count(*) AS tf FROM featsq GROUP BY 1, 2),
+ngq AS (SELECT doc_id, sum(tf) AS n_grams FROM fq GROUP BY 1),
+codesq AS (
+    SELECT doc_id, CAST(bucket AS INT) AS feat,
+           CAST((tf * {QC_SCALE}) // n_grams AS BIGINT) AS code
+    FROM fq JOIN ngq USING (doc_id)
+    UNION ALL
+    SELECT doc_id, {QC_BIAS} AS feat, {QC_SCALE} AS code FROM documents
+),
+lblq AS (
+    SELECT doc_id, CASE WHEN {_QC_LABEL_SQL} THEN 1 ELSE 0 END AS y
+    FROM ({gopher})
+),
+ndq AS (SELECT count(*)::BIGINT AS n FROM documents),
+lw0 AS (
+    SELECT CAST(unnest(range(0, {QC_BIAS + 1})) AS INT) AS feat,
+           CAST(0 AS BIGINT) AS w
+)"""
+    ]
+    for t in range(LOGIT_ITERS):
+        ctes.append(
+            f"""z{t} AS (
+    SELECT c.doc_id, l.y,
+           CAST(sum(CAST(c.code * w.w AS DECIMAL(38,0))) AS BIGINT) AS z_num
+    FROM codesq c JOIN lw{t} w USING (feat) JOIN lblq l USING (doc_id)
+    GROUP BY 1, 2
+),
+d{t} AS (
+    SELECT doc_id,
+           CAST(floor(CAST({p} AS DOUBLE) /
+                (CAST(1 AS DOUBLE) +
+                 exp(-(CAST(z_num AS DOUBLE) / CAST({LOGIT_Z_DEN} AS DOUBLE)))))
+                AS BIGINT)
+           - CAST(y AS BIGINT) * {p} AS d
+    FROM z{t}
+),
+g{t} AS (
+    SELECT c.feat,
+           CAST(sum(CAST(c.code * d.d AS DECIMAL(38,0))) AS BIGINT) AS g
+    FROM codesq c JOIN d{t} d USING (doc_id)
+    GROUP BY 1
+),
+lw{t + 1} AS (
+    SELECT w.feat,
+           w.w - (coalesce(g.g, CAST(0 AS BIGINT)) // (2 * {QC_SCALE} * nd.n))
+               - (w.w // 2000) AS w
+    FROM lw{t} w LEFT JOIN g{t} g USING (feat) CROSS JOIN ndq nd
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT feat, w AS weight_e12 FROM lw{LOGIT_ITERS}"
+    )
+
+
+ORACLE["quality_classifier_logit"] = materialize_ctes(_logit_oracle())
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "dsir_importance": dsir_importance,
     "quality_classifier_fit": quality_classifier_fit,
     "quality_classifier_score": quality_classifier_score,
+    "quality_classifier_logit": quality_classifier_logit,
     "term_pmi": term_pmi,
     "bm25_search": bm25_search,
     "doc_unigram_logprob": doc_unigram_logprob,

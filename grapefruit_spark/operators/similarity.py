@@ -1706,8 +1706,14 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: loadings (256 values) and the per-dim sums (64) are bounded
     collects; the projection itself is ONE narrow zip_with/aggregate
     map over the corpus — fully inside codegen, zero shuffles, zero
-    UDFs. This is exactly how a 100 TB projection runs: broadcast the
-    rotation, stream the vectors through it.
+    UDFs. The PLAN is exactly how a 100 TB projection runs (broadcast
+    the rotation, stream the vectors through it); the INTEGER EMISSION
+    is corpus-bounded (ADVICE_r12): the centered numerator grows as
+    ~64·4096·10⁶·n ≈ 2.6e11·n and exceeds bigint once n ≳ 3·10⁷
+    vectors. Past that a deployment drops the ·n centering (emit the
+    raw dot and subtract the broadcast mean downstream in a wider
+    type) or folds through DECIMAL(38,0) as embedding_covariance does;
+    at every gate SF the bound holds with ~7 digits of headroom.
     """
     cov_rows = embedding_covariance(spark, sf_dir).collect()
     loads: dict[int, dict[int, int]] = {}
@@ -2102,14 +2108,18 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_subspace_ctes(mi: int, k: int, iters: int) -> str:
+def _pq_subspace_ctes(
+    mi: int, k: int, iters: int, dim: int = 64, src: str = "e", pfx: str = "s"
+) -> str:
     """One subspace's trained codebook as prefixed chained CTEs — the
     unrolled-Lloyd device of ml.py:176 parameterized for a dim slice.
-    Terminal relation: s{mi}_c{iters} (cluster, cent)."""
-    lo, hi = mi * (64 // PQ_M) + 1, (mi + 1) * (64 // PQ_M)
-    p = f"s{mi}"
+    Terminal relation: {pfx}{mi}_c{iters} (cluster, cent). Defaults
+    reproduce knn_ivf_pq's oracle byte-identically; knn_ivf_opq reuses
+    the device on the 4-dim rotated frame (dim=4, src='er', pfx='r')."""
+    lo, hi = mi * (dim // PQ_M) + 1, (mi + 1) * (dim // PQ_M)
+    p = f"{pfx}{mi}"
     parts = [
-        f"{p}_e AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM e),",
+        f"{p}_e AS (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM {src}),",
         f"""{p}_c0 AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cent
     FROM {p}_e, pqp WHERE vec_id % pqp.step = 0 AND vec_id / pqp.step < {k}
@@ -2265,6 +2275,381 @@ FROM j GROUP BY query_id
 """
 
 
+# ------------------------------------------------------------------ D84
+#: fixed-point grid for the ROTATED-space ADC (the rotated coordinates
+#: are centered original-unit projections, same magnitude class as raw
+#: embedding values, so the covariance/PQ grid carries over)
+OPQ_SCALE = PQ_CENT_SCALE
+
+
+def _opq_rotation(spark: SparkSession, sf_dir: str):
+    """The OPQ rotation artifacts from one covariance pass: (loads —
+    {component → {dim → loading_e6}}, n_vecs, per-dim code sums s,
+    denom — the n·4096·10⁶ normalizer that maps the exact-integer
+    centered projection numerator back to original units). Shared by
+    the fit-side frame builder and the search pass so the corpus pays
+    ONE covariance scan per caller."""
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    loads: dict[int, dict[int, int]] = {}
+    for comp, d, w, _evr in _pca_rows_from_cov(cov_rows):
+        loads.setdefault(comp, {})[d] = w
+    n_vecs = int(cov_rows[0]["n_vecs"])
+    s = {r["dim_i"]: int(r["s_i"]) for r in cov_rows if r["dim_i"] == r["dim_j"]}
+    denom = float(n_vecs * COV_CODE_SCALE * 1_000_000)
+    return loads, n_vecs, s, denom
+
+
+def _opq_rotated_frame(spark: SparkSession, sf_dir: str, loads, n_vecs, s, denom):
+    """Every embedding as its PCA-rotated coordinate array: y_c =
+    (Σ_d code_d·loading_e6[c][d] · n − Σ_d s_d·loading_e6[c][d]) / denom
+    — embedding_pca_project's exact-integer centered projection, scaled
+    once back to original units so Lloyd's runs on O(1)-magnitude
+    doubles. Both engines build the identical integer numerator and
+    divide by the identical double, so the rotated frame is bit-equal
+    cross-engine. Zero-shuffle codegen'd map (zip_with + aggregate).
+
+    Integer bound (ADVICE_r12): |numerator| ≤ n·64·4096·|x|·10⁶ ≈
+    2.6e11·n — exact in bigint to n ≈ 3·10⁷ vectors and in the double
+    division to n ≈ 3·10⁴ heavier still; beyond that a deployment
+    re-scales the loading grid (documented, gate-bounded here).
+    """
+    dim = max(max(d) for d in loads.values())
+    emb = table(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    ys = []
+    for c in sorted(loads):
+        warr = F.array(*[F.lit(int(loads[c][d])) for d in range(1, dim + 1)])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                warr,
+                lambda x, w: (
+                    F.floor(x.cast("double") * COV_CODE_SCALE + F.lit(0.5))
+                    .cast("bigint")
+                    * w
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        const_c = sum(int(s[d]) * int(loads[c][d]) for d in range(1, dim + 1))
+        ys.append(
+            (
+                (dot * F.lit(int(n_vecs)) - F.lit(const_c)).cast("double")
+                / F.lit(denom)
+            ).alias(f"y{c}")
+        )
+    return emb.select("vec_id", F.array(*ys).alias("embedding"))
+
+
+def knn_ivf_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite — PCA-ROTATED product quantization (Ge et al. 2013
+    "Optimized Product Quantization" use a learned rotation before PQ;
+    the PCA rotation is its closed-form first approximation, Jégou et
+    al.'s "transform coding" baseline): embeddings are rotated onto
+    embedding_pca's principal components (the exact-integer projection
+    device of embedding_pca_project) and the PRODUCT QUANTIZER is
+    trained and searched in that rotated, energy-compacted space — one
+    1-dim codebook per component. Candidate generation is knn_ivf_pq's
+    IVF exactly (original-space cells, same probes), so the recall
+    delta of this row vs knn_pq_recall_eval isolates precisely what the
+    ROTATION changes about the scored representation — measured, not
+    asserted (on a near-isotropic corpus like the synthetic embeddings
+    the 4-component rotation keeps ~λ₁..λ₄ of the energy and LOSES
+    recall; on real embedding corpora with sharp spectra the same
+    composition is the standard recall win).
+
+    Plan: knn_ivf_sq8/knn_ivf_pq's exact cost shape — three bounded
+    eager builders (covariance collect O(dim²), rotated PQ fit M×K×P
+    partial rows per iteration via _pq_fit UNCHANGED, ≤IVF_CELLS
+    centroid collect), then ONE Arrow mapInPandas corpus pass (cell
+    assign in original space, rotation + code assign in numpy from the
+    same exact-integer recurrence, integer ADC sum). Zero corpus
+    joins, zero corpus shuffles; the rotated frame itself is a
+    zero-shuffle codegen map.
+
+    Cross-engine exactness: the rotated coordinates are exact-integer
+    numerators divided by one shared double (bit-equal cross-engine);
+    Lloyd's and the ADC then mirror knn_ivf_pq's proven devices on the
+    4096 grid — a flip needs a centroid within ~1e-13·4096 of a
+    half-integer. (dist_q, neighbor_id) is a total order, so
+    partition-local top-k is exact.
+    """
+    from .ml import _assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    loads, n_vecs, s, denom = _opq_rotation(spark, sf_dir)
+    dim = max(max(d) for d in loads.values())
+    rot = _opq_rotated_frame(spark, sf_dir, loads, n_vecs, s, denom)
+    books, n = _pq_fit(spark, rot)
+    rsub = books[0].shape[1]  # = PCA_COMPONENTS // PQ_M = 1
+
+    # numpy twin of the rotated frame (same exact-integer recurrence)
+    lmat = np.array(
+        [[loads[c][d] for d in range(1, dim + 1)] for c in sorted(loads)],
+        dtype=np.int64,
+    )
+    cvec = np.array(
+        [sum(int(s[d]) * int(loads[c][d]) for d in range(1, dim + 1))
+         for c in sorted(loads)],
+        dtype=np.int64,
+    )
+
+    def rotate(mat: np.ndarray) -> np.ndarray:
+        codes = np.floor(mat * COV_CODE_SCALE + 0.5).astype(np.int64)
+        return ((codes @ lmat.T) * n_vecs - cvec) / denom
+
+    step = max(1, n // IVF_CELLS)
+    cent_rows = (
+        emb.where((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < IVF_CELLS))
+        .select((F.col("vec_id") / step).cast("int").alias("cell"), "embedding")
+        .orderBy("cell")
+        .collect()
+    )
+    cells_arr = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cent = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    def assign_cells(mat: np.ndarray, top: int) -> np.ndarray:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms) @ cent_n.T
+        order = np.argsort(-sims, axis=1, kind="stable")  # ties → lower cell
+        return cells_arr[order[:, :top]]
+
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_cells = assign_cells(q_mat, IVF_PROBES)
+    q_rot = rotate(q_mat)
+    adc = np.zeros((len(q_ids), PQ_M, books[0].shape[0]), dtype=np.int64)
+    for mi, cb in enumerate(books):
+        qs = np.floor(
+            q_rot[:, mi * rsub : (mi + 1) * rsub] * OPQ_SCALE + 0.5
+        ).astype(np.int64)
+        cq = np.floor(cb * OPQ_SCALE + 0.5).astype(np.int64)
+        diff = qs[:, None, :] - cq[None, :, :]
+        adc[:, mi, :] = (diff * diff).sum(axis=2)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq_cells = spark.sparkContext.broadcast(q_cells)
+    b_adc = spark.sparkContext.broadcast(adc)
+    b_books = spark.sparkContext.broadcast(books)
+
+    def local_topk(batches):
+        sub_idx = np.arange(PQ_M)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cell = assign_cells(mat, 1)[:, 0]
+            rmat = rotate(mat)
+            codes = np.empty((len(mat), PQ_M), dtype=np.int64)
+            for mi, cb in enumerate(b_books.value):
+                codes[:, mi], _ = _assign(rmat[:, mi * rsub : (mi + 1) * rsub], cb)
+            for qi, qid in enumerate(bq_ids.value):
+                keep = np.isin(cell, bq_cells.value[qi]) & (ids != qid)
+                if not keep.any():
+                    continue
+                dist = b_adc.value[qi][sub_idx, codes[keep]].sum(axis=1)
+                cand_ids = ids[keep]
+                top = np.lexsort((cand_ids, dist))[:TOP_K]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[top],
+                        "dist_q": dist[top],
+                    }
+                )
+
+    local = emb.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, dist_q long"
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "dist_q", "rank")
+    )
+
+
+def _opq_oracle() -> str:
+    """knn_ivf_opq mirrored: the full PCA chain (wfit e6 loadings), the
+    exact-integer rotated frame `er`, knn_ivf_pq's IVF cell/cand CTEs on
+    the ORIGINAL space, the per-component unrolled-Lloyd codebooks on
+    `er`, and the rotated-grid integer ADC ranking."""
+    rsub = PCA_COMPONENTS // PQ_M
+    # PCA chain terminating in wfit(component, dim, loading_e6)
+    pca = _pca_oracle().replace(
+        "\nSELECT component, dim::INT AS dim, loading_e6, evr_ppm FROM (",
+        """,
+wfit AS (
+    SELECT component, dim, loading_e6 FROM (""",
+    )
+    proj_cols = ",\n       ".join(
+        f"""CAST(sum(CASE WHEN w.component = {c}
+                 THEN (cd.c * st.n - st.s) * w.loading_e6 END) AS BIGINT)
+           AS p{c}"""
+        for c in range(PCA_COMPONENTS)
+    )
+    y_list = ", ".join(
+        f"CAST(p{c} AS DOUBLE) / (nn.n * {COV_CODE_SCALE}.0 * 1000000.0)"
+        for c in range(PCA_COMPONENTS)
+    )
+    sub_ctes = "\n".join(
+        _pq_subspace_ctes(mi, PQ_K, PQ_ITERS, dim=PCA_COMPONENTS, src="er", pfx="r")
+        for mi in range(PQ_M)
+    )
+    code_legs, adc_legs = [], []
+    for mi in range(PQ_M):
+        p, cf = f"r{mi}", f"r{mi}_c{PQ_ITERS}"
+        code_legs.append(
+            f"""SELECT vec_id, {mi} AS sub, cluster AS code FROM (
+    SELECT x.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY
+               -2.0 * list_dot_product(x.emb, c.cent)
+                   + list_dot_product(c.cent, c.cent), c.cluster) AS rn
+    FROM {p}_e x CROSS JOIN {cf} c
+) WHERE rn = 1"""
+        )
+        adc_legs.append(
+            f"""SELECT q.vec_id AS query_id, {mi} AS sub, c.code,
+       CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dpart
+FROM (SELECT vec_id, generate_subscripts(emb, 1) AS d,
+             CAST(floor(unnest(emb) * {OPQ_SCALE} + 0.5) AS BIGINT) AS qv
+      FROM {p}_e WHERE vec_id < {N_QUERIES}) q
+JOIN (SELECT cluster AS code, generate_subscripts(cent, 1) AS d,
+             CAST(floor(unnest(cent) * {OPQ_SCALE} + 0.5) AS BIGINT) AS cv
+      FROM {cf}) c USING (d)
+GROUP BY 1, 2, 3"""
+        )
+    codes = " UNION ALL ".join(code_legs)
+    adcs = " UNION ALL ".join(adc_legs)
+    return (
+        pca
+        + f"""
+),
+cstats AS (
+    SELECT i AS dim, sum(c)::BIGINT AS s, count(*)::BIGINT AS n
+    FROM codes_cov GROUP BY 1
+),
+cd AS (SELECT vec_id, i AS dim, c FROM codes_cov),
+proj AS (
+    SELECT cd.vec_id,
+       {proj_cols}
+    FROM cd
+    JOIN cstats st USING (dim)
+    JOIN wfit w USING (dim)
+    GROUP BY cd.vec_id
+),
+er AS (
+    SELECT vec_id, [{y_list}] AS emb
+    FROM proj CROSS JOIN (SELECT any_value(n) AS n FROM cstats) nn
+),
+p AS (SELECT greatest(1, count(*) // {IVF_CELLS}) AS step
+      FROM embeddings WHERE embedding IS NOT NULL),
+pqp AS (SELECT greatest(1, count(*) // {PQ_K}) AS step
+        FROM embeddings WHERE embedding IS NOT NULL),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cinit AS (
+    SELECT vec_id // p.step AS cluster, emb AS cent
+    FROM e, p WHERE vec_id % p.step = 0 AND vec_id / p.step < {IVF_CELLS}
+),
+ranked_cells AS (
+    SELECT vec_id, cell, rn FROM (
+        SELECT e.vec_id, c.cluster AS cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.emb, c.cent) DESC,
+                            c.cluster ASC) AS rn
+        FROM e CROSS JOIN cinit c
+    )
+),
+cand AS (
+    SELECT pr.vec_id AS query_id, cc.vec_id AS neighbor_id
+    FROM (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1) cc
+    JOIN (SELECT vec_id, cell FROM ranked_cells
+          WHERE rn <= {IVF_PROBES} AND vec_id < {N_QUERIES}) pr USING (cell)
+    WHERE cc.vec_id != pr.vec_id
+),
+{sub_ctes}
+pqcodes AS ({codes}),
+adc AS ({adcs}),
+dist AS (
+    SELECT ca.query_id, ca.neighbor_id,
+           CAST(sum(a.dpart) AS BIGINT) AS dist_q
+    FROM cand ca
+    JOIN pqcodes co ON co.vec_id = ca.neighbor_id
+    JOIN adc a ON a.query_id = ca.query_id AND a.sub = co.sub
+              AND a.code = co.code
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, dist_q, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist_q ASC, neighbor_id ASC) AS rank
+    FROM dist
+)
+WHERE rank <= {TOP_K}
+"""
+    ).replace(
+        # the PCA chain's base CTE is named `codes` — rename to codes_cov
+        # so the PQ code-assignment CTE keeps its own namespace
+        "codes AS (\n    SELECT vec_id, generate_subscripts(embedding, 1) AS i,",
+        "codes_cov AS (\n    SELECT vec_id, generate_subscripts(embedding, 1) AS i,",
+    ).replace("FROM codes a JOIN codes b", "FROM codes_cov a JOIN codes_cov b")
+
+
+ORACLE["knn_ivf_opq"] = _mat(_opq_oracle())
+
+
+def knn_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the PCA-rotated PQ index vs the exact cosine top-k —
+    the SIXTH row of the ANN QA matrix (LSH / IVF / SQ8 / IVF-SQ8 /
+    IVF-PQ / OPQ). Read against knn_pq_recall_eval: the two rows share
+    the IVF candidate set, so their difference is exactly the recall
+    the rotation buys (or costs — on this near-isotropic synthetic
+    corpus a 4-component rotation discards most of the energy and the
+    delta is negative; the row exists so that trade is measured per
+    corpus, not assumed from the OPQ paper's ImageNet spectra). Same
+    integer-ppm contract as the other five rows."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        knn_ivf_opq(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            F.expr("(n_hit * 1000000L) div k").alias("recall_ppm"),
+        )
+    )
+
+
+ORACLE["knn_opq_recall_eval"] = f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_bruteforce"]}) bf),
+approx AS (SELECT query_id, neighbor_id FROM ({ORACLE["knn_ivf_opq"]}) oq),
+j AS (
+    SELECT e.query_id,
+           CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+)
+SELECT query_id,
+       count(*)::BIGINT AS k,
+       CAST(sum(hit) AS BIGINT) AS n_hit,
+       CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY query_id
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "embedding_dim_prune": embedding_dim_prune,
@@ -2283,6 +2668,8 @@ QUERIES = {
     "knn_ivfsq_recall_eval": knn_ivfsq_recall_eval,
     "knn_ivf_pq": knn_ivf_pq,
     "knn_pq_recall_eval": knn_pq_recall_eval,
+    "knn_ivf_opq": knn_ivf_opq,
+    "knn_opq_recall_eval": knn_opq_recall_eval,
     "embedding_covariance": embedding_covariance,
     "embedding_pca": embedding_pca,
     "embedding_pca_project": embedding_pca_project,

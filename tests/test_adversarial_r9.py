@@ -192,9 +192,10 @@ def _bucket_py(doc_id: int) -> int:
 
 @pytest.fixture(scope="module")
 def backoff_dir(tmp_path_factory):
-    """Docs placed on known sides of the 50% model split so every
-    stupid-backoff branch executes: in-model bigram, backed-off bigram of
-    known words, OOV word, and the <2-token absence contract."""
+    """Docs placed on known sides of the 50% model split so every level
+    of the TRIGRAM stupid-backoff recursion executes: in-model trigram,
+    trigram→bigram backoff, trigram→unigram backoff, OOV floor, and the
+    <3-token absence contract (r13 trigram upgrade)."""
     from grapefruit_spark.operators.search import BACKOFF_MODEL_FRAC
 
     thr = int(BACKOFF_MODEL_FRAC * 4294967296)
@@ -202,11 +203,18 @@ def backoff_dir(tmp_path_factory):
     held_ids = [i for i in range(1, 200) if _bucket_py(i) >= thr]
     d = tmp_path_factory.mktemp("backoffadv")
     docs = [
-        (model_ids[0], "a b c a b"),   # model: bigrams ab:2 bc:1 ca:1
-        (model_ids[1], "c d e"),       # model: cd:1 de:1
-        (held_ids[0], "a b c x"),      # scored: ab,bc in model; "c x" OOV
-        (held_ids[1], "b a"),          # scored: "b a" unseen, both words known
-        (held_ids[2], "hello"),        # scored: <2 tokens -> absent
+        # model: trigrams abc:2 bca:1 cab:1; bigrams ab:2 bc:2 ca:1
+        (model_ids[0], "a b c a b c"),
+        # model: trigram cde:1; bigrams cd:1 de:1
+        (model_ids[1], "c d e"),
+        # held: (a b c) in-model trigram; (b c x) off both, x OOV
+        (held_ids[0], "a b c x"),
+        # held: (e a b) trigram off, bigram "a b" in model -> bo_bigram
+        (held_ids[1], "e a b"),
+        # held: (a c e) trigram off, bigram "c e" off, e known -> bo_unigram
+        (held_ids[2], "a c e"),
+        # held: <3 tokens -> absent from the emission
+        (held_ids[3], "hello world"),
     ]
     pq.write_table(
         pa.table(
@@ -237,25 +245,41 @@ def test_backoff_surprisal_branch_points(spark, backoff_dir):
         con,
         oracles["doc_backoff_surprisal"],
     )
-    # python reference of the full stupid-backoff recursion
+    # python reference of the full trigram stupid-backoff recursion
     uni: Counter = Counter()
     bgc: Counter = Counter()
+    tgc: Counter = Counter()
     for doc_id, text in docs:
         toks = text.split()
         if doc_id in model_set:
             uni.update(toks)
             bgc.update(zip(toks, toks[1:]))
+            tgc.update(zip(toks, toks[1:], toks[2:]))
     n_total = sum(uni.values())
     n_from: dict = defaultdict(int)
     for (w1, _), n in bgc.items():
         n_from[w1] += n
+    n_ctx: dict = defaultdict(int)
+    for (w1, w2, _), n in tgc.items():
+        n_ctx[(w1, w2)] += n
 
-    def score(bg):
-        if bg in bgc:
-            return bgc[bg] / n_from[bg[0]]
-        if bg[1] in uni:
-            return BACKOFF_ALPHA * uni[bg[1]] / n_total
-        return BACKOFF_ALPHA / n_total
+    def score(tg):
+        w1, w2, w3 = tg
+        if tg in tgc:
+            return tgc[tg] / n_ctx[(w1, w2)]
+        if (w2, w3) in bgc:
+            return BACKOFF_ALPHA * bgc[(w2, w3)] / n_from[w2]
+        if w3 in uni:
+            return BACKOFF_ALPHA * BACKOFF_ALPHA * uni[w3] / n_total
+        return BACKOFF_ALPHA * BACKOFF_ALPHA / n_total
+
+    def levels(tg):
+        w1, w2, w3 = tg
+        if tg in tgc:
+            return "tri"
+        if (w2, w3) in bgc:
+            return "bg"
+        return "uni" if w3 in uni else "oov"
 
     got = {
         r["doc_id"]: r
@@ -263,24 +287,30 @@ def test_backoff_surprisal_branch_points(spark, backoff_dir):
     }
     for doc_id, text in docs:
         toks = text.split()
-        bgs = list(zip(toks, toks[1:]))
-        if not bgs:
-            assert doc_id not in got  # <2 tokens -> absent
+        tgs = list(zip(toks, toks[1:], toks[2:]))
+        if not tgs:
+            assert doc_id not in got  # <3 tokens -> absent
             continue
-        total = sum(round(-math.log(score(b)), 12) for b in bgs)
-        want = math.floor(total / len(bgs) * 1_000_000)
-        assert got[doc_id]["n_bigrams"] == len(bgs)
-        assert got[doc_id]["backoff_bigrams"] == sum(b not in bgc for b in bgs)
+        total = sum(round(-math.log(score(t)), 12) for t in tgs)
+        want = math.floor(total / len(tgs) * 1_000_000)
+        lv = Counter(levels(t) for t in tgs)
+        assert got[doc_id]["n_trigrams"] == len(tgs)
+        assert got[doc_id]["bo_bigram"] == lv["bg"]
+        assert got[doc_id]["bo_unigram"] == lv["uni"]
+        assert got[doc_id]["bo_oov"] == lv["oov"]
         assert abs(got[doc_id]["avg_surprisal_e6"] - want) <= 1, (
             doc_id, got[doc_id], want,
         )
-    # the branch points actually happened: a fully-in-model doc, a doc
-    # that backed off to a known unigram, and a doc that hit the OOV floor
-    scored_held = [i for i, t in docs if i not in model_set and len(t.split()) >= 2]
-    assert got[scored_held[0]]["backoff_bigrams"] == 1  # "c x" -> OOV path
-    assert got[scored_held[1]]["backoff_bigrams"] == 1  # "b a" -> unigram path
+    # every backoff level actually happened, each on its planted doc
+    held = [i for i, t in docs if i not in model_set and len(t.split()) >= 3]
+    assert got[held[0]]["bo_oov"] == 1  # "b c x" -> OOV floor
+    assert got[held[1]]["bo_bigram"] == 1  # "e a b" -> bigram level
+    assert got[held[2]]["bo_unigram"] == 1  # "a c e" -> unigram level
     model_docs = [i for i, _ in docs if i in model_set]
-    assert all(got[i]["backoff_bigrams"] == 0 for i in model_docs)
+    assert all(
+        got[i]["bo_bigram"] + got[i]["bo_unigram"] + got[i]["bo_oov"] == 0
+        for i in model_docs
+    )
 
 
 # --------------------------------------------------- embedding_drift_aa

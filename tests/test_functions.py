@@ -109,3 +109,25 @@ def test_band_keys_prefix_salting(run_expr):
     )
     assert len(out) == 4
     assert all(out[i].startswith(f"{i}:") for i in range(4))
+
+
+def test_materialize_ctes_anchored_to_cte_heads():
+    """ADVICE_r12: the rewrite must hit CTE heads only — never a WINDOW
+    clause, a recursive CTE's column-list form, or an 'AS (' inside a
+    string literal of an embedded oracle."""
+    sql = (
+        "WITH a AS (SELECT 1),\n"
+        "-- comment between CTEs\n"
+        "b AS (SELECT * FROM a),\n"
+        "c(x) AS (SELECT 2)\n"
+        "SELECT *, '... AS (' AS lit FROM b\n"
+        "WINDOW w AS (PARTITION BY x)"
+    )
+    out = gf.materialize_ctes(sql)
+    assert "WITH a AS MATERIALIZED (" in out
+    assert "b AS MATERIALIZED (" in out  # comment-gap head still rewritten
+    assert "'... AS ('" in out  # string literal untouched
+    assert "WINDOW w AS (PARTITION" in out  # window clause untouched
+    # column-list heads are not used by our generators; they must at
+    # least pass through unmangled
+    assert "c(x) AS (SELECT 2)" in out

@@ -309,7 +309,12 @@ def test_bpe_encode_stats_consistent_with_merge_table(spark):
     stats = bpe_encode_stats(spark, SF_DIR).collect()[0]
     merges = bpe_merge_sequence(spark, SF_DIR).collect()
     saved = stats["n_chars"] - stats["n_symbols"]
-    assert saved == sum(r["n_pair"] for r in merges), (
+    # ≤, not ==, by design (ADVICE_r12): pair counts include OVERLAPPING
+    # adjacencies (s1 == s2 in a run of 3+ counts twice) while the
+    # non-overlapping replace removes one symbol per applied occurrence,
+    # so a self-overlapping winning merge makes the identity strict. The
+    # exact python replay below remains the strong check.
+    assert 0 < saved <= sum(r["n_pair"] for r in merges), (
         saved,
         [r["n_pair"] for r in merges],
     )

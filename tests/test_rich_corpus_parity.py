@@ -103,8 +103,16 @@ RICH_QUERIES = [
     ("text", "bpe_encode_stats"),
     ("search", "quality_classifier_fit"),
     ("search", "quality_classifier_score"),
+    # r13: the logistic upgrade — the Zipf corpus is its exp-ulp stress
+    # test (wide logit range incl. saturation on both tails)
+    ("search", "quality_classifier_logit"),
     ("datapipe", "shuffle_order_full"),
     ("dedup", "minhash_band_curve"),
+    # r13 additions: the planted whole-doc dups give full-doc-length
+    # maximal runs (> MIN_RUN_TOKENS) while the 12-token boilerplate span
+    # stays below the threshold — both branches of the ≥50-token policy
+    ("dedup", "dup_run_stats"),
+    ("dedup", "dedup_runs_apply"),
 ]
 
 
