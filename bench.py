@@ -255,6 +255,9 @@ HEADLINE = [
     "knn_ivf_opq",
     "knn_opq_recall_eval",
     "snapshot_read_sim",
+    # the logistic classifier (16 distributed GD passes — the honest
+    # cost of the fastText objective; its wall is the row to watch)
+    "quality_classifier_logit",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -225,3 +225,16 @@ def test_snapshot_read_sim_versions(spark):
     assert rows[2]["n_rows"] == rows[3]["n_rows"]
     assert rows[2]["key_sum"] == rows[3]["key_sum"]  # same membership
     assert rows[3]["total"] > rows[2]["total"]  # doubled urgent partition
+
+
+def test_ivf_opq_plan_stays_corpus_join_free(spark):
+    """knn_ivf_opq's search pass must keep knn_ivf_pq's cost shape: one
+    mapInPandas over the corpus (rotation happens in numpy inside it),
+    never a corpus-side join on codes, queries, or cells."""
+    from grapefruit_spark.operators.similarity import knn_ivf_opq
+    from grapefruit_spark.plans import executed_plan
+
+    plan = executed_plan(knn_ivf_opq(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
