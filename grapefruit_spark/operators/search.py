@@ -1457,8 +1457,29 @@ def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = quality_gopher_rules(spark, sf_dir).select(
         "doc_id", F.coalesce(_qc_label().cast("int"), F.lit(0)).alias("y")
     )
-    base = codes.join(labels, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = docs.count()
+    # co-partition the code table on doc_id ONCE: every iteration's
+    # per-doc logit agg and its join back for the gradient then run
+    # exchange-free on the corpus side (16 reused partitionings instead
+    # of 16 corpus shuffles — the co-location move a 100 TB trainer
+    # makes; only the 65-row gradient aggregate shuffles per step).
+    # Partition count sizes to the code-table row bound (≤ 65/doc): a
+    # fixed spark.sql.shuffle.partitions fan-out charges every one of
+    # the 16 iterations 32 near-empty tasks per stage at gate scale,
+    # while the sized count still spreads a 10⁹-doc corpus across the
+    # cluster (the maxPartitionBytes sizing idea applied to the loop).
+    nparts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism * 4,
+            n_docs * (QC_BUCKETS + 1) // 200_000 + 1,
+        ),
+    )
+    base = (
+        codes.join(labels, "doc_id")
+        .repartition(nparts, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     nf = QC_BUCKETS + 1
     w = {j: 0 for j in range(nf)}
@@ -1468,11 +1489,15 @@ def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         z = (
             base.join(F.broadcast(wdf), "feat")
-            .groupBy("doc_id", "y")
+            .groupBy("doc_id")
             .agg(
+                # y is constant across a doc's code rows — first() is
+                # value-deterministic and keeps the grouping key (and so
+                # the preserved partitioning) to doc_id alone
+                F.first("y").alias("y"),
                 F.sum((F.col("code") * F.col("w")).cast("decimal(38,0)"))
                 .cast("bigint")
-                .alias("z_num")
+                .alias("z_num"),
             )
         )
         sig = F.floor(
