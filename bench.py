@@ -256,8 +256,12 @@ HEADLINE = [
     "knn_opq_recall_eval",
     "snapshot_read_sim",
     # the logistic classifier (16 distributed GD passes — the honest
-    # cost of the fastText objective; its wall is the row to watch)
+    # cost of the fastText objective; its wall is the row to watch) and
+    # its exp-free integer scoring/confusion row
     "quality_classifier_logit",
+    "quality_classifier_logit_score",
+    # the strip-threshold tuning curve (one runs build, four policies)
+    "dup_run_threshold_curve",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -1237,6 +1237,69 @@ GROUP BY run_len
 """
 
 
+#: strip-policy thresholds swept by dup_run_threshold_curve — W·2, the
+#: Lee et al. 50, and a conservative 100, bracketing the deployed value
+RUN_CURVE_THRESHOLDS = (16, 25, 50, 100)
+
+
+def dup_run_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip-threshold tuning curve — the minhash_band_curve of exact-
+    substring dedup: for each candidate min_run_tokens policy, how many
+    maximal duplicate runs qualify, how many documents are touched, and
+    how many tokens the apply step would strip. Because a doc's runs
+    are DISJOINT intervals, tokens_stripped is exactly Σ run_len over
+    qualifying runs — the curve a deployment reads before pinning the
+    dedup_runs_apply threshold (Lee et al. use 50; the sweep brackets
+    it). ONE runs build feeds all four thresholds via a broadcast
+    threshold join; zero extra corpus passes.
+    """
+    from ..reliability import pin
+
+    docs = _spread(table(spark, sf_dir, "documents"))
+    arr = pin(
+        docs.select(
+            "doc_id",
+            F.transform(
+                word_ngrams(ws_tokens(normalize_text(F.col("text"))), SPAN_W),
+                lambda s: F.md5(s),
+            ).alias("fps"),
+        )
+    )
+    runs = _dup_runs(arr)
+    thr = spark.createDataFrame(
+        [(t,) for t in RUN_CURVE_THRESHOLDS], schema="min_run_tokens int"
+    )
+    per_doc = (
+        F.broadcast(thr)
+        .join(runs, runs.run_len >= F.col("min_run_tokens"), "left")
+        .groupBy("min_run_tokens", "doc_id")
+        .agg(
+            F.count("run_len").alias("n_runs_doc"),
+            F.sum("run_len").alias("tok_doc"),
+        )
+    )
+    return per_doc.groupBy("min_run_tokens").agg(
+        F.sum("n_runs_doc").cast("bigint").alias("n_runs"),
+        F.count(F.col("doc_id")).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("tok_doc"), F.lit(0)).cast("bigint").alias("tokens_stripped"),
+    )
+
+
+ORACLE["dup_run_threshold_curve"] = f"""
+WITH {_RUNS_CTES},
+thr AS (
+    SELECT unnest([{", ".join(str(t) for t in RUN_CURVE_THRESHOLDS)}])::INT
+        AS min_run_tokens
+)
+SELECT t.min_run_tokens,
+       CAST(count(r.run_len) AS BIGINT) AS n_runs,
+       CAST(count(DISTINCT r.doc_id) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(r.run_len), 0) AS BIGINT) AS tokens_stripped
+FROM thr t LEFT JOIN runs r ON r.run_len >= t.min_run_tokens
+GROUP BY 1
+"""
+
+
 def dedup_runs_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup apply step at the PUBLISHED policy (Lee et
     al., arXiv:2107.06499): strip only tokens covered by a maximal
@@ -1575,6 +1638,7 @@ QUERIES = {
     "dedup_spans_apply": dedup_spans_apply,
     "dup_run_stats": dup_run_stats,
     "dedup_runs_apply": dedup_runs_apply,
+    "dup_run_threshold_curve": dup_run_threshold_curve,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "dedup_minhash": dedup_minhash,

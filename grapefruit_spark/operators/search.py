@@ -1612,12 +1612,93 @@ lw{t + 1} AS (
 ORACLE["quality_classifier_logit"] = materialize_ctes(_logit_oracle())
 
 
+def quality_classifier_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic scoring step + train-set confusion row: every document
+    scored by the trained logit weights and classified at the NATURAL
+    logistic operating point — σ(z) ≥ ½ ⟺ z ≥ 0 — so unlike the ridge
+    row's mean-threshold cut, scoring needs NO exp() at all: the
+    emitted score is the exact integer logit numerator z_num =
+    Σ code·w_e12 and the prediction is the pure integer comparison
+    z_num ≥ 0. The entire operator is integer arithmetic on the fit
+    row's emitted weights (the classifier-score composition pattern) —
+    hash-stable by construction, and at 100 TB the scoring plan is one
+    scan joining only the broadcast 65-row weight table.
+    """
+    wrows = quality_classifier_logit(spark, sf_dir).collect()
+    wmap = {r["feat"]: int(r["weight_e12"]) for r in wrows}
+
+    from .text import quality_gopher_rules
+
+    docs = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    f = (
+        docs.select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
+        .select("doc_id", (md5_hash60(F.col("bg")) % QC_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ng = f.groupBy("doc_id").agg(F.sum("tf").alias("n_grams"))
+    codes = f.join(ng, "doc_id").select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("feat"),
+        F.expr(f"(tf * {QC_SCALE}) div n_grams").cast("bigint").alias("code"),
+    )
+    wdf = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in sorted(wmap.items())],
+        schema="feat int, w long",
+    )
+    dot = (
+        codes.join(F.broadcast(wdf), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("code") * F.col("w")).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sprod")
+        )
+    )
+    bias_term = QC_SCALE * wmap[QC_BIAS]
+    labels = quality_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.coalesce(_qc_label().cast("int"), F.lit(0)).alias("label")
+    )
+    return labels.join(dot, "doc_id", "left").select(
+        "doc_id",
+        "label",
+        (F.coalesce("sprod", F.lit(0)) + F.lit(bias_term)).alias("z_num"),
+        (
+            (F.coalesce("sprod", F.lit(0)) + F.lit(bias_term)) >= 0
+        ).cast("int").alias("predicted"),
+    )
+
+
+ORACLE["quality_classifier_logit_score"] = materialize_ctes(
+    _logit_oracle().replace(
+        f"\nSELECT feat, w AS weight_e12 FROM lw{LOGIT_ITERS}",
+        f""",
+wfitl AS (SELECT feat, w FROM lw{LOGIT_ITERS}),
+dotl AS (
+    SELECT c.doc_id,
+           CAST(sum(CAST(c.code * w.w AS DECIMAL(38,0))) AS BIGINT) AS sprod
+    FROM (SELECT doc_id, feat, code FROM codesq WHERE feat < {QC_BIAS}) c
+    JOIN wfitl w USING (feat)
+    GROUP BY 1
+),
+biasl AS (SELECT {QC_SCALE} * w AS b FROM wfitl WHERE feat = {QC_BIAS})
+SELECT l.doc_id, l.y AS label,
+       coalesce(d.sprod, 0) + b.b AS z_num,
+       CASE WHEN coalesce(d.sprod, 0) + b.b >= 0 THEN 1 ELSE 0 END::INT
+           AS predicted
+FROM lblq l LEFT JOIN dotl d USING (doc_id) CROSS JOIN biasl b""",
+    )
+)
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "dsir_importance": dsir_importance,
     "quality_classifier_fit": quality_classifier_fit,
     "quality_classifier_score": quality_classifier_score,
     "quality_classifier_logit": quality_classifier_logit,
+    "quality_classifier_logit_score": quality_classifier_logit_score,
     "term_pmi": term_pmi,
     "bm25_search": bm25_search,
     "doc_unigram_logprob": doc_unigram_logprob,

@@ -238,3 +238,50 @@ def test_ivf_opq_plan_stays_corpus_join_free(spark):
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dup_run_threshold_curve_consistency(spark, runs_dir):
+    """The curve must agree with the planted runs: at T=50 exactly the
+    two 60-token runs qualify (120 tokens — what dedup_runs_apply
+    strips); at T=16 the 12-token boilerplate still does NOT qualify;
+    T=100 strips nothing; and the curve is monotone in T."""
+    from grapefruit_spark.operators.dedup import (
+        ORACLE,
+        dup_run_threshold_curve,
+    )
+
+    con = _duck_for(runs_dir, ["documents"])
+    assert_matches_oracle(
+        dup_run_threshold_curve(spark, runs_dir),
+        con,
+        ORACLE["dup_run_threshold_curve"],
+    )
+    got = {
+        r["min_run_tokens"]: r
+        for r in dup_run_threshold_curve(spark, runs_dir).collect()
+    }
+    assert set(got) == {16, 25, 50, 100}
+    assert got[50]["n_runs"] == 2 and got[50]["tokens_stripped"] == 120
+    assert got[16]["tokens_stripped"] == 120  # 12-token run < 16 either way
+    assert got[100]["n_runs"] == 0 and got[100]["tokens_stripped"] == 0
+    ts = [got[t]["tokens_stripped"] for t in (16, 25, 50, 100)]
+    assert ts == sorted(ts, reverse=True)  # monotone non-increasing
+
+
+def test_logit_score_is_sign_of_integer_logit(spark, nulltext_dir):
+    """Scoring at the natural logistic operating point needs no exp:
+    predicted must be exactly the sign test z_num >= 0, and the row must
+    hash against its oracle on the NULL-text corpus."""
+    from grapefruit_spark.operators.search import (
+        ORACLE,
+        quality_classifier_logit_score,
+    )
+
+    con = _duck_for(nulltext_dir, ["documents"])
+    assert_matches_oracle(
+        quality_classifier_logit_score(spark, nulltext_dir),
+        con,
+        ORACLE["quality_classifier_logit_score"],
+    )
+    for r in quality_classifier_logit_score(spark, SF_DIR).collect():
+        assert r["predicted"] == int(r["z_num"] >= 0)

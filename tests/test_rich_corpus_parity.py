@@ -113,6 +113,8 @@ RICH_QUERIES = [
     # stays below the threshold — both branches of the ≥50-token policy
     ("dedup", "dup_run_stats"),
     ("dedup", "dedup_runs_apply"),
+    ("dedup", "dup_run_threshold_curve"),
+    ("search", "quality_classifier_logit_score"),
 ]
 
 
