@@ -274,18 +274,23 @@ def snapshot_read_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
       totalprice (manifest = v2 entries MINUS that partition's files
       PLUS the replacement files — exactly how Iceberg's dynamic
       overwrite commits, remove-matching + add);
+    - v4 copy-on-write DELETE: rows with o_orderkey % 3 = 0 removed
+      from the 1-URGENT partition — only the files CONTAINING matches
+      are rewritten (here: that partition's), every other file is
+      carried by reference, the Delta/Iceberg CoW delete commit;
 
     then READS AS OF each version from its manifest alone and emits the
     per-version integrity profile (n_rows, key_sum, decimal-rounded
-    total). Reading v1 after v3 committed is the time-travel proof: old
+    total). Reading v1 after v4 committed is the time-travel proof: old
     snapshots stay byte-stable because commits only ADD files and edit
     the manifest, never mutate data in place. The oracle replays each
     version from the source deltas, so a hash-green row proves all
-    three snapshot reads were lossless.
+    four snapshot reads were lossless.
 
-    At 100 TB: each commit is one narrow columnar write of its delta;
-    the manifest operations are O(partitions) metadata, and read-as-of
-    prunes to the listed files — no full-table rewrite at any version.
+    At 100 TB: each commit is one narrow columnar write of its delta
+    (the CoW delete writes only the affected partition), the manifest
+    operations are O(partitions) metadata, and read-as-of prunes to
+    the listed files — no full-table rewrite at any version.
     """
     import os
     from urllib.parse import unquote
@@ -303,10 +308,16 @@ def snapshot_read_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     b3 = orders.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
         "o_totalprice", F.col("o_totalprice") * 2  # ×2 is exact in binary fp
     )
-    d1, d2, d3 = (os.path.join(base, b) for b in ("commit1", "commit2", "commit3"))
+    # v4 rewrites the one partition holding delete matches: its v3
+    # content minus the deleted rows
+    b4 = b3.where(~(F.col("o_orderkey") % 3 == 0))
+    d1, d2, d3, d4 = (
+        os.path.join(base, b) for b in ("commit1", "commit2", "commit3", "commit4")
+    )
     b1.write.partitionBy("o_orderpriority").mode("overwrite").parquet(d1)
     b2.write.partitionBy("o_orderpriority").mode("overwrite").parquet(d2)
     b3.write.partitionBy("o_orderpriority").mode("overwrite").parquet(d3)
+    b4.write.partitionBy("o_orderpriority").mode("overwrite").parquet(d4)
 
     def entries(d: str) -> list[tuple[str, str]]:
         """(data-path, partition-value) per hive partition dir of a commit."""
@@ -319,9 +330,10 @@ def snapshot_read_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = entries(d1)
     v2 = v1 + entries(d2)
     v3 = [e for e in v2 if e[1] != "1-URGENT"] + entries(d3)
+    v4 = [e for e in v3 if e[1] != "1-URGENT"] + entries(d4)
 
     frames = []
-    for ver, manifest in ((1, v1), (2, v2), (3, v3)):
+    for ver, manifest in ((1, v1), (2, v2), (3, v3), (4, v4)):
         paths = [p for p, _ in manifest]
         if paths:
             snap = spark.read.schema("o_orderkey bigint, o_totalprice double").parquet(
@@ -365,6 +377,13 @@ SELECT * FROM (
                            THEN o_totalprice * 2 ELSE o_totalprice
                       END)::DECIMAL(18,6)), 2)::DOUBLE
     FROM o
+    UNION ALL
+    SELECT 4, count(*), CAST(sum(o_orderkey) AS BIGINT),
+           round(sum((CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN o_totalprice * 2 ELSE o_totalprice
+                      END)::DECIMAL(18,6)), 2)::DOUBLE
+    FROM o
+    WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0)
 )
 ORDER BY version
 """

@@ -215,16 +215,20 @@ def test_opq_rotated_frame_is_exact_integer_projection(spark):
 # ------------------------------------------------------- snapshot sim
 def test_snapshot_read_sim_versions(spark):
     """Time-travel invariants on driver data: v1 ⊂ v2 row-wise, v3 keeps
-    v2's row count (a restatement, not an append), and v3's total departs
-    from v2's by exactly the doubled 1-URGENT mass."""
+    v2's row count (a restatement, not an append), v3's total departs
+    from v2's by exactly the doubled 1-URGENT mass, and the v4 CoW
+    delete shrinks rows/keys while leaving non-deleted values intact."""
     from grapefruit_spark.operators.io_sims import snapshot_read_sim
 
     rows = {r["version"]: r for r in snapshot_read_sim(spark, SF_DIR).collect()}
-    assert set(rows) == {1, 2, 3}
+    assert set(rows) == {1, 2, 3, 4}
     assert rows[1]["n_rows"] < rows[2]["n_rows"]
     assert rows[2]["n_rows"] == rows[3]["n_rows"]
     assert rows[2]["key_sum"] == rows[3]["key_sum"]  # same membership
     assert rows[3]["total"] > rows[2]["total"]  # doubled urgent partition
+    assert rows[4]["n_rows"] < rows[3]["n_rows"]  # CoW delete removed rows
+    assert rows[4]["key_sum"] < rows[3]["key_sum"]
+    assert rows[4]["total"] < rows[3]["total"]
 
 
 def test_ivf_opq_plan_stays_corpus_join_free(spark):
