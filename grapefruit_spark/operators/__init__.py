@@ -147,6 +147,10 @@ _REPROVE_SINCE: dict[str, int] = {
     # corpora, emission changed
     "quality_classifier_fit": 13,
     "quality_classifier_score": 13,
+    # r13 NULL-text audit: dedup_spans_apply's clean_text now coalesces
+    # to '' on NULL-text docs (matching its oracle's coalesce); values
+    # identical on every NULL-free corpus, emission changed
+    "dedup_spans_apply": 13,
 }
 
 

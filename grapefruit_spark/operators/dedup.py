@@ -1052,7 +1052,11 @@ def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_tokens"),
         (F.size("toks") - F.size(clean)).alias("n_removed"),
-        F.array_join(clean, " ").alias("clean_text"),
+        # coalesce: a NULL-text doc has NULL toks -> NULL join, while the
+        # oracle's coalesce(array_to_string(...), '') emits '' (added for
+        # the fully-removed-doc case, which also covers this one); the
+        # count columns stay NULL on BOTH engines (r13 NULL-text audit)
+        F.coalesce(F.array_join(clean, " "), F.lit("")).alias("clean_text"),
     )
 
 
@@ -1356,7 +1360,8 @@ def dedup_runs_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_tokens"),
         (F.size("toks") - F.size(clean)).alias("n_removed"),
-        F.array_join(clean, " ").alias("clean_text"),
+        # NULL-text coalesce — same contract as dedup_spans_apply
+        F.coalesce(F.array_join(clean, " "), F.lit("")).alias("clean_text"),
     )
 
 

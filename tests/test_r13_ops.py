@@ -62,6 +62,7 @@ def runs_dir(tmp_path_factory):
         (3, short_block + " v3a v3b v3c v3d v3e"),
         (4, "v4a v4b v4c " + short_block + " v4d v4e"),
         (5, "tiny doc"),
+        (6, None),  # NULL text: clean_text '' on both engines, counts NULL
     ]
     _write_docs(str(d / "documents.parquet"), rows)
     return str(d)
@@ -107,6 +108,7 @@ def test_dedup_runs_apply_threshold(spark, runs_dir):
     # policy; the any-covered-token variant would strip it)
     assert got[3]["n_removed"] == 0 and got[4]["n_removed"] == 0
     assert got[5]["n_removed"] == 0
+    assert got[6]["clean_text"] == "" and got[6]["n_tokens"] is None
     aggressive = {
         r["doc_id"]: r["n_removed"]
         for r in dedup_spans_apply(spark, runs_dir).collect()
