@@ -151,6 +151,16 @@ _REPROVE_SINCE: dict[str, int] = {
     # to '' on NULL-text docs (matching its oracle's coalesce); values
     # identical on every NULL-free corpus, emission changed
     "dedup_spans_apply": 13,
+    # r13 NULL-text audit, second wave: lang_id's oracle maps NULL hits
+    # to 'und' (Spark contract); langid_confusion embeds that oracle;
+    # doc_rolling_fingerprint coalesces the NULL-text fold to the
+    # oracle's empty-prefix 0; minhash_est_error's oracle coalesces a
+    # NULL token list to [] (the identical-empty-grams exact=1 case).
+    # Values identical on every NULL-free corpus.
+    "lang_id": 13,
+    "langid_confusion": 13,
+    "doc_rolling_fingerprint": 13,
+    "minhash_est_error": 13,
 }
 
 

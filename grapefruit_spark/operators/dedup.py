@@ -650,9 +650,14 @@ def minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["minhash_est_error"] = f"""
 WITH tk AS (
+    -- coalesce: a NULL-text doc's token list is the EMPTY list (the
+    -- docstring's identical-empty-gram exact = 1 sentinel already
+    -- covers it; Spark's gram arrays come out empty, not NULL) — r13
+    -- NULL-text audit
     SELECT doc_id,
-           list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
-                       t -> length(t) > 0) AS tks
+           coalesce(list_filter(string_split_regex({_DUCK_NORM}, '\\s+'),
+                                t -> length(t) > 0),
+                    CAST([] AS VARCHAR[])) AS tks
     FROM documents
 ),
 {_minhash_sig_ctes("tk", "")}

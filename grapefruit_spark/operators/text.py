@@ -88,7 +88,10 @@ scored AS (
     FROM toks_t
 )
 SELECT doc_id, lang,
-       CASE WHEN {_best} = 0 THEN 'und' {_pred_chain} END AS pred_lang,
+       -- NULL hits (NULL text) are as undetermined as zero hits (r13
+       -- NULL-text audit: Spark's when-chain falls through to 'und')
+       CASE WHEN {_best} = 0 OR {_best} IS NULL THEN 'und'
+            {_pred_chain} END AS pred_lang,
        {_best}::INT AS n_hits
 FROM scored
 """
@@ -204,8 +207,15 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash prefix fingerprint (polynomial hash over the first 16
     normalized chars; DuckDB expresses the same fold with list_reduce)."""
     docs = table(spark, sf_dir, "documents")
+    # coalesce: NULL text folds to the empty-prefix hash 0 on DuckDB
+    # (list_prepend seeds the reduce) while Spark's aggregate over a
+    # NULL array is NULL — same contract: no content, seed hash (r13
+    # NULL-text audit)
     return docs.select(
-        "doc_id", rolling_hash(normalize_text(F.col("text"))).alias("rh16")
+        "doc_id",
+        F.coalesce(
+            rolling_hash(normalize_text(F.col("text"))), F.lit(0).cast("bigint")
+        ).alias("rh16"),
     )
 
 
