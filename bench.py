@@ -262,6 +262,12 @@ HEADLINE = [
     "quality_classifier_logit_score",
     # the strip-threshold tuning curve (one runs build, four policies)
     "dup_run_threshold_curve",
+    # round-14 new operators: cross-document line-level boilerplate
+    # dedup (RefinedWeb/CCNet tier) stats + apply, and the C4 rule
+    # filter (one staged scan, Gopher-rules shape)
+    "line_dedup_stats",
+    "line_dedup_apply",
+    "quality_c4_rules",
 ]
 
 #: the memoized-cluster builders and their consumers (see graph.py r10

@@ -1396,6 +1396,174 @@ FROM (
 """
 
 
+# ------------------------------------------------------------------ D85
+#: a line is stripped when it appears in at least this many DISTINCT
+#: documents (cross-document boilerplate; within-doc repeats are
+#: doc_repetition_stats' axis and are deliberately left alone here)
+LINE_DUP_MIN_DOCS = 2
+
+
+def _line_array():
+    """The shared line tokenization of the line-dedup tier (and of
+    doc_repetition_stats, text.py): split on newline, trim, drop empty.
+    NULL text coalesces to '' → zero lines, so the NULL contract is a
+    plain empty emission on both engines."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+            lambda line: F.trim(line),
+        ),
+        lambda line: F.length(line) > 0,
+    )
+
+
+_DUCK_LINES = (
+    "list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),"
+    " l -> trim(l)), l -> length(l) > 0)"
+)
+
+
+def line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line-level duplicate report — the RefinedWeb/CCNet
+    boilerplate tier (Penedo et al. 2023 §3.3 line-wise dedup; Wenzek
+    et al. 2020 §4.1 paragraph-hash dedup): every trimmed non-empty
+    LINE that occurs in ≥ LINE_DUP_MIN_DOCS distinct documents, with
+    its document frequency, total occurrence count, and first holder.
+    This is the report that surfaces the dominant web boilerplate —
+    nav bars, cookie banners, footer blurbs — which whole-doc and
+    span-level dedup both miss (the line repeats across MANY otherwise
+    distinct pages, and is usually shorter than a SPAN_W span policy's
+    qualifying run).
+
+    Scale shape: exactly the dup_span_docs device at line granularity —
+    one explode + a two-level map-side-combinable aggregate on the
+    16-byte md5 line hash (pre-reducing on (line_fp, doc_id) avoids the
+    countDistinct Expand), so the hottest boilerplate line is a cheap
+    skewed KEY, never a skewed task, and the shuffle never carries line
+    text.
+    """
+    docs = _spread(table(spark, sf_dir, "documents"))
+    lines = docs.select(
+        "doc_id", F.explode(_line_array()).alias("line")
+    ).select("doc_id", F.md5("line").alias("line_fp"))
+    per_doc = lines.groupBy("line_fp", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    return (
+        per_doc.groupBy("line_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occur"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= LINE_DUP_MIN_DOCS)
+    )
+
+
+ORACLE["line_dedup_stats"] = f"""
+WITH lns AS (
+    SELECT doc_id, md5(unnest({_DUCK_LINES})) AS line_fp FROM documents
+),
+per_doc AS (
+    SELECT line_fp, doc_id, count(*) AS occ FROM lns GROUP BY 1, 2
+)
+SELECT line_fp,
+       count(*) AS n_docs,
+       CAST(sum(occ) AS BIGINT) AS n_occur,
+       min(doc_id) AS first_doc
+FROM per_doc
+GROUP BY line_fp
+HAVING count(*) >= {LINE_DUP_MIN_DOCS}
+"""
+
+
+def line_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup APPLY step: strip every line whose
+    corpus document-frequency is ≥ LINE_DUP_MIN_DOCS from ALL holders
+    (the RefinedWeb/CCNet boilerplate removal — a cookie banner is
+    noise in every copy, so unlike cluster dedup there is no keeper),
+    emitting per doc the line counts and the cleaned text with
+    surviving lines re-joined by newline. Lines repeated only WITHIN
+    one document are left alone (doc_repetition_stats' axis).
+
+    Scale shape: the dedup_runs_apply device at line granularity — the
+    line arrays are pinned once (Generate re-eval barrier), the
+    duplicated-line set comes from the same two-level map-side
+    aggregate as line_dedup_stats, each doc joins only its own (small)
+    duplicated-fp list, and the strip is a per-doc array filter; text
+    never shuffles except the final join back to the line arrays.
+    """
+    from ..reliability import pin
+
+    docs = _spread(table(spark, sf_dir, "documents"))
+    arr = pin(docs.select("doc_id", _line_array().alias("lines")))
+    pos = arr.select("doc_id", F.explode("lines").alias("line")).select(
+        "doc_id", F.md5("line").alias("fp")
+    )
+    per_doc = pos.groupBy("fp", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (
+        per_doc.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= LINE_DUP_MIN_DOCS)
+        .select("fp")
+    )
+    dfps = (
+        per_doc.join(dup, "fp")
+        .groupBy("doc_id")
+        .agg(F.collect_list("fp").alias("dfps"))
+    )
+    joined = arr.join(dfps, "doc_id", "left").select(
+        "doc_id",
+        "lines",
+        F.coalesce("dfps", F.array().cast("array<string>")).alias("dfps"),
+    )
+    clean = F.filter(
+        F.col("lines"),
+        lambda line: ~F.array_contains(F.col("dfps"), F.md5(line)),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        (F.size("lines") - F.size(clean)).alias("n_removed"),
+        # Spark's array_join of an empty array is '' while DuckDB's
+        # array_to_string is NULL — the oracle coalesces to match (the
+        # span-apply contract; covers fully-boilerplate and NULL docs)
+        F.array_join(clean, "\n").alias("clean_text"),
+    )
+
+
+ORACLE["line_dedup_apply"] = f"""
+WITH base AS (
+    SELECT doc_id, {_DUCK_LINES} AS lines FROM documents
+),
+lns AS (
+    SELECT doc_id, md5(unnest(lines)) AS fp FROM base
+),
+per_doc AS (
+    SELECT fp, doc_id, count(*) AS occ FROM lns GROUP BY 1, 2
+),
+dup AS (
+    SELECT fp FROM per_doc GROUP BY fp
+    HAVING count(*) >= {LINE_DUP_MIN_DOCS}
+),
+dfps AS (
+    SELECT doc_id, list(fp) AS dfps
+    FROM per_doc JOIN dup USING (fp) GROUP BY doc_id
+)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(lines) - len(clean) AS n_removed,
+       coalesce(array_to_string(clean, chr(10)), '') AS clean_text
+FROM (
+    SELECT b.doc_id, b.lines,
+           list_filter(b.lines,
+               l -> NOT list_contains(coalesce(d.dfps, CAST([] AS VARCHAR[])),
+                                      md5(l))) AS clean
+    FROM base b LEFT JOIN dfps d USING (doc_id)
+)
+"""
+
+
 # ------------------------------------------------------------------ D77
 #: (bands, rows) configs swept — all factorizations of NUM_PERM the
 #: production threshold debate is actually between (r=2 permissive,
@@ -1649,6 +1817,8 @@ QUERIES = {
     "dup_run_stats": dup_run_stats,
     "dedup_runs_apply": dedup_runs_apply,
     "dup_run_threshold_curve": dup_run_threshold_curve,
+    "line_dedup_stats": line_dedup_stats,
+    "line_dedup_apply": line_dedup_apply,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
     "dedup_minhash": dedup_minhash,

@@ -439,6 +439,145 @@ FROM (
 """
 
 
+# ----------------------------------------------------------------- D86
+#: stand-in for the published word blocklist C4 filters on (the "List of
+#: Dirty, Naughty, Obscene or Otherwise Bad Words"); the rule mechanics
+#: — lowercase token membership — are what this row proves, and a
+#: deployment swaps in the full list
+C4_BADWORDS = ("porn", "xxx", "nsfw")
+
+
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document C4 rule filter (Raffel et al. 2020 §2.2 — the other
+    published web-corpus rule set beside Gopher's): lines are KEPT only
+    when they end in a terminal punctuation mark (. ! ? or a closing
+    quote), contain ≥ 5 words, and do not contain the word
+    "javascript"; the page passes only when the kept lines carry ≥ 3
+    sentences and the page has no "lorem ipsum", no curly brace, and no
+    blocklisted word. Emits the integer measures, each page-level rule
+    as a boolean, and the conjunction — the same report-not-drop shape
+    as quality_gopher_rules, so a cleaning pipeline filters on pass_c4
+    while the per-rule flags say why a page died.
+
+    Sentences are counted as terminal-punctuation marks ([.!?]) within
+    the kept lines (the C4 heuristic granularity). All measures are
+    integers and all rules integer/boolean comparisons — bit-identical
+    across engines by construction. One scan, no shuffle; the line and
+    token arrays are staged once (the doc_repetition_stats
+    CodegenFallback lesson).
+    """
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "t", F.coalesce(F.col("text"), F.lit(""))
+    )
+    line_arr = F.filter(
+        F.transform(F.split(F.col("t"), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    staged = docs.select(
+        "doc_id",
+        F.col("t"),
+        line_arr.alias("lines"),
+        ws_tokens(F.lower(F.col("t"))).alias("lower_words"),
+    )
+
+    def _keep(l):
+        words_ok = (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: F.length(w) > 0))
+            >= 5
+        )
+        punct_ok = (
+            l.endswith(".") | l.endswith("!") | l.endswith("?")
+            | l.endswith('"')
+        )
+        return punct_ok & words_ok & ~F.lower(l).contains("javascript")
+
+    kept = F.filter(F.col("lines"), _keep)
+    bad = F.array(*[F.lit(w) for w in C4_BADWORDS])
+    base = staged.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.aggregate(
+            kept,
+            F.lit(0).cast("bigint"),
+            lambda acc, l: acc
+            + F.regexp_count(l, F.lit("[.!?]")).cast("bigint"),
+        ).alias("n_sentences"),
+        (~F.col("t").contains("{")).alias("r_no_brace"),
+        (~F.lower(F.col("t")).contains("lorem ipsum")).alias("r_no_lorem"),
+        (
+            F.size(
+                F.filter(bad, lambda w: F.array_contains(F.col("lower_words"), w))
+            )
+            == 0
+        ).alias("r_no_badwords"),
+    )
+    r_sent = F.col("n_sentences") >= 3
+    return base.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        r_sent.alias("r_min_sentences"),
+        "r_no_lorem",
+        "r_no_brace",
+        "r_no_badwords",
+        (
+            r_sent
+            & F.col("r_no_lorem")
+            & F.col("r_no_brace")
+            & F.col("r_no_badwords")
+        ).alias("pass_c4"),
+    )
+
+
+_C4_BADWORDS_SQL = ", ".join(f"'{w}'" for w in C4_BADWORDS)
+_C4_KEEP_SQL = (
+    "(ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')"
+    " OR ends_with(l, '\"'))"
+    " AND len(list_filter(string_split_regex(l, '\\s+'),"
+    " w -> length(w) > 0)) >= 5"
+    " AND NOT contains(lower(l), 'javascript')"
+)
+
+ORACLE["quality_c4_rules"] = f"""
+WITH staged AS (
+    SELECT doc_id, coalesce(text, '') AS t,
+           list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                      l -> trim(l)),
+                       l -> length(l) > 0) AS lines,
+           list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                       w -> length(w) > 0) AS lower_words
+    FROM documents
+),
+kq AS (
+    SELECT doc_id, t, lines, lower_words,
+           list_filter(lines, l -> {_C4_KEEP_SQL}) AS kept
+    FROM staged
+),
+base AS (
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           len(kept) AS n_kept_lines,
+           coalesce(CAST(list_sum(list_transform(kept,
+                l -> len(regexp_extract_all(l, '[.!?]')))) AS BIGINT), 0)
+               AS n_sentences,
+           NOT contains(t, '{{') AS r_no_brace,
+           NOT contains(lower(t), 'lorem ipsum') AS r_no_lorem,
+           len(list_filter([{_C4_BADWORDS_SQL}],
+                           w -> list_contains(lower_words, w))) = 0
+               AS r_no_badwords
+    FROM kq
+)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+       (n_sentences >= 3) AS r_min_sentences,
+       r_no_lorem, r_no_brace, r_no_badwords,
+       (n_sentences >= 3 AND r_no_lorem AND r_no_brace AND r_no_badwords)
+           AS pass_c4
+FROM base
+"""
+
+
 # ----------------------------------------------------------------- D58
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-fertility report per (lang, source): BPE-ish tokens
@@ -1356,6 +1495,7 @@ QUERIES = {
     "doc_entropy": doc_entropy,
     "doc_quality": doc_quality,
     "quality_gopher_rules": quality_gopher_rules,
+    "quality_c4_rules": quality_c4_rules,
     "tokenizer_fertility": tokenizer_fertility,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,

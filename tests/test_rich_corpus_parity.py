@@ -115,6 +115,14 @@ RICH_QUERIES = [
     ("dedup", "dedup_runs_apply"),
     ("dedup", "dup_run_threshold_curve"),
     ("search", "quality_classifier_logit_score"),
+    # r14 additions: cross-document line dedup (planted whole-doc dups
+    # make every line of a duplicated doc df ≥ 2, so the apply path
+    # strips real mass here) and the C4 rule filter (this corpus has no
+    # terminal punctuation — the all-false branch both engines must
+    # agree on; the per-rule branches are pinned by test_r14_ops.py)
+    ("dedup", "line_dedup_stats"),
+    ("dedup", "line_dedup_apply"),
+    ("text", "quality_c4_rules"),
 ]
 
 
