@@ -161,6 +161,20 @@ _REPROVE_SINCE: dict[str, int] = {
     "langid_confusion": 13,
     "doc_rolling_fingerprint": 13,
     "minhash_est_error": 13,
+    # r14 (ADVICE_r13): dup_run_threshold_curve's 4-row threshold frame
+    # is now the true broadcast BUILD side (inner NLJ + left join-back
+    # for zero-count thresholds) — values identical, plan changed
+    "dup_run_threshold_curve": 14,
+    # r14 (ADVICE_r13): the logit oracle keeps the per-feature gradient
+    # in DECIMAL(38,0) through the weight update (HUGEINT truncating
+    # division, narrowed after the divide) — values identical at every
+    # gate SF, oracle text changed; the score row embeds the fit CTEs
+    "quality_classifier_logit": 14,
+    "quality_classifier_logit_score": 14,
+    # r14 (ADVICE_r13): minhash_band_curve fails loudly when
+    # GRAPEFRUIT_BAND_CURVE_SAMPLE changed after import — values
+    # identical, guard path added
+    "minhash_band_curve": 14,
 }
 
 

@@ -1259,8 +1259,14 @@ def dup_run_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     are DISJOINT intervals, tokens_stripped is exactly Σ run_len over
     qualifying runs — the curve a deployment reads before pinning the
     dedup_runs_apply threshold (Lee et al. use 50; the sweep brackets
-    it). ONE runs build feeds all four thresholds via a broadcast
-    threshold join; zero extra corpus passes.
+    it). ONE runs build feeds all four thresholds; zero extra corpus
+    passes. The 4-row threshold frame is the BUILD side of an inner
+    nested-loop join against the streamed runs, then left-joins back
+    onto the aggregate to reattach zero-count thresholds — ADVICE_r13:
+    the former broadcast-hinted LEFT-OUTER put thr on the outer side,
+    which Spark cannot build, so the BNLJ silently broadcast the
+    SCALING runs relation instead; this shape keeps the 4-row frame
+    the broadcast side at any corpus size.
     """
     from ..reliability import pin
 
@@ -1279,18 +1285,25 @@ def dup_run_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t,) for t in RUN_CURVE_THRESHOLDS], schema="min_run_tokens int"
     )
     per_doc = (
-        F.broadcast(thr)
-        .join(runs, runs.run_len >= F.col("min_run_tokens"), "left")
+        runs.join(F.broadcast(thr), runs.run_len >= F.col("min_run_tokens"))
         .groupBy("min_run_tokens", "doc_id")
         .agg(
             F.count("run_len").alias("n_runs_doc"),
             F.sum("run_len").alias("tok_doc"),
         )
     )
-    return per_doc.groupBy("min_run_tokens").agg(
-        F.sum("n_runs_doc").cast("bigint").alias("n_runs"),
-        F.count(F.col("doc_id")).cast("bigint").alias("n_docs"),
-        F.coalesce(F.sum("tok_doc"), F.lit(0)).cast("bigint").alias("tokens_stripped"),
+    agg = per_doc.groupBy("min_run_tokens").agg(
+        F.sum("n_runs_doc").alias("n_runs"),
+        F.count(F.col("doc_id")).alias("n_docs"),
+        F.sum("tok_doc").alias("tokens_stripped"),
+    )
+    return thr.join(agg, "min_run_tokens", "left").select(
+        "min_run_tokens",
+        F.coalesce("n_runs", F.lit(0)).cast("bigint").alias("n_runs"),
+        F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce("tokens_stripped", F.lit(0))
+        .cast("bigint")
+        .alias("tokens_stripped"),
     )
 
 
@@ -1628,10 +1641,21 @@ def minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import and mirrored into the registered ORACLE (ADVICE_r12: a
     Spark-only filter would make any parity/hash run under the env var
     report engine divergence that is actually sampling), so the pair
-    stays hash-comparable at every setting.
+    stays hash-comparable at every setting. A post-import change to the
+    env var therefore CANNOT take effect — the call-time guard below
+    fails loudly instead of silently sweeping the frozen fraction
+    (ADVICE_r13).
     """
     from pyspark.storagelevel import StorageLevel
 
+    live = _band_curve_frac()
+    if live != _BAND_CURVE_FRAC:
+        raise RuntimeError(
+            "GRAPEFRUIT_BAND_CURVE_SAMPLE changed after import "
+            f"({_BAND_CURVE_FRAC} frozen vs {live} now); the oracle was "
+            "registered with the import-time value — set the env var "
+            "before importing grapefruit_spark.operators.dedup"
+        )
     docs = table(spark, sf_dir, "documents")
     if _BAND_CURVE_FRAC < 1.0:
         gate = F.conv(

@@ -1429,6 +1429,15 @@ def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the (doc, feat) code table (bounded by corpus
     size, never feats²); the weight table (65 rows) broadcasts; the
     driver folds a 65-row gradient per step.
+
+    Integer ranges at ANY corpus size (ADVICE_r13): the gradient
+    Σ code·d can reach 1024·10¹²·n_docs — Spark folds it as DECIMAL
+    (38,0) into an unbounded Python int, and the oracle keeps it
+    DECIMAL(38,0) through the update (narrowing only the per-step
+    quotient, ≤ 5·10¹¹ independent of n). The per-doc logit z_num IS
+    bigint-bounded corpus-independently: each step moves a weight by
+    ≤ 5·10¹¹, so |w| ≤ LOGIT_ITERS·5·10¹¹ = 8·10¹² and |z_num| ≤
+    65·1024·|w| ≈ 5·10¹⁷ — 18× inside int64 regardless of n_docs.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1590,15 +1599,22 @@ d{t} AS (
     FROM z{t}
 ),
 g{t} AS (
+    -- the gradient stays DECIMAL(38,0): |g| can reach 1024·10¹²·n_docs,
+    -- past int64 at n ≳ 9·10³ docs on a hot feature (ADVICE_r13) — the
+    -- narrowing happens AFTER the division, where the quotient is the
+    -- corpus-size-free per-step update (≤ 5·10¹¹)
     SELECT c.feat,
-           CAST(sum(CAST(c.code * d.d AS DECIMAL(38,0))) AS BIGINT) AS g
+           sum(CAST(c.code * d.d AS DECIMAL(38,0))) AS g
     FROM codesq c JOIN d{t} d USING (doc_id)
     GROUP BY 1
 ),
 lw{t + 1} AS (
+    -- HUGEINT // is truncate-toward-zero like Spark's div (verified:
+    -- -7::HUGEINT // 2 = -3); never escapes — the update casts back
     SELECT w.feat,
-           w.w - (coalesce(g.g, CAST(0 AS BIGINT)) // (2 * {QC_SCALE} * nd.n))
-               - (w.w // 2000) AS w
+           CAST(w.w - (CAST(coalesce(g.g, 0) AS HUGEINT)
+                       // (2 * {QC_SCALE} * nd.n))
+                    - (w.w // 2000) AS BIGINT) AS w
     FROM lw{t} w LEFT JOIN g{t} g USING (feat) CROSS JOIN ndq nd
 )"""
         )

@@ -160,3 +160,59 @@ def test_c4_rules_oracle_and_one_doc_per_rule(spark, c4_dir):
     # exactly one page passes per positive branch; every rule fails
     # somewhere in the corpus
     assert sum(v["pass_c4"] for v in r.values()) == 2
+
+
+# --------------------------------------------------------- ADVICE_r13
+
+
+def test_threshold_curve_broadcasts_the_4row_side(spark):
+    """ADVICE_r13: the former broadcast-hinted LEFT-outer join could not
+    build its outer (thr) side, so the BNLJ silently broadcast the
+    SCALING runs relation. Pin the fixed shape: the non-equi join is
+    INNER with BuildRight = the 4-row threshold frame."""
+    from grapefruit_spark.operators import dedup
+
+    plan = (
+        dedup.dup_run_threshold_curve(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert len(bnlj) == 1
+    assert "BuildRight, Inner" in bnlj[0], bnlj[0]
+
+
+def test_band_curve_env_change_fails_loudly(spark):
+    """ADVICE_r13: GRAPEFRUIT_BAND_CURVE_SAMPLE is frozen at import (the
+    oracle embeds it); setting it afterwards must raise, not silently
+    sweep the frozen fraction."""
+    from grapefruit_spark.operators import dedup
+
+    assert os.environ.get("GRAPEFRUIT_BAND_CURVE_SAMPLE") is None
+    os.environ["GRAPEFRUIT_BAND_CURVE_SAMPLE"] = "0.5"
+    try:
+        with pytest.raises(RuntimeError, match="changed after import"):
+            dedup.minhash_band_curve(spark, "/root/testdata/sf0.001")
+    finally:
+        os.environ.pop("GRAPEFRUIT_BAND_CURVE_SAMPLE", None)
+
+
+def test_logit_gradient_survives_int64_scale(spark, tmp_path):
+    """ADVICE_r13: the logit oracle's per-feature gradient used to be
+    CAST AS BIGINT — on a hot feature |g| = 1024·10¹²·n_docs passes
+    int64 at n ≳ 9·10³ docs and DuckDB raised a cast error. 20k
+    identical docs put the bias gradient at 20000·1024·5·10¹¹ ≈
+    1.02·10¹⁹ > 2⁶³ on the very first step; the DECIMAL(38,0)-held
+    gradient (narrowed only after the division) must stay hash-green.
+    """
+    from grapefruit_spark.operators import search
+
+    n = 20_000
+    d = _docs_dir(tmp_path, [(i, "a b") for i in range(n)])
+    assert n * 1024 * (10**12 // 2) > 2**63  # the planted overflow
+    assert_matches_oracle(
+        search.QUERIES["quality_classifier_logit"](spark, d),
+        _duck_for(d),
+        search.ORACLE["quality_classifier_logit"],
+    )
