@@ -175,6 +175,13 @@ _REPROVE_SINCE: dict[str, int] = {
     # GRAPEFRUIT_BAND_CURVE_SAMPLE changed after import — values
     # identical, guard path added
     "minhash_band_curve": 14,
+    # r14 (VERDICT_r13 #5): pii_redact extended with SSN/IPv4/IPv6 and
+    # Luhn-verified credit-card masking (new count columns + the CC
+    # replace fold); ingest_pipeline_sim's redaction stage now runs the
+    # full chain on both engines (identical on PII-free gate corpora,
+    # emission text changed)
+    "pii_redact": 14,
+    "ingest_pipeline_sim": 14,
 }
 
 

@@ -217,44 +217,178 @@ def write_shards(spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int =
 # ------------------------------------------------------------------ D18
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE_RE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+#: r14 classes (VERDICT_r13 #5). Shape-matchers in the RE2 ∩ Java
+#: common dialect (no backrefs, no lookaround): SSN 3-2-4, dotted-quad
+#: IPv4 (octet-shape, not range-validated — documented), full-form
+#: IPv6 (compressed :: forms need backtracking both dialects lack), and
+#: credit-card candidates as 4-4-4-{1..4} separated groups or a plain
+#: 13-19 digit run — candidates then pass integer Luhn verification
+#: before masking, so fake non-Luhn numbers flow through unmasked.
+_SSN_RE = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+_IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_IPV6_RE = "\\b(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}\\b"
+_CC_RE = "\\b(?:[0-9]{4}[- ]){3}[0-9]{1,4}\\b|\\b[0-9]{13,19}\\b"
+
+#: masking order, applied identically on both engines; CC candidates
+#: are extracted AFTER the five regex masks so a digit run that is part
+#: of an email/phone/SSN/IP counts once, under its own class
+_REGEX_MASKS = (
+    (_EMAIL_RE, "<EMAIL>"),
+    (_PHONE_RE, "<PHONE>"),
+    (_SSN_RE, "<SSN>"),
+    (_IPV4_RE, "<IPV4>"),
+    (_IPV6_RE, "<IPV6>"),
+)
+
+
+def _luhn_ok(cand):
+    """Integer Luhn checksum of a candidate Column (separators
+    stripped): from the rightmost digit, every second digit doubles
+    (−9 when ≥ 10), total ≡ 0 (mod 10). Pure integer expression —
+    the DuckDB mirror (_duck_luhn) runs the identical arithmetic."""
+    d = F.reverse(F.regexp_replace(cand, "[^0-9]", ""))
+    chars = F.split(d, "")
+
+    def term(i):
+        v = F.element_at(chars, i).cast("int")
+        return F.when(
+            i % 2 == 0, v * 2 - F.when(v >= 5, 9).otherwise(0)
+        ).otherwise(v)
+
+    tot = F.aggregate(
+        F.sequence(F.lit(1), F.length(d)),
+        F.lit(0),
+        lambda acc, i: acc + term(i),
+    )
+    return tot % 10 == 0
+
+
+def _masked5(c):
+    out = c
+    for pat, tag in _REGEX_MASKS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
 
 
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub: mask emails/phone-shaped strings, report match counts.
+    """PII scrub: mask emails, phone numbers, SSNs, IPv4/IPv6
+    addresses, and LUHN-VERIFIED credit-card numbers; report per-class
+    match counts (n_cc_like counts card-shaped candidates, n_cc only
+    the Luhn-valid ones that actually mask).
 
-    Narrow map, JVM regex (no Python UDF). The synthetic corpus carries
-    no PII, so the oracle run verifies exact pass-through + zero counts;
-    tests/test_datapipe.py plants PII in an in-memory frame to verify
-    the masking itself.
+    Narrow map, JVM regex + integer higher-order Luhn (no Python UDF
+    anywhere). The synthetic corpus carries no PII, so the oracle run
+    verifies exact pass-through + zero counts; tests/test_datapipe.py
+    plants every class — including a non-Luhn card shape that must
+    flow through unmasked on BOTH engines.
     """
     docs = table(spark, sf_dir, "documents")
     return redact_text(docs).select(
-        "doc_id", "n_email", "n_phone", F.md5("clean_text").alias("clean_md5")
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ssn",
+        "n_ipv4",
+        "n_ipv6",
+        "n_cc_like",
+        "n_cc",
+        F.md5("clean_text").alias("clean_md5"),
     )
 
 
 def redact_text(docs: DataFrame, col: str = "text") -> DataFrame:
-    """Reusable redaction transform over any frame with a text column."""
+    """Reusable redaction transform over any frame with a text column.
+
+    Regex classes mask unconditionally; credit-card candidates are
+    extracted from the already-masked text, Luhn-verified with integer
+    arithmetic, and the valid ones removed by a literal-replace fold
+    (F.aggregate) — value-dependent masking a single regexp_replace
+    cannot express."""
     c = F.col(col)
+    masked = _masked5(c)
+    cands = F.regexp_extract_all(masked, F.lit(_CC_RE), 0)
+    valid = F.filter(cands, _luhn_ok)
+    out = docs
+    for name, pat in (
+        ("n_email", _EMAIL_RE),
+        ("n_phone", _PHONE_RE),
+        ("n_ssn", _SSN_RE),
+        ("n_ipv4", _IPV4_RE),
+        ("n_ipv6", _IPV6_RE),
+    ):
+        out = out.withColumn(name, F.regexp_count(c, F.lit(pat)))
     return (
-        docs.withColumn("n_email", F.regexp_count(c, F.lit(_EMAIL_RE)))
-        .withColumn("n_phone", F.regexp_count(c, F.lit(_PHONE_RE)))
+        out.withColumn("n_cc_like", F.size(cands))
+        .withColumn("n_cc", F.size(valid))
         .withColumn(
             "clean_text",
-            F.regexp_replace(
-                F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+            F.aggregate(
+                valid,
+                masked,
+                lambda acc, cc: F.replace(acc, cc, F.lit("<CC>")),
             ),
         )
     )
 
 
+def _duck_luhn(cand: str) -> str:
+    """DuckDB mirror of _luhn_ok over a candidate SQL expression."""
+    rev = f"reverse(regexp_replace({cand}, '[^0-9]', '', 'g'))"
+    v = f"CAST(substring({rev}, i, 1) AS INT)"
+    return (
+        f"(list_sum(list_transform(range(1, length({rev}) + 1), "
+        f"i -> CASE WHEN i % 2 = 0 THEN 2*{v} - "
+        f"CASE WHEN {v} >= 5 THEN 9 ELSE 0 END ELSE {v} END)) % 10 = 0)"
+    )
+
+
+def redact_sql(col: str) -> str:
+    """The full redaction chain as one DuckDB expression over ``col`` —
+    shared by pii_redact's oracle and the ingest-pipeline oracle so the
+    two engines' clean text can never drift apart."""
+    masked = col
+    for pat, tag in _REGEX_MASKS:
+        masked = f"regexp_replace({masked}, '{pat}', '{tag}', 'g')"
+    valid = (
+        f"list_filter(regexp_extract_all({masked}, '{_CC_RE}'), "
+        f"cand -> {_duck_luhn('cand')})"
+    )
+    return (
+        f"list_reduce(list_prepend({masked}, {valid}), "
+        f"(acc, cc) -> replace(acc, cc, '<CC>'))"
+    )
+
+
+def _masked5_sql(col: str) -> str:
+    masked = col
+    for pat, tag in _REGEX_MASKS:
+        masked = f"regexp_replace({masked}, '{pat}', '{tag}', 'g')"
+    return masked
+
+
 ORACLE["pii_redact"] = f"""
+WITH m AS (
+    SELECT doc_id, text, {_masked5_sql("text")} AS masked FROM documents
+),
+cc AS (
+    SELECT doc_id,
+           regexp_extract_all(masked, '{_CC_RE}') AS cands,
+           list_filter(regexp_extract_all(masked, '{_CC_RE}'),
+                       cand -> {_duck_luhn("cand")}) AS valid,
+           masked, text
+    FROM m
+)
 SELECT doc_id,
        len(regexp_extract_all(text, '{_EMAIL_RE}'))::INT AS n_email,
        len(regexp_extract_all(text, '{_PHONE_RE}'))::INT AS n_phone,
-       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
-FROM documents
+       len(regexp_extract_all(text, '{_SSN_RE}'))::INT AS n_ssn,
+       len(regexp_extract_all(text, '{_IPV4_RE}'))::INT AS n_ipv4,
+       len(regexp_extract_all(text, '{_IPV6_RE}'))::INT AS n_ipv6,
+       len(cands)::INT AS n_cc_like,
+       len(valid)::INT AS n_cc,
+       md5(list_reduce(list_prepend(masked, valid),
+                       (acc, cc) -> replace(acc, cc, '<CC>'))) AS clean_md5
+FROM cc
 """
 
 

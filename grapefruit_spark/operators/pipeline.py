@@ -461,7 +461,7 @@ def _ingest_pipeline_sim_oracle() -> str:
     est ≥ τ vs prior ADMITTED docs, and vs lower-id docs of the same
     batch). Feasible because the signature family is the SQL-portable
     md5_hash60 (see dedup._minhash_sig_ctes)."""
-    from .datapipe import _EMAIL_RE, _PHONE_RE
+    from .datapipe import redact_sql
     from .dedup import (
         _EST_SQL,
         MINHASH_TAU,
@@ -486,9 +486,10 @@ WITH q AS (
                           t -> length(t) > 0)) >= 5
 ),
 red AS (
+    -- the FULL redact_text chain (datapipe.redact_sql mirrors it —
+    -- r14: email/phone/ssn/ip4/ip6 masks + the Luhn-verified CC fold)
     SELECT doc_id, doc_id % 2 AS par,
-           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{_PHONE_RE}', '<PHONE>', 'g') AS text
+           {redact_sql("text")} AS text
     FROM q
 ),
 fp AS (

@@ -22,6 +22,12 @@ def test_redaction_masks_planted_pii(spark):
             (1, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
             (2, "no pii here"),
             (3, "two mails a@b.io c@d.org and 111.222.3333"),
+            # r14 classes (VERDICT_r13 #5)
+            (4, "ssn 123-45-6789 ip 192.168.0.1 rest stays"),
+            (5, "v6 2001:0db8:85a3:0000:0000:8a2e:0370:7334 here"),
+            (6, "card 4539 1488 0343 6467 is valid"),  # Luhn-valid
+            (7, "card 4539 1488 0343 6468 is fake"),  # fails Luhn → kept
+            (8, "plain 4111111111111111 run"),  # 16-digit Luhn-valid
         ],
         "doc_id long, text string",
     )
@@ -31,6 +37,18 @@ def test_redaction_masks_planted_pii(spark):
     assert rows[2]["clean_text"] == "no pii here"
     assert rows[3]["n_email"] == 2 and rows[3]["n_phone"] == 1
     assert "<EMAIL> <EMAIL>" in rows[3]["clean_text"]
+    assert rows[4]["n_ssn"] == 1 and rows[4]["n_ipv4"] == 1
+    assert rows[4]["clean_text"] == "ssn <SSN> ip <IPV4> rest stays"
+    assert rows[5]["n_ipv6"] == 1
+    assert rows[5]["clean_text"] == "v6 <IPV6> here"
+    assert rows[6]["n_cc_like"] == 1 and rows[6]["n_cc"] == 1
+    assert rows[6]["clean_text"] == "card <CC> is valid"
+    # the Luhn gate: a card-SHAPED but checksum-invalid number must
+    # flow through unmasked (and count only as a candidate)
+    assert rows[7]["n_cc_like"] == 1 and rows[7]["n_cc"] == 0
+    assert rows[7]["clean_text"] == "card 4539 1488 0343 6468 is fake"
+    assert rows[8]["n_cc"] == 1
+    assert rows[8]["clean_text"] == "plain <CC> run"
 
 
 def test_split_deterministic_and_disjoint(spark):

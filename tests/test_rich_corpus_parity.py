@@ -123,6 +123,10 @@ RICH_QUERIES = [
     ("dedup", "line_dedup_stats"),
     ("dedup", "line_dedup_apply"),
     ("text", "quality_c4_rules"),
+    # r14: the extended PII scrub (email/phone/ssn/ip/Luhn-CC) — was
+    # never in the rich/NULL gates; the NULL-text contract (all-NULL
+    # emission on both engines) is now pinned here
+    ("datapipe", "pii_redact"),
 ]
 
 
