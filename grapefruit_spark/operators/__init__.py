@@ -182,6 +182,11 @@ _REPROVE_SINCE: dict[str, int] = {
     # emission text changed)
     "pii_redact": 14,
     "ingest_pipeline_sim": 14,
+    # r14 (VERDICT_r13 #4): embedding_pca_project emits the exact
+    # (num div n, num % n) pair with the wide numerator folded through
+    # DECIMAL(38,0) on both engines — corpus-size-free columns replace
+    # the ~3·10⁷-vector bigint ceiling; emission schema changed
+    "embedding_pca_project": 14,
 }
 
 

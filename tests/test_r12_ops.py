@@ -281,17 +281,24 @@ def test_embedding_pca_project_matches_python_integers(spark):
     codes = np.floor(mat * COV_CODE_SCALE + 0.5).astype(object)  # exact ints
     n = len(rows)
     s = codes.sum(axis=0)
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
     expect = {}
     for (vid, _), c in zip(rows, codes):
-        expect[vid] = {
-            comp: int(sum((c[d - 1] * n - s[d - 1]) * w for d, w in ws.items()))
-            for comp, ws in loads.items()
-        }
+        expect[vid] = {}
+        for comp, ws in loads.items():
+            num = int(sum((c[d - 1] * n - s[d - 1]) * w for d, w in ws.items()))
+            q = trunc_div(num, n)
+            expect[vid][comp] = (q, num - q * n)
     got = embedding_pca_project(spark, SF_DIR).collect()
     assert len(got) == n
     for r in got:
         for comp in loads:
-            assert r[f"proj_num_{comp}"] == expect[r["vec_id"]][comp]
+            assert (
+                r[f"proj_q_{comp}"], r[f"proj_r_{comp}"]
+            ) == expect[r["vec_id"]][comp]
 
 
 def test_bpe_encode_stats_consistent_with_merge_table(spark):

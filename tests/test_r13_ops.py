@@ -211,7 +211,9 @@ def test_opq_rotated_frame_is_exact_integer_projection(spark):
     assert set(rot) == set(proj)
     for vid, ys in rot.items():
         for c, y in enumerate(ys):
-            assert y == proj[vid][f"proj_num_{c}"] / denom
+            # num reconstructs bit-exactly from the r14 (q, r) emission
+            num = proj[vid][f"proj_q_{c}"] * n_vecs + proj[vid][f"proj_r_{c}"]
+            assert y == num / denom
 
 
 # ------------------------------------------------------- snapshot sim

@@ -198,6 +198,62 @@ def test_band_curve_env_change_fails_loudly(spark):
         os.environ.pop("GRAPEFRUIT_BAND_CURVE_SAMPLE", None)
 
 
+def test_pca_project_full_range_emission(spark, tmp_path):
+    """VERDICT_r13 #4: embedding_pca_project's former single-bigint
+    numerator died at num ≈ 2.6e11·n (n ≳ 3·10⁷ unit vectors). The r14
+    emission is the exact division pair (num div n, num % n): proj_q is
+    bounded by the DATA magnitude alone and proj_r < n, so no emitted
+    quantity grows with corpus size, and the wide numerator folds
+    through DECIMAL(38,0) on both engines.
+
+    Reachability note (derived r14): the OLD int64 ceiling could never
+    actually fire through this call chain — num ~ 10⁶·n·Σ|c−μ| while
+    embedding_covariance's diagonal emits n·Σc² ≥ (nδ)²/n·... ≈ (num/
+    (64·10⁶))², so any corpus pushing num past 2⁶³ overflows the
+    upstream covariance row (its documented gate bound) first. The
+    planted corpus therefore drives num past 2⁵³ (exact-float64 — the
+    regime where a float fold would silently round, ~5 orders past the
+    gate SFs) and proves the decimal path bit-exact there.
+    """
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from grapefruit_spark.operators import similarity
+
+    rng = random.Random(7)
+    n = 1500
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [[rng.uniform(-750, 750) for _ in range(8)] for _ in range(n)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    assert_matches_oracle(
+        similarity.QUERIES["embedding_pca_project"](spark, d),
+        con,
+        similarity.ORACLE["embedding_pca_project"],
+    )
+    rows = similarity.QUERIES["embedding_pca_project"](spark, d).collect()
+    mx = max(
+        abs(r[f"proj_q_{c}"] * n + r[f"proj_r_{c}"])
+        for r in rows
+        for c in range(4)
+    )
+    assert mx > 2**53  # the numerator really left exact-float64 range
+    assert all(abs(r[f"proj_r_{c}"]) < n for r in rows for c in range(4))
+
+
 def test_logit_gradient_survives_int64_scale(spark, tmp_path):
     """ADVICE_r13: the logit oracle's per-feature gradient used to be
     CAST AS BIGINT — on a hot feature |g| = 1024·10¹²·n_docs passes
