@@ -282,6 +282,24 @@ CLUSTER_FAMILY = [
     "split_leakage_safe",
 ]
 
+#: r14 fit/baseline memo families (operators/_memo.py): builders first,
+#: then the rows that consume the shared artifact under the memo —
+#: disclosure field in the JSON record, mirroring CLUSTER_FAMILY
+FIT_FAMILY = [
+    "knn_bruteforce",
+    "knn_recall_eval",
+    "knn_ivf_recall_eval",
+    "knn_sq_recall_eval",
+    "knn_ivfsq_recall_eval",
+    "knn_pq_recall_eval",
+    "knn_opq_recall_eval",
+    "knn_probe_curve",
+    "quality_classifier_fit",
+    "quality_classifier_score",
+    "quality_classifier_logit",
+    "quality_classifier_logit_score",
+]
+
 
 #: refuse to start timed runs while 1-min loadavg exceeds ncpu/QUIET_DIV —
 #: r6's "1.13× regression" and r7's two gate-missing records were all
@@ -393,7 +411,24 @@ def main() -> None:
         os.environ["GRAPEFRUIT_CLUSTER_MEMO"] = "1"
     else:
         os.environ.pop("GRAPEFRUIT_CLUSTER_MEMO", None)
-    memo_builders = {"dedup_clusters", "jaccard_clusters"} if memo_on else set()
+    # r14 (VERDICT_r13 #3): the memo now also covers the exact ANN
+    # baseline (knn_bruteforce feeds the six recall rows + probe curve)
+    # and the two classifier weight tables (their score rows re-derive
+    # the fit). BUILDER rows keep timing the full from-scratch build
+    # (their timed runs bypass the memo, exactly like the CC builders);
+    # consumer rows then measure marginal cost over the shared artifact
+    # — the one-artifact-many-consumers shape a production pipeline runs.
+    memo_builders = (
+        {
+            "dedup_clusters",
+            "jaccard_clusters",
+            "knn_bruteforce",
+            "quality_classifier_fit",
+            "quality_classifier_logit",
+        }
+        if memo_on
+        else set()
+    )
     spark = get_spark("grapefruit-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -525,6 +560,14 @@ def main() -> None:
         "cluster_memo": memo_on,
         "cluster_family_total": round(
             sum(timings[n] for n in CLUSTER_FAMILY if n in timings), 3
+        ),
+        # r14: the fit/baseline memo families (consumer rows are
+        # marginal-cost when true — like the cluster consumers, their
+        # round-over-round deltas vs pre-r14 records include the memo
+        # win; builder rows still track the from-scratch build)
+        "fit_memo": memo_on,
+        "fit_family_total": round(
+            sum(timings[n] for n in FIT_FAMILY if n in timings), 3
         ),
     }
     prev = _common_prev_summary(timings, sf, memo_on)

@@ -31,63 +31,32 @@ MAX_ITERS = 10
 # recomputes the pair graph + iterative CC so the driver's correctness
 # gate stays a from-scratch proof. A real pipeline computes the cluster
 # map ONCE per corpus snapshot and fans it out to every consumer, so
-# bench / pipeline runs opt in via GRAPEFRUIT_CLUSTER_MEMO=1: the first
-# build per (applicationId, sf_dir, builder) is re-pinned into its own
-# self-contained checkpoint blocks and every later consumer scans those
-# blocks instead of recomputing. Keyed by applicationId so a restarted
-# session can never read a stale frame; results are bit-identical either
-# way (the memo only skips recomputation of a deterministic frame).
-_CLUSTER_MEMO: dict[tuple[str, str, str], DataFrame] = {}
-
-
-def _memo_enabled() -> bool:
-    return os.environ.get("GRAPEFRUIT_CLUSTER_MEMO") == "1"
+# bench / pipeline runs opt in via GRAPEFRUIT_CLUSTER_MEMO=1.
+# r14: the machinery generalized into operators/_memo.py (VERDICT_r13
+# #3 — the classifier fits and the exact ANN baseline now share it);
+# these wrappers keep the established graph-side API.
+from ._memo import memoized_frame as _memoized_frame
+from ._memo import clear_memo as _clear_memo
+from ._memo import memo_rdd_ids as _memo_rdd_ids
 
 
 def _memoized_clusters(spark: SparkSession, sf_dir: str, kind: str, build):
-    if not _memo_enabled():
-        return build()
-    app = spark.sparkContext.applicationId
-    # evict entries from earlier sessions in this process: their pinned
-    # frames reference stopped SparkContexts and would otherwise
-    # accumulate for the process lifetime (ADVICE r10); unpin is a
-    # guarded no-op when the old context is already gone
-    for stale in [k for k in _CLUSTER_MEMO if k[0] != app]:
-        try:
-            unpin(_CLUSTER_MEMO[stale])
-        except Exception:  # noqa: BLE001 — context may already be stopped
-            pass
-        del _CLUSTER_MEMO[stale]
-    key = (app, os.path.abspath(sf_dir), kind)
-    if key not in _CLUSTER_MEMO:
-        # re-pin the final frame: its blocks are then independent of the
-        # CC loop's intermediate pins, which periodic cleanups (bench's
-        # per-query unpersist sweep) are free to drop
-        _CLUSTER_MEMO[key] = pin(build())
-    return _CLUSTER_MEMO[key]
+    return _memoized_frame(spark, sf_dir, kind, build)
 
 
 def cluster_memo_rdd_ids(spark: SparkSession) -> set[int]:
-    """RDD ids backing live memoized cluster frames for THIS session —
-    a block-storage sweep (bench.py's per-query cleanup) must spare
-    these, because a localCheckpointed frame whose blocks are dropped
-    cannot recompute (its lineage is truncated by design)."""
-    app = spark.sparkContext.applicationId
-    return {
-        rid
-        for (a, _, _), df in _CLUSTER_MEMO.items()
-        if a == app and (rid := getattr(df, "_pin_rdd_id", None)) is not None
-    }
+    """RDD ids backing live memoized frames for THIS session (cluster
+    frames AND the r14 additions) — a block-storage sweep (bench.py's
+    per-query cleanup) must spare these, because a localCheckpointed
+    frame whose blocks are dropped cannot recompute (its lineage is
+    truncated by design)."""
+    return _memo_rdd_ids(spark)
 
 
 def clear_cluster_memo() -> None:
-    """Release every memoized cluster frame's storage and empty the memo."""
-    for df in _CLUSTER_MEMO.values():
-        try:
-            unpin(df)
-        except Exception:  # noqa: BLE001 — context may already be stopped
-            pass
-    _CLUSTER_MEMO.clear()
+    """Release every memoized frame's storage and empty the session
+    memo (all kinds)."""
+    _clear_memo()
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -107,3 +107,58 @@ def test_clear_cluster_memo_releases_everything(spark):
     finally:
         os.environ.pop("GRAPEFRUIT_CLUSTER_MEMO", None)
         graph.clear_cluster_memo()
+
+
+# ------------------------------------------------------- r14 fit memo
+
+
+def test_fit_memo_off_by_default_and_matches_scratch(spark):
+    """VERDICT_r13 #3: the classifier weight tables and the exact ANN
+    baseline share the session memo — OFF by default, bit-identical
+    values when on."""
+    from grapefruit_spark.operators import _memo, search, similarity
+
+    os.environ.pop("GRAPEFRUIT_CLUSTER_MEMO", None)
+    _memo.clear_memo()
+    scratch_fit = _rows(search.quality_classifier_fit(spark, SF_DIR))
+    scratch_knn = _rows(similarity.knn_bruteforce(spark, SF_DIR))
+    a = similarity.knn_bruteforce(spark, SF_DIR)
+    b = similarity.knn_bruteforce(spark, SF_DIR)
+    assert a is not b, "memo must not engage without the env opt-in"
+    assert not _memo._ROWS and not _memo._FRAMES
+    os.environ["GRAPEFRUIT_CLUSTER_MEMO"] = "1"
+    try:
+        assert _rows(search.quality_classifier_fit(spark, SF_DIR)) == scratch_fit
+        keys = {k[2] for k in _memo._ROWS}
+        assert "qc_ridge_fit" in keys
+        # the score row rides the memoized weights and still matches
+        # its own from-scratch emission (values are memo-invariant)
+        f1 = similarity.knn_bruteforce(spark, SF_DIR)
+        f2 = similarity.knn_bruteforce(spark, SF_DIR)
+        assert f1 is f2, "second call must return the memoized frame"
+        assert _rows(f1) == scratch_knn
+        assert _memo.memo_rdd_ids(spark)
+    finally:
+        os.environ.pop("GRAPEFRUIT_CLUSTER_MEMO", None)
+        _memo.clear_memo()
+
+
+def test_fit_memo_consumers_match_scratch_after_sweep(spark):
+    """Recall-eval and classifier-score rows riding the memo return the
+    from-scratch rows even after a bench-style block sweep."""
+    from grapefruit_spark.operators import _memo, search, similarity
+
+    os.environ.pop("GRAPEFRUIT_CLUSTER_MEMO", None)
+    _memo.clear_memo()
+    scratch_recall = _rows(similarity.knn_recall_eval(spark, SF_DIR))
+    scratch_score = _rows(search.quality_classifier_score(spark, SF_DIR))
+    os.environ["GRAPEFRUIT_CLUSTER_MEMO"] = "1"
+    try:
+        similarity.knn_bruteforce(spark, SF_DIR)  # builders populate
+        search.quality_classifier_fit(spark, SF_DIR)
+        _sweep_blocks_except(spark, _memo.memo_rdd_ids(spark))
+        assert _rows(similarity.knn_recall_eval(spark, SF_DIR)) == scratch_recall
+        assert _rows(search.quality_classifier_score(spark, SF_DIR)) == scratch_score
+    finally:
+        os.environ.pop("GRAPEFRUIT_CLUSTER_MEMO", None)
+        _memo.clear_memo()
