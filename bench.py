@@ -268,7 +268,87 @@ HEADLINE = [
     "line_dedup_stats",
     "line_dedup_apply",
     "quality_c4_rules",
+    # round-14 (VERDICT_r13 #7): bench coverage extended to the FULL
+    # registry minus the pinned EXCLUDED sims below — 'the untracked 62
+    # are mostly sub-second' was an assumption; now every non-sim row
+    # is measured so no future hotspot hides untracked. Grouped by
+    # family, mostly sub-second rows.
+    # -- TPC-H remainder
+    "q4_order_priority",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_ship_lateness",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_types",
+    "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+    "q20_promotion_suppliers",
+    "q22_inactive_customers",
+    # -- relational/analytics remainder
+    "rollup_sales",
+    "pivot_status",
+    "distinct_agg",
+    "distinct_approx",
+    "customers_without_orders",
+    "order_gap_days",
+    "order_value_quartiles",
+    "customer_rfm",
+    "segment_set_ops",
+    "sql_revenue_by_nation",
+    # -- events remainder
+    "events_bot_score",
+    "events_ewma_hourly",
+    "events_rate_anomaly",
+    "events_session_conversion",
+    "events_props_agg",
+    "events_heavy_hitters",
+    "events_zscore_outliers",
+    "events_histogram",
+    "events_quantile_sketch",
+    # -- MapReduce-parity remainder
+    "mj_range_topkeys",
+    "condorcet_winner",
+    "grep_filter",
+    # -- documents/datapipe remainder
+    "doc_quality",
+    "doc_fingerprint",
+    "doc_rolling_fingerprint",
+    "doc_chunking",
+    "clean_corpus",
+    "corpus_stats",
+    "shuffle_order",
+    "reshard_by_hash",
+    "sample_stratified",
+    "multimodal_transform",
 ]
+
+#: PINNED exclusion list (VERDICT_r13 #7): registry rows deliberately
+#: NOT benched, with the reason on record. All are correctness
+#: instruments whose wall is dominated by harness staging (temp-dir
+#: writes, streaming micro-batch spin-up, saveAsTable round trips),
+#: not engine time — timing them would measure the test fixture.
+EXCLUDED = {
+    "stream_tumbling_sim": "streaming harness: micro-batch spin-up + temp sink",
+    "stream_sessions_sim": "streaming harness: micro-batch spin-up + temp sink",
+    "stream_state_sim": "streaming harness: micro-batch spin-up + temp sink",
+    "stream_ttl_sim": "streaming harness: micro-batch spin-up + temp sink",
+    "stream_markov_sim": "streaming harness: micro-batch spin-up + temp sink",
+    "stream_attribution_sim": "streaming harness: micro-batch spin-up + temp sink",
+    "stream_attribution_outer_sim": "streaming harness: micro-batch spin-up + temp sink",
+    "stream_dedup_sim": "streaming harness: micro-batch spin-up + temp sink",
+    "stream_rollup_sim": "streaming harness: micro-batch spin-up + temp sink",
+    "stream_cms_sim": "streaming harness: two-batch temp staging",
+    "ingest_pipeline_sim": "incremental-ingest harness: durable-state temp dirs",
+    "ingest_spans_sim": "incremental-ingest harness: durable-state temp dirs",
+    "scale_skew_sim": "instrument: plants skew to exercise AQE, wall is the plant",
+    "write_partition_overwrite_sim": "writer round trip: wall is temp-dir parquet IO",
+    "schema_evolution_sim": "writer round trip: wall is temp-dir parquet IO",
+    "write_layout_sim": "writer round trip: wall is temp-dir parquet IO",
+    "sdfs_sim": "catalog-ops simulation: wall is saveAsTable staging",
+    "cli_sim": "CLI introspection simulation: driver-side, no engine work",
+}
 
 #: the memoized-cluster builders and their consumers (see graph.py r10
 #: memo block) — used only for the disclosure field in the JSON record
@@ -569,6 +649,10 @@ def main() -> None:
         "fit_family_total": round(
             sum(timings[n] for n in FIT_FAMILY if n in timings), 3
         ),
+        # r14: registry rows deliberately unbenched, with reasons (the
+        # pinned EXCLUDED list) — coverage = registry minus exactly these
+        "excluded_n": len(EXCLUDED),
+        "excluded": sorted(EXCLUDED),
     }
     prev = _common_prev_summary(timings, sf, memo_on)
     if prev:

@@ -70,3 +70,19 @@ def test_common_prev_skips_cross_sf_driver_records(tmp_path, monkeypatch):
     # r02 is newest but at the wrong sf -> falls back to r01
     assert out["common_prev_round"] == "BENCH_r01.json"
     assert out["common_prev_total"] == 5.0
+
+
+def test_headline_plus_excluded_covers_registry_exactly():
+    """r14 (VERDICT_r13 #7): every registry row is either benched or on
+    the pinned EXCLUDED list with a reason — a new operator that is
+    neither fails here, so no future hotspot can hide untracked."""
+    import bench
+    from grapefruit_spark.operators import all_queries
+
+    reg = set(all_queries())
+    headline = set(bench.HEADLINE)
+    assert len(bench.HEADLINE) == len(headline), "duplicate HEADLINE row"
+    assert not (headline & set(bench.EXCLUDED)), "row both benched and excluded"
+    assert reg - headline - set(bench.EXCLUDED) == set(), "untracked rows"
+    assert headline - reg == set(), "stale HEADLINE rows"
+    assert all(isinstance(r, str) and r for r in bench.EXCLUDED.values())
