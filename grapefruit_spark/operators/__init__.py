@@ -187,6 +187,11 @@ _REPROVE_SINCE: dict[str, int] = {
     # DECIMAL(38,0) on both engines — corpus-size-free columns replace
     # the ~3·10⁷-vector bigint ceiling; emission schema changed
     "embedding_pca_project": 14,
+    # r14 sf1 full-registry sweep catch: embedding_dim_prune's
+    # share_ppm numerator (var_num·10⁶ ≈ n²·var·10⁶) overflowed int64
+    # between the sf0.1 gate and 10× — now DECIMAL(38,0)-folded on both
+    # engines; values identical at every gate SF, emission text changed
+    "embedding_dim_prune": 14,
 }
 
 

@@ -1873,21 +1873,36 @@ def embedding_dim_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("s"),
         F.sum(F.col("c") * F.col("c")).alias("s2"),
     )
+    # r14 sf1 sweep catch: var_num ≈ n²·var_c passes 9.2e12 between the
+    # sf0.1 gate and 10× — var_num·10⁶ then overflows int64 on BOTH
+    # engines. The numerator now folds through DECIMAL(38,0) (the
+    # pca_project device); share_ppm's quotient is ≤ 10⁶ so the final
+    # bigint is full-range, and the raw var_num EMISSION keeps the
+    # documented covariance-class bound (int64 to n ≈ 7·10⁵ vectors —
+    # ANSI fails loudly past it; a deployment reads the decimal).
     v = per_dim.select(
-        "dim", (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).alias("var_num")
+        "dim",
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("s2")
+            - F.col("s").cast("decimal(38,0)") * F.col("s")
+        ).alias("var_dec"),
     )
-    tot = v.agg(F.sum("var_num").alias("tv"))
+    tot = v.agg(F.sum("var_dec").alias("tv"))
     ranked = (
         v.join(F.broadcast(tot))
         .select(
             "dim",
-            "var_num",
-            F.expr("(var_num * 1000000L) div nullif(tv, 0)").alias("share_ppm"),
+            F.col("var_dec").cast("bigint").alias("var_num"),
+            F.expr(
+                "CAST((var_dec * 1000000) div nullif(tv, 0) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.col("var_dec"),
         )
         .withColumn(
             "rank",
-            F.row_number().over(Window.orderBy(F.desc("var_num"), F.asc("dim"))),
+            F.row_number().over(Window.orderBy(F.desc("var_dec"), F.asc("dim"))),
         )
+        .drop("var_dec")
     )
     w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
     return ranked.select(
@@ -1914,15 +1929,24 @@ WITH codes AS (
     FROM embeddings WHERE embedding IS NOT NULL
 ),
 per_dim AS (
-    SELECT dim, count(*) AS n, sum(c) AS s, sum(c * c) AS s2
+    SELECT dim, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+           CAST(sum(c * c) AS BIGINT) AS s2
     FROM codes GROUP BY 1
 ),
-v AS (SELECT dim, CAST(n * s2 - s * s AS BIGINT) AS var_num FROM per_dim),
-tot AS (SELECT CAST(sum(var_num) AS BIGINT) AS tv FROM v),
+v AS (
+    -- DECIMAL(38,0) numerator (r14 sf1 sweep catch: n²·var_c·10⁶
+    -- overflows int64 past the sf0.1 gate scale on both engines)
+    SELECT dim,
+           CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(38,0)) * s
+               AS var_dec
+    FROM per_dim
+),
+tot AS (SELECT sum(var_dec) AS tv FROM v),
 ranked AS (
-    SELECT dim, var_num,
-           CAST((var_num * 1000000) // nullif(tv, 0) AS BIGINT) AS share_ppm,
-           row_number() OVER (ORDER BY var_num DESC, dim ASC) AS rank
+    SELECT dim, CAST(var_dec AS BIGINT) AS var_num,
+           CAST(CAST(var_dec * 1000000 AS HUGEINT)
+                // nullif(CAST(tv AS HUGEINT), 0) AS BIGINT) AS share_ppm,
+           row_number() OVER (ORDER BY var_dec DESC, dim ASC) AS rank
     FROM v CROSS JOIN tot
 )
 SELECT dim, var_num, share_ppm, rank,

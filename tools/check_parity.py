@@ -128,20 +128,26 @@ def main() -> int:
         if only and name not in only:
             continue
         # isolate per-query failures: one crash must not kill the sweep
+        import time as _time
+
         try:
+            t0 = _time.perf_counter()
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
+            spark_s = _time.perf_counter() - t0
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"{name:28s} ERROR {type(e).__name__}: {str(e)[:200]}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"{name:28s} rows-only: {len(srows)} rows")
+            print(f"{name:28s} rows-only: {len(srows)} rows spark={spark_s:.2f}s")
             continue
         try:
+            t0 = _time.perf_counter()
             rel = con.sql(oracles[name])
             drows = [tuple(r) for r in rel.fetchall()]
+            duck_s = _time.perf_counter() - t0
             dcols = list(rel.columns)
         except Exception as e:  # noqa: BLE001
             print(f"{name:28s} ORACLE-ERROR {type(e).__name__}: {str(e)[:200]}")
@@ -162,7 +168,7 @@ def main() -> int:
         ]
         ok_t = not type_mismatch
         status = "OK" if (ok_n and ok_c and ok_h and ok_t) else "FAIL"
-        print(f"{name:28s} {status}  rows={len(srows)}/{len(drows)} cols={'OK' if ok_c else (scols, dcols)} hash={'OK' if ok_h else 'MISMATCH'} types={'OK' if ok_t else type_mismatch}")
+        print(f"{name:28s} {status}  rows={len(srows)}/{len(drows)} cols={'OK' if ok_c else (scols, dcols)} hash={'OK' if ok_h else 'MISMATCH'} types={'OK' if ok_t else type_mismatch} spark={spark_s:.2f}s duck={duck_s:.2f}s")
         if status == "FAIL":
             failures.append(name)
             if not ok_h and ok_c and ok_n:

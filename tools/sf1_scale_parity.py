@@ -47,7 +47,13 @@ REPS = 10
 # sf0.1 gate no longer reaches — is still what's being proven.
 GRAPH_DEST = "/tmp/grapefruit_sf04"
 GRAPH_REPS = 4
-GRAPH_HEAVIES = {"supplier_ppr", "copurchase_triangles", "copurchase_kcore"}
+GRAPH_HEAVIES = {
+    "supplier_ppr",
+    # r14: the dist twin shares the identical spill-heavy PPR oracle
+    "supplier_ppr_dist",
+    "copurchase_triangles",
+    "copurchase_kcore",
+}
 
 # --tpch mode (r10, VERDICT_r9 #8): a CONSISTENT x10 replication of the
 # whole TPC-H-ish star — orders/customer/supplier/part replicated with
