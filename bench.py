@@ -266,6 +266,7 @@ HEADLINE = [
     # dedup (RefinedWeb/CCNet tier) stats + apply, and the C4 rule
     # filter (one staged scan, Gopher-rules shape)
     "line_dedup_stats",
+    "line_dedup_hist",
     "line_dedup_apply",
     "quality_c4_rules",
     # round-14 (VERDICT_r13 #7): bench coverage extended to the FULL

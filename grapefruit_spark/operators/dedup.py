@@ -1490,6 +1490,56 @@ HAVING count(*) >= {LINE_DUP_MIN_DOCS}
 """
 
 
+def line_dedup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of the line-dedup tier (the third
+    piece beside the per-line report and the apply step): for each df
+    value — INCLUDING df = 1, the unique-line mass — the number of
+    distinct lines carrying it and their total occurrences. This is
+    the curve a deployment reads to pick the strip threshold: the df≥K
+    tail is exactly what line_dedup_apply at min-df K would remove,
+    and a fat df tail means boilerplate (nav bars on every page) while
+    a heavy df=1 head means the corpus is already line-clean.
+
+    Scale: the same two-level map-side aggregate as line_dedup_stats,
+    then an O(distinct df values) rollup — the dup_run_stats shape at
+    line granularity; nothing here is corpus-sized after the first
+    aggregate.
+    """
+    docs = _spread(table(spark, sf_dir, "documents"))
+    lines = docs.select(
+        "doc_id", F.explode(_line_array()).alias("line")
+    ).select("doc_id", F.md5("line").alias("line_fp"))
+    per_doc = lines.groupBy("line_fp", "doc_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    per_line = per_doc.groupBy("line_fp").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("occ").alias("occ")
+    )
+    return per_line.groupBy("n_docs").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("occ").alias("n_occur"),
+    )
+
+
+ORACLE["line_dedup_hist"] = f"""
+WITH lns AS (
+    SELECT doc_id, md5(unnest({_DUCK_LINES})) AS line_fp FROM documents
+),
+per_doc AS (
+    SELECT line_fp, doc_id, count(*) AS occ FROM lns GROUP BY 1, 2
+),
+per_line AS (
+    SELECT line_fp, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS occ
+    FROM per_doc GROUP BY line_fp
+)
+SELECT n_docs,
+       count(*) AS n_lines,
+       CAST(sum(occ) AS BIGINT) AS n_occur
+FROM per_line
+GROUP BY n_docs
+"""
+
+
 def line_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document line dedup APPLY step: strip every line whose
     corpus document-frequency is ≥ LINE_DUP_MIN_DOCS from ALL holders
@@ -1842,6 +1892,7 @@ QUERIES = {
     "dedup_runs_apply": dedup_runs_apply,
     "dup_run_threshold_curve": dup_run_threshold_curve,
     "line_dedup_stats": line_dedup_stats,
+    "line_dedup_hist": line_dedup_hist,
     "line_dedup_apply": line_dedup_apply,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,

@@ -82,6 +82,30 @@ def test_line_dedup_stats_oracle_and_semantics(spark, line_dir):
     assert rows[2]["n_occur"] == 3  # nav bar occurs twice in doc 2
 
 
+def test_line_dedup_hist_oracle_and_conservation(spark, line_dir):
+    from grapefruit_spark.operators import dedup
+
+    assert_matches_oracle(
+        dedup.line_dedup_hist(spark, line_dir),
+        _duck_for(line_dir),
+        dedup.ORACLE["line_dedup_hist"],
+    )
+    hist = {
+        r["n_docs"]: (r["n_lines"], r["n_occur"])
+        for r in dedup.line_dedup_hist(spark, line_dir).collect()
+    }
+    # planted corpus: 'accept cookies' df=3, 'nav bar' df=2, and 5
+    # unique lines (incl. the within-doc 'repeat me' pair as ONE line
+    # with 2 occurrences in one doc)
+    assert hist[3] == (1, 3) and hist[2] == (1, 3)
+    # conservation: histogram occurrences sum to the corpus line total
+    total_lines = sum(
+        r["n_lines"]
+        for r in dedup.line_dedup_apply(spark, line_dir).collect()
+    )
+    assert sum(occ for _, occ in hist.values()) == total_lines
+
+
 def test_line_dedup_apply_oracle_and_semantics(spark, line_dir):
     from grapefruit_spark.operators import dedup
 

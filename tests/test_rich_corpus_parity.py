@@ -121,6 +121,7 @@ RICH_QUERIES = [
     # terminal punctuation — the all-false branch both engines must
     # agree on; the per-rule branches are pinned by test_r14_ops.py)
     ("dedup", "line_dedup_stats"),
+    ("dedup", "line_dedup_hist"),
     ("dedup", "line_dedup_apply"),
     ("text", "quality_c4_rules"),
     # r14: the extended PII scrub (email/phone/ssn/ip/Luhn-CC) — was
