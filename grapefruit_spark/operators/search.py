@@ -444,12 +444,18 @@ def doc_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the adversarial gate pins). Membership is the same narrow md5-bucket
     map as split_train_val, so the split is reproducible on any cluster.
 
-    Plan: one explode per doc for trigram tf; model trigram/bigram/
-    unigram stats by groupBy + join-back (skew-proof partial aggs, each
-    model table joined on its own key — never a corpus×corpus join); the
-    1-row token total broadcast; per-addend DECIMAL(28,12) ln
-    quantization, floor(avg·10⁶) emission — the doc_bigram_surprisal
-    parity contract."""
+    Plan (r14 restructure, guide §2.3): one explode per doc for trigram
+    tf; the four-level backoff lookup then resolves per DISTINCT
+    trigram, not per (doc, trigram) — the five model tables join a
+    deduplicated trigram frame (each on its own key, skew-proof partial
+    aggs, never a corpus×corpus join) producing one (tg → −ln S, level)
+    score row per distinct trigram, and the per-doc tf frame joins that
+    score table ONCE. The per-(doc, trigram) addend tf·(−ln S) is the
+    identical double product either way, so the DECIMAL(28,12)
+    quantization and the floor(avg·10⁶) emission — the
+    doc_bigram_surprisal parity contract — are bit-unchanged; what
+    changes is the shuffle bill: the corpus-sized tf frame crosses the
+    network twice (score join + doc rollup) instead of six times."""
     from .datapipe import _U32, _bucket
 
     docs = table(spark, sf_dir, "documents")
@@ -496,10 +502,21 @@ def doc_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_w").isNotNull(), a * a * F.col("n_w") / F.col("n_total"))
         .otherwise(a * a / F.col("n_total"))
     )
-    scored = (
-        tf.withColumn("w1", F.split("tg", " ").getItem(0))
-        .withColumn("w2", F.split("tg", " ").getItem(1))
-        .withColumn("w3", F.split("tg", " ").getItem(2))
+    off_tg = F.col("n_tg").isNull()
+    off_bg = off_tg & F.col("n_bg").isNull()
+    # score each DISTINCT trigram once: −ln S (the identical double the
+    # per-(doc,trigram) formulation computed — same inputs, same ops)
+    # plus the resolved backoff level, so the corpus-sized tf frame
+    # never re-shuffles through the five model joins
+    score_tbl = (
+        tf.select("tg")
+        .distinct()
+        .select(
+            "tg",
+            F.split("tg", " ").getItem(0).alias("w1"),
+            F.split("tg", " ").getItem(1).alias("w2"),
+            F.split("tg", " ").getItem(2).alias("w3"),
+        )
         .withColumn("bg", F.concat_ws(" ", F.col("w2"), F.col("w3")))
         .join(tgc_m, "tg", "left")
         .join(ctx_m, ["w1", "w2"], "left")
@@ -507,23 +524,29 @@ def doc_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bfrom_m, F.col("w2") == F.col("bw1"), "left")
         .join(uni_m, "w3", "left")
         .join(F.broadcast(ntot))
+        .select(
+            "tg",
+            (-F.log(s)).alias("nls"),
+            (off_tg & F.col("n_bg").isNotNull()).alias("lvl_bg"),
+            (off_bg & F.col("n_w").isNotNull()).alias("lvl_uni"),
+            (off_bg & F.col("n_w").isNull()).alias("lvl_oov"),
+        )
     )
-    off_tg = F.col("n_tg").isNull()
-    off_bg = off_tg & F.col("n_bg").isNull()
+    scored = tf.join(score_tbl, "tg")
     return (
         scored.groupBy("doc_id")
         .agg(
             F.sum("tf").cast("bigint").alias("n_trigrams"),
             F.sum(
-                F.when(off_tg & F.col("n_bg").isNotNull(), F.col("tf")).otherwise(0)
+                F.when(F.col("lvl_bg"), F.col("tf")).otherwise(0)
             ).cast("bigint").alias("bo_bigram"),
             F.sum(
-                F.when(off_bg & F.col("n_w").isNotNull(), F.col("tf")).otherwise(0)
+                F.when(F.col("lvl_uni"), F.col("tf")).otherwise(0)
             ).cast("bigint").alias("bo_unigram"),
             F.sum(
-                F.when(off_bg & F.col("n_w").isNull(), F.col("tf")).otherwise(0)
+                F.when(F.col("lvl_oov"), F.col("tf")).otherwise(0)
             ).cast("bigint").alias("bo_oov"),
-            F.sum((F.col("tf") * -F.log(s)).cast("decimal(28,12)")).alias("ssum"),
+            F.sum((F.col("tf") * F.col("nls")).cast("decimal(28,12)")).alias("ssum"),
         )
         .select(
             "doc_id",
@@ -1441,10 +1464,17 @@ def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact on both engines: z ≪ 0 → exp(−z) = +inf → p = 0; z ≫ 0 →
     exp(−z) = 0 → p = 10¹².
 
-    Scale: the per-iteration passes are two map-side-combinable
-    aggregates over the (doc, feat) code table (bounded by corpus
-    size, never feats²); the weight table (65 rows) broadcasts; the
-    driver folds a 65-row gradient per step.
+    Scale (r14 restructure, guide §2.3/§2.4): the sparse (doc, feat)
+    code table densifies ONCE into a persisted per-doc row of 65
+    feature-code columns (the feature space is a fixed 64-bucket hash
+    grid + bias, so the dense row is 65 longs ≈ 0.5 KB/doc — narrower
+    than the 65 sparse rows it replaces). Every iteration is then a
+    SINGLE codegen aggregate over that frame: the per-doc logit is an
+    in-row linear expression against the current literal weights (no
+    per-iteration weight-table broadcast join), and the gradient is 65
+    map-side-combinable sums in the same pass (no join-back, no
+    per-doc hash aggregate) — only 65 partials per partition cross the
+    network, and the driver folds a 65-entry gradient per step.
 
     Integer ranges at ANY corpus size (ADVICE_r13): the gradient
     Σ code·d can reach 1024·10¹²·n_docs — Spark folds it as DECIMAL
@@ -1491,84 +1521,79 @@ def _logit_weight_rows_build(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    ng = f.groupBy("doc_id").agg(F.sum("tf").alias("n_grams"))
-    codes = f.join(ng, "doc_id").select(
-        "doc_id",
-        F.col("bucket").cast("int").alias("feat"),
-        F.expr(f"(tf * {QC_SCALE}) div n_grams").cast("bigint").alias("code"),
-    ).unionByName(
-        docs.select(
-            "doc_id",
-            F.lit(QC_BIAS).cast("int").alias("feat"),
-            F.lit(QC_SCALE).cast("bigint").alias("code"),
-        )
+    nf = QC_BUCKETS + 1
+    # r14 loop restructure (guide §2.3 "aggregate before you shuffle" /
+    # §2.4 "remove shuffles outright"): densify the sparse (doc, feat,
+    # code) table into ONE persisted row per doc — 65 long columns (the
+    # feature space is a fixed 64-bucket grid + bias, so the dense row
+    # is narrower than the 65 sparse rows + replicated y it replaces).
+    # One aggregation builds the per-doc tf map AND the gram total, so
+    # the old two-groupBy + join-back feature build collapses to a
+    # single shuffle; a missing bucket densifies to code 0, which
+    # contributes exactly 0 to both the logit and the gradient — the
+    # same value the absent sparse row contributed.
+    per_doc = f.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket").cast("int"), F.col("tf")))
+        ).alias("m"),
+        F.sum("tf").alias("n_grams"),
     )
     labels = quality_gopher_rules(spark, sf_dir).select(
         "doc_id", F.coalesce(_qc_label().cast("int"), F.lit(0)).alias("y")
     )
     n_docs = docs.count()
-    # co-partition the code table on doc_id ONCE: every iteration's
-    # per-doc logit agg and its join back for the gradient then run
-    # exchange-free on the corpus side (16 reused partitionings instead
-    # of 16 corpus shuffles — the co-location move a 100 TB trainer
-    # makes; only the 65-row gradient aggregate shuffles per step).
-    # Partition count sizes to the code-table row bound (≤ 65/doc): a
-    # fixed spark.sql.shuffle.partitions fan-out charges every one of
-    # the 16 iterations 32 near-empty tasks per stage at gate scale,
-    # while the sized count still spreads a 10⁹-doc corpus across the
-    # cluster (the maxPartitionBytes sizing idea applied to the loop).
-    nparts = max(
-        1,
-        min(
-            spark.sparkContext.defaultParallelism * 4,
-            n_docs * (QC_BUCKETS + 1) // 200_000 + 1,
-        ),
-    )
+    code_cols = [
+        F.coalesce(
+            F.expr(f"(element_at(m, {j}) * {QC_SCALE}) div n_grams"),
+            F.lit(0).cast("bigint"),
+        ).alias(f"c{j}")
+        for j in range(QC_BUCKETS)
+    ] + [F.lit(QC_SCALE).cast("bigint").alias(f"c{QC_BIAS}")]
+    # no manual repartition: AQE sizes the join output's partitioning
+    # (scale-adaptive — one task at gate scale, cluster-wide at 10⁹
+    # docs), and the persisted partition count is what each iteration's
+    # single aggregate pass fans out over.
     base = (
-        codes.join(labels, "doc_id")
-        .repartition(nparts, "doc_id")
+        labels.join(per_doc, "doc_id", "left")
+        .select("y", *code_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    nf = QC_BUCKETS + 1
     w = {j: 0 for j in range(nf)}
     for _ in range(LOGIT_ITERS):
-        wdf = spark.createDataFrame(
-            [(j, w[j]) for j in range(nf)], schema="feat int, w long"
-        )
-        z = (
-            base.join(F.broadcast(wdf), "feat")
-            .groupBy("doc_id")
-            .agg(
-                # y is constant across a doc's code rows — first() is
-                # value-deterministic and keeps the grouping key (and so
-                # the preserved partitioning) to doc_id alone
-                F.first("y").alias("y"),
-                F.sum((F.col("code") * F.col("w")).cast("decimal(38,0)"))
-                .cast("bigint")
-                .alias("z_num"),
-            )
-        )
+        # per-doc logit as an in-row linear expression against the
+        # current LITERAL weights — zero-weight terms contribute exactly
+        # 0 and are elided (iteration 1 starts from w ≡ 0). |z_num| ≤
+        # 65·1024·max|w| ≈ 5·10¹⁷ (docstring bound), so the plain long
+        # fold equals the old decimal-fold-then-narrow bit for bit.
+        terms = [F.col(f"c{j}") * F.lit(int(w[j])) for j in range(nf) if w[j]]
+        z_num = terms[0] if terms else F.lit(0).cast("bigint")
+        for t in terms[1:]:
+            z_num = z_num + t
         sig = F.floor(
             F.lit(float(LOGIT_P_SCALE))
             / (
                 F.lit(1.0)
-                + F.exp(-(F.col("z_num").cast("double") / F.lit(float(LOGIT_Z_DEN))))
+                + F.exp(-(z_num.cast("double") / F.lit(float(LOGIT_Z_DEN))))
             )
         ).cast("bigint")
-        diff = z.select(
-            "doc_id",
-            (sig - F.col("y").cast("long") * F.lit(LOGIT_P_SCALE)).alias("d"),
-        )
-        g = (
-            base.join(diff, "doc_id")
-            .groupBy("feat")
+        d = sig - F.col("y").cast("long") * F.lit(LOGIT_P_SCALE)
+        # gradient: 65 map-side-combinable sums in ONE pass over base —
+        # the per-addend (code · d) product is long-safe (≤ 1024·10¹²)
+        # and each addend is cast to DECIMAL(38,0) before the fold,
+        # exactly the old sparse aggregate's addend set per feature.
+        row = (
+            base.select(d.alias("d"), *[F.col(f"c{j}") for j in range(nf)])
             .agg(
-                F.sum((F.col("code") * F.col("d")).cast("decimal(38,0)")).alias("g")
+                *[
+                    F.sum((F.col(f"c{j}") * F.col("d")).cast("decimal(38,0)"))
+                    .alias(f"g{j}")
+                    for j in range(nf)
+                ]
             )
-            .collect()
+            .collect()[0]
         )
-        grad = {r["feat"]: int(r["g"]) for r in g}
+        grad = {j: int(row[f"g{j}"] or 0) for j in range(nf)}
         w = {
             j: w[j]
             - _trunc_div(grad.get(j, 0), 2 * QC_SCALE * n_docs)
