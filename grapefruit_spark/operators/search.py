@@ -1465,16 +1465,23 @@ def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp(−z) = 0 → p = 10¹².
 
     Scale (r14 restructure, guide §2.3/§2.4): the sparse (doc, feat)
-    code table densifies ONCE into a persisted per-doc row of 65
-    feature-code columns (the feature space is a fixed 64-bucket hash
+    code table densifies ONCE into a checkpointed per-doc row carrying
+    a 65-slot code ARRAY (the feature space is a fixed 64-bucket hash
     grid + bias, so the dense row is 65 longs ≈ 0.5 KB/doc — narrower
-    than the 65 sparse rows it replaces). Every iteration is then a
-    SINGLE codegen aggregate over that frame: the per-doc logit is an
-    in-row linear expression against the current literal weights (no
-    per-iteration weight-table broadcast join), and the gradient is 65
-    map-side-combinable sums in the same pass (no join-back, no
-    per-doc hash aggregate) — only 65 partials per partition cross the
-    network, and the driver folds a 65-entry gradient per step.
+    than the 65 sparse rows + replicated y it replaces); the
+    localCheckpoint both materializes it and TRUNCATES its lineage, so
+    each iteration's plan is a few nodes over an RDD scan instead of
+    the full tokenize/gopher tree re-analyzed 16× (guide §3.3/§5 —
+    measured ~1.4 s/step of pure driver analysis without it). Every
+    iteration is then ONE pass over that frame: the per-doc logit is
+    an in-row integer fold of zip_with(codes, w_literal), d = σ−y is
+    pinned to its own projection (computing d in the SAME select as
+    the gradient explode re-evaluates the whole dot product + exp per
+    exploded slot — 65× per doc, the r14 first-attempt mistake), and
+    the gradient is posexplode(transform(codes, c → c·d)) +
+    groupBy(slot), whose map-side partials reduce every partition to
+    ≤ 65 rows before the (only, 65·nparts-row) shuffle. The driver
+    folds a 65-entry gradient per step.
 
     Integer ranges at ANY corpus size (ADVICE_r13): the gradient
     Σ code·d can reach 1024·10¹²·n_docs — Spark folds it as DECIMAL
@@ -1509,8 +1516,6 @@ def _logit_weight_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]
 def _logit_weight_rows_build(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, int]]:
-    from pyspark.storagelevel import StorageLevel
-
     from .text import quality_gopher_rules
 
     docs = table(spark, sf_dir, "documents")
@@ -1524,12 +1529,12 @@ def _logit_weight_rows_build(
     nf = QC_BUCKETS + 1
     # r14 loop restructure (guide §2.3 "aggregate before you shuffle" /
     # §2.4 "remove shuffles outright"): densify the sparse (doc, feat,
-    # code) table into ONE persisted row per doc — 65 long columns (the
-    # feature space is a fixed 64-bucket grid + bias, so the dense row
-    # is narrower than the 65 sparse rows + replicated y it replaces).
-    # One aggregation builds the per-doc tf map AND the gram total, so
-    # the old two-groupBy + join-back feature build collapses to a
-    # single shuffle; a missing bucket densifies to code 0, which
+    # code) table into ONE persisted row per doc — a 65-slot long ARRAY
+    # (the feature space is a fixed 64-bucket grid + bias, so the dense
+    # row is narrower than the 65 sparse rows + replicated y it
+    # replaces). One aggregation builds the per-doc tf map AND the gram
+    # total, so the old two-groupBy + join-back feature build collapses
+    # to a single shuffle; a missing bucket densifies to code 0, which
     # contributes exactly 0 to both the logit and the gradient — the
     # same value the absent sparse row contributed.
     per_doc = f.groupBy("doc_id").agg(
@@ -1542,34 +1547,46 @@ def _logit_weight_rows_build(
         "doc_id", F.coalesce(_qc_label().cast("int"), F.lit(0)).alias("y")
     )
     n_docs = docs.count()
-    code_cols = [
+    code_slots = [
         F.coalesce(
             F.expr(f"(element_at(m, {j}) * {QC_SCALE}) div n_grams"),
             F.lit(0).cast("bigint"),
-        ).alias(f"c{j}")
+        )
         for j in range(QC_BUCKETS)
-    ] + [F.lit(QC_SCALE).cast("bigint").alias(f"c{QC_BIAS}")]
-    # no manual repartition: AQE sizes the join output's partitioning
-    # (scale-adaptive — one task at gate scale, cluster-wide at 10⁹
-    # docs), and the persisted partition count is what each iteration's
-    # single aggregate pass fans out over.
+    ] + [F.lit(QC_SCALE).cast("bigint")]
+    # Partition count sizes to the dense-row bound (the r13 loop's
+    # sizing, kept scale-adaptive: ~200k code slots per task — a few
+    # tasks at gate scale, cluster-wide at 10⁹ docs); the
+    # localCheckpoint materializes base once AND truncates its lineage
+    # so the 16 iteration plans are each a handful of nodes over an RDD
+    # scan, not the full tokenize/gopher tree re-analyzed per step.
+    nparts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism * 4,
+            n_docs * nf // 200_000 + 1,
+        ),
+    )
     base = (
         labels.join(per_doc, "doc_id", "left")
-        .select("y", *code_cols)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("y", F.array(*code_slots).alias("codes"))
+        .repartition(nparts, "doc_id")
+        .localCheckpoint()
     )
 
     w = {j: 0 for j in range(nf)}
     for _ in range(LOGIT_ITERS):
-        # per-doc logit as an in-row linear expression against the
-        # current LITERAL weights — zero-weight terms contribute exactly
-        # 0 and are elided (iteration 1 starts from w ≡ 0). |z_num| ≤
-        # 65·1024·max|w| ≈ 5·10¹⁷ (docstring bound), so the plain long
-        # fold equals the old decimal-fold-then-narrow bit for bit.
-        terms = [F.col(f"c{j}") * F.lit(int(w[j])) for j in range(nf) if w[j]]
-        z_num = terms[0] if terms else F.lit(0).cast("bigint")
-        for t in terms[1:]:
-            z_num = z_num + t
+        # exact integer fold of the in-row dot product against the
+        # current LITERAL weight array: |z_num| ≤ 65·1024·max|w| ≈
+        # 5·10¹⁷ (docstring bound), so the plain long fold equals the
+        # old decimal-fold-then-narrow bit for bit — integer sums are
+        # order-free. The literal changes per step, but the plan is
+        # tiny (checkpointed scan), so re-analysis is sub-ms.
+        wlit = "array(" + ",".join(f"{int(w[j])}L" for j in range(nf)) + ")"
+        z_num = F.expr(
+            f"aggregate(zip_with(codes, {wlit}, (c, x) -> c * x),"
+            " 0L, (acc, v) -> acc + v)"
+        )
         sig = F.floor(
             F.lit(float(LOGIT_P_SCALE))
             / (
@@ -1578,29 +1595,33 @@ def _logit_weight_rows_build(
             )
         ).cast("bigint")
         d = sig - F.col("y").cast("long") * F.lit(LOGIT_P_SCALE)
-        # gradient: 65 map-side-combinable sums in ONE pass over base —
-        # the per-addend (code · d) product is long-safe (≤ 1024·10¹²)
+        # gradient: ONE pass over base. d is pinned to its OWN
+        # projection before the explode — putting it in the same
+        # select as posexplode makes the generator re-evaluate the
+        # whole dot product + exp once per exploded slot (65× per
+        # doc; measured 2.5 s vs 0.33 s per step at sf0.1). The
+        # per-addend (code · d) product is long-safe (≤ 1024·10¹²)
         # and each addend is cast to DECIMAL(38,0) before the fold,
-        # exactly the old sparse aggregate's addend set per feature.
-        row = (
-            base.select(d.alias("d"), *[F.col(f"c{j}") for j in range(nf)])
-            .agg(
-                *[
-                    F.sum((F.col(f"c{j}") * F.col("d")).cast("decimal(38,0)"))
-                    .alias(f"g{j}")
-                    for j in range(nf)
-                ]
-            )
-            .collect()[0]
+        # exactly the old sparse aggregate's addend set per feature;
+        # map-side partials reduce every partition to ≤ 65 rows
+        # before the only shuffle.
+        g = (
+            base.select(d.alias("d"), "codes")
+            .select(F.posexplode(F.expr("transform(codes, c -> c * d)"))
+                    .alias("feat", "g"))
+            .groupBy("feat")
+            .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
+            .collect()
         )
-        grad = {j: int(row[f"g{j}"] or 0) for j in range(nf)}
+        grad = {int(r["feat"]): int(r["g"] or 0) for r in g}
         w = {
             j: w[j]
             - _trunc_div(grad.get(j, 0), 2 * QC_SCALE * n_docs)
             - _trunc_div(w[j], 2000)
             for j in range(nf)
         }
-    base.unpersist(blocking=False)
+    # base is a localCheckpoint — its backing RDD is released by the
+    # ContextCleaner once this frame goes out of scope.
     return [(int(j), int(w[j])) for j in range(nf)]
 
 
