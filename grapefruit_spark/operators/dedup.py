@@ -127,12 +127,19 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    scored = _verify_candidates(cands, idx)
+    # τ filter with ONE intersection occurrence, evaluated inside the
+    # verify join (see _verify_candidates): 2s ≥ na OR 2s ≥ nb ⟺
+    # 2s ≥ least(na, nb), and na,nb ≥ 1 makes it imply s > 0 — the
+    # dropped n_inter > 0 pre-filter — so the surviving row set is
+    # bit-identical to the old filter-on-column formulation.
+    scored = _verify_candidates(
+        cands,
+        idx,
+        keep=F.lit(CONTAIN_DEN) * _vc_s()
+        >= F.lit(CONTAIN_NUM) * F.least(F.col("na"), F.col("nb")),
+    )
     return (
-        scored.where(
-            (F.lit(CONTAIN_DEN) * F.col("n_inter") >= F.lit(CONTAIN_NUM) * F.col("na"))
-            | (F.lit(CONTAIN_DEN) * F.col("n_inter") >= F.lit(CONTAIN_NUM) * F.col("nb"))
-        )
+        scored
         .select(
             "doc_a",
             "doc_b",
@@ -233,10 +240,23 @@ def _prefix_posting(idx: DataFrame, num: int, den: int) -> DataFrame:
     )
 
 
-def _verify_candidates(cands: DataFrame, idx: DataFrame) -> DataFrame:
+def _verify_candidates(cands: DataFrame, idx: DataFrame, keep=None) -> DataFrame:
     """Exact |A∩B| for candidate pairs via array intersection of the two
     docs' capped gram sets — O(candidates), replacing the old posting
-    count-join whose cost was Σdf² over every surviving gram."""
+    count-join whose cost was Σdf² over every surviving gram.
+
+    ``keep``: optional τ filter as a Column over (na, nb) and the
+    single-occurrence intersection size `_vc_s()` — it MUST imply
+    n_inter > 0 (every τ ≥ some positive overlap does). Passing the τ
+    check here instead of filtering the returned n_inter column matters
+    for cost, not semantics: the optimizer pushes a post-projection
+    filter into the verify join's condition, where each textual
+    occurrence of array_intersect is evaluated PER CANDIDATE (no
+    common-subexpression elimination in join-condition codegen) — the
+    r14 measurement showed 811k candidates paying 3 intersections each
+    to keep 278 pairs at sf0.1. With ``keep`` the condition carries ONE
+    intersection, and the n_inter output column is only computed for
+    survivors."""
     ia = idx.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_grams").alias("na"),
@@ -247,12 +267,15 @@ def _verify_candidates(cands: DataFrame, idx: DataFrame) -> DataFrame:
         F.col("n_grams").alias("nb"),
         F.col("rare_grams").alias("gb"),
     )
-    return (
-        cands.join(ia, "doc_a")
-        .join(ib, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
-        .where(F.col("n_inter") > 0)
-    )
+    joined = cands.join(ia, "doc_a").join(ib, "doc_b")
+    joined = joined.where(_vc_s() > 0 if keep is None else keep)
+    return joined.withColumn("n_inter", _vc_s())
+
+
+def _vc_s():
+    """The verify intersection size |A∩B| (one textual occurrence per
+    use site — see _verify_candidates cost note)."""
+    return F.size(F.array_intersect("ga", "gb"))
 
 
 #: shared oracle CTEs: the SEMANTIC definition of the capped pair space —
@@ -337,12 +360,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    scored = _verify_candidates(cands, idx)
+    # τ filter with ONE intersection occurrence, evaluated inside the
+    # verify join (see _verify_candidates): 25s ≥ 2(na+nb−s) ⟺
+    # 27s ≥ 2(na+nb), and na+nb ≥ 2 makes it imply s > 0 — the dropped
+    # n_inter > 0 pre-filter — so the surviving row set is bit-identical
+    # to the old filter-on-column formulation.
+    scored = _verify_candidates(
+        cands,
+        idx,
+        keep=F.lit(JACCARD_NUM + JACCARD_DEN) * _vc_s()
+        >= F.lit(JACCARD_NUM) * (F.col("na") + F.col("nb")),
+    )
     return (
-        scored.where(
-            F.lit(JACCARD_DEN) * F.col("n_inter")
-            >= F.lit(JACCARD_NUM) * (F.col("na") + F.col("nb") - F.col("n_inter"))
-        )
+        scored
         .select(
             "doc_a",
             "doc_b",
