@@ -59,9 +59,64 @@ def clear_cluster_memo() -> None:
     _clear_memo()
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+#: edge sets up to this many rows run the whole min-label fixpoint in one
+#: numpy kernel (a single applyInPandas group ≈ ~32 MB Arrow batch) —
+#: the same small-graph tier pagerank() uses (PR_FUSED_MAX_EDGES, same
+#: rationale): after LSH/prefix pruning a dedup pair graph is orders of
+#: magnitude smaller than the corpus, and each DataFrame CC round costs
+#: a checkpoint job + an agg job (~0.5 s) for microseconds of actual
+#: label propagation. Above the threshold the distributed loop below
+#: takes over — the layout that holds at 100 TB, and the tier
+#: dedup_clusters_star keeps driver-gated every round. Unlike the
+#: pagerank kernel there is no float in CC at ALL: both tiers compute
+#: the identical integer fixpoint (component = min reachable id), so
+#: tier choice can never flip a value.
+CC_FUSED_MAX_EDGES = 2_000_000
+
+
+def _cc_fused(sym: DataFrame) -> DataFrame:
+    """Min-label fixpoint over one Arrow batch: vectorized
+    Shiloach-Vishkin-style rounds (hook minimum + pointer halving),
+    O(E) work per round, O(log n) rounds. Exact integer result —
+    identical to the distributed loop's fixpoint."""
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf["a"].to_numpy(dtype="int64")
+        b = pdf["b"].to_numpy(dtype="int64")
+        nodes = np.unique(a)  # sym is symmetric: every node appears as a
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b)
+        # labels live in INDEX space; nodes is sorted ascending, so the
+        # min index is the min node id — map back at the end
+        lab = np.arange(len(nodes), dtype="int64")
+        while True:
+            prev = lab
+            nxt = lab.copy()
+            np.minimum.at(nxt, ai, lab[bi])  # hook: pull neighbor minima
+            nxt = nxt[nxt]  # pointer halving: jump one level per round
+            if np.array_equal(nxt, prev):
+                break
+            lab = nxt
+        return pd.DataFrame({"node": nodes, "component": nodes[lab]})
+
+    return sym.groupBy(F.lit(1).alias("g")).applyInPandas(
+        kernel, "node bigint, component bigint"
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    fused_max_edges: int = CC_FUSED_MAX_EDGES,
+) -> DataFrame:
     """Min-label propagation: returns (node, component) with component =
     min node id reachable. Non-SQL-expressible (iterative) → rows-only.
+    Edge sets ≤ fused_max_edges run the fused numpy kernel (see
+    CC_FUSED_MAX_EDGES); pass 0 to force the distributed loop.
     """
     spark = edges.sparkSession
     # one job materializes the symmetrized edge set; the expensive edge
@@ -80,6 +135,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # explicit hash partitioning on the join key is reused by every
     # iteration's join (no per-round exchange of sym).
     n_edges = sym.count()
+    if fused_max_edges > 0 and n_edges <= fused_max_edges:
+        return _cc_fused(sym)
     parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 100_000))
     sym = sym.repartition(parts, "b").transform(pin)
     labels = (

@@ -658,10 +658,22 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     in doc_backoff_surprisal (disclosed; CCNet likewise scores only
     tokenizable text).
     """
-    scored = doc_backoff_surprisal(spark, sf_dir).select(
-        "doc_id",
-        "n_trigrams",
-        F.expr(f"avg_surprisal_e6 div {PPLX_BIN_E6}").alias("bin"),
+    from ..reliability import pin
+
+    # pin the per-doc score table (r14, guide §5): this narrow frame
+    # (one row per scorable doc) feeds THREE consumers — the bin
+    # histogram, the broadcast threshold aggregate, and the final
+    # per-source rollup join. Unmaterialized, each consumer re-runs the
+    # whole LM build + scoring pipeline (the threshold subtree executes
+    # as its own broadcast job, outside ReuseExchange's reach) —
+    # measured 4.0 s vs 2.4 s for one surprisal pass at sf0.1. At scale
+    # this is CCNet's "write the scores table" step.
+    scored = pin(
+        doc_backoff_surprisal(spark, sf_dir).select(
+            "doc_id",
+            "n_trigrams",
+            F.expr(f"avg_surprisal_e6 div {PPLX_BIN_E6}").alias("bin"),
+        )
     )
     from pyspark.sql.window import Window as _W
 

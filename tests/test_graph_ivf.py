@@ -473,3 +473,30 @@ def test_pagerank_tiers_agree_on_supplier_graph(spark):
     for v in fused:
         assert abs(fused[v] - dist[v]) < 1e-12, (v, fused[v], dist[v])
     assert abs(sum(fused.values()) - 1.0) < 1e-9
+
+
+def test_connected_components_fused_matches_distributed(spark):
+    """r14 small-graph tier: the fused numpy kernel and the distributed
+    min-label loop compute the IDENTICAL integer fixpoint (component =
+    min reachable id) — tier choice can never flip a value. Covers a
+    long path (multi-round pointer halving), a cycle, an out-of-order
+    hook (big id bridging two low-id chains), and singleton pairs."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)]              # 10-node path
+        + [(100, 101), (101, 102), (102, 100)]      # cycle
+        + [(50, 7), (200, 60), (60, 50)]            # late bridge into the path
+        + [(300, 301)],
+        ["src", "dst"],
+    )
+    fused = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, fused_max_edges=0).collect()
+    }
+    assert fused == dist
+    assert fused[300] == 300 and fused[102] == 100
+    # the bridge merges the path component with 50/60/200
+    assert fused[200] == 0 and fused[50] == 0
