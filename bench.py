@@ -381,6 +381,20 @@ FIT_FAMILY = [
     "quality_classifier_logit_score",
 ]
 
+#: r14 (optimization round): the four supplier ranking rows share one
+#: memoized (src, dst, out_deg) links frame — supplier_pagerank is the
+#: builder (its timed runs bypass the memo and track the full edge
+#: build), the other three measure their ranking loops over the shared
+#: edge table (the _dist rows' distributed loops still run per row —
+#: only the edge build is shared). Disclosure field, mirroring
+#: CLUSTER_FAMILY / FIT_FAMILY.
+GRAPH_FAMILY = [
+    "supplier_pagerank",
+    "supplier_pagerank_dist",
+    "supplier_ppr",
+    "supplier_ppr_dist",
+]
+
 
 #: refuse to start timed runs while 1-min loadavg exceeds ncpu/QUIET_DIV —
 #: r6's "1.13× regression" and r7's two gate-missing records were all
@@ -506,6 +520,7 @@ def main() -> None:
             "knn_bruteforce",
             "quality_classifier_fit",
             "quality_classifier_logit",
+            "supplier_pagerank",
         }
         if memo_on
         else set()
@@ -649,6 +664,11 @@ def main() -> None:
         "fit_memo": memo_on,
         "fit_family_total": round(
             sum(timings[n] for n in FIT_FAMILY if n in timings), 3
+        ),
+        # r14 opt round: the supplier ranking rows share one memoized
+        # links frame (builder: supplier_pagerank; see GRAPH_FAMILY)
+        "graph_family_total": round(
+            sum(timings[n] for n in GRAPH_FAMILY if n in timings), 3
         ),
         # r14: registry rows deliberately unbenched, with reasons (the
         # pinned EXCLUDED list) — coverage = registry minus exactly these

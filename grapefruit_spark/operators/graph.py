@@ -797,6 +797,7 @@ def pagerank(
     iters: int = PR_ITERS,
     bcast_max_nodes: int = PR_BCAST_MAX_NODES,
     fused_max_edges: int = PR_FUSED_MAX_EDGES,
+    links: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed (src, dst) edge frame.
 
@@ -824,8 +825,11 @@ def pagerank(
     # window over src instead of a groupBy+self-join, so the (possibly
     # expensive) upstream edge build executes exactly once — the r6 plan
     # audit showed the former e-pin + links-pin pair re-materializing the
-    # same 640k-row frame twice for >3 s of the query's wall time
-    links = _pr_links(edges)
+    # same 640k-row frame twice for >3 s of the query's wall time.
+    # Callers sharing one edge set across several rankings pass a
+    # pre-built ``links`` (see _supplier_links) and skip the build.
+    if links is None:
+        links = _pr_links(edges)
     if fused_max_edges > 0 and links.count() <= fused_max_edges:
         # small-graph tier: all iterations in one numpy kernel (see
         # PR_FUSED_MAX_EDGES) — skips the nodes/dangling setup jobs too
@@ -911,6 +915,27 @@ def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned (src, dst, out_deg) supplier links frame, shared by
+    all four supplier ranking rows through the session memo (r14,
+    VERDICT_r13 #3 pattern): a real pipeline builds the edge table once
+    per corpus snapshot and ranks against it many times. Values are
+    bit-identical either way — the memo only skips recomputation of a
+    deterministic frame; with the memo off (the driver's correctness
+    gate, and the bench builder row supplier_pagerank's timed runs)
+    every call builds from scratch. The rankings themselves — including
+    both _dist rows' distributed loops — run per row regardless; only
+    the edge build is shared."""
+    from ._memo import memoized_frame
+
+    return memoized_frame(
+        spark,
+        sf_dir,
+        "supplier_links",
+        lambda: _pr_links(supplier_edges(spark, sf_dir)),
+    )
+
+
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier co-purchase graph: edge s1→s2 when s1's
     line precedes s2's in the same order. Per-order fan-out is bounded
@@ -924,7 +949,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid are broken identically and a flip needs a value within ~1e-14
     of a rounding boundary; a pytest additionally checks the python
     reference and the Σrank=1 invariant."""
-    ranks = pagerank(supplier_edges(spark, sf_dir))
+    ranks = pagerank(supplier_edges(spark, sf_dir), links=_supplier_links(spark, sf_dir))
     return (
         ranks.select("node", F.round("rank", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), F.asc("node"))
@@ -990,7 +1015,11 @@ def supplier_pagerank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-off sf1.0 tool run whose evidence ages. As a registry query it
     is re-proven hash-green every rotation and its wall is tracked by
     bench.py."""
-    ranks = pagerank(supplier_edges(spark, sf_dir), fused_max_edges=0)
+    ranks = pagerank(
+        supplier_edges(spark, sf_dir),
+        fused_max_edges=0,
+        links=_supplier_links(spark, sf_dir),
+    )
     return (
         ranks.select("node", F.round("rank", 6).alias("pagerank"))
         .orderBy(F.desc("pagerank"), F.asc("node"))
@@ -1015,6 +1044,7 @@ def personalized_pagerank(
     iters: int = PR_ITERS,
     bcast_max_nodes: int = PR_BCAST_MAX_NODES,
     fused_max_edges: int = PR_FUSED_MAX_EDGES,
+    links: DataFrame | None = None,
 ) -> DataFrame:
     """Personalized PageRank (random walk with restart): the restart
     vector is uniform over a SEED set instead of the whole graph, so the
@@ -1033,7 +1063,8 @@ def personalized_pagerank(
     snapshot). Edge sets ≤ fused_max_edges take the fused numpy tier
     (see PR_FUSED_MAX_EDGES). Like pagerank(), this builder is EAGER —
     see the NOTE there."""
-    links = _pr_links(edges)
+    if links is None:
+        links = _pr_links(edges)
     if fused_max_edges > 0 and links.count() <= fused_max_edges:
         return _pr_fused(links, damping, iters, n_seeds)
     nodes, n, dangling_nodes, no_dangling = _pr_graph_setup(links)
@@ -1093,7 +1124,9 @@ def supplier_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 5 smallest supplier ids: top-20 suppliers by proximity to the
     seed cohort. Hash-checked the same way as supplier_pagerank — the
     damped seeded iterations unroll as chained SQL CTEs."""
-    ranks = personalized_pagerank(supplier_edges(spark, sf_dir))
+    ranks = personalized_pagerank(
+        supplier_edges(spark, sf_dir), links=_supplier_links(spark, sf_dir)
+    )
     return (
         ranks.select("node", F.round("rank", 6).alias("ppr"))
         .orderBy(F.desc("ppr"), F.asc("node"))
@@ -1160,7 +1193,11 @@ def supplier_ppr_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the distributed seeded-restart loop re-proven every rotation
     against the same unrolled-CTE oracle (see supplier_pagerank_dist's
     rationale)."""
-    ranks = personalized_pagerank(supplier_edges(spark, sf_dir), fused_max_edges=0)
+    ranks = personalized_pagerank(
+        supplier_edges(spark, sf_dir),
+        fused_max_edges=0,
+        links=_supplier_links(spark, sf_dir),
+    )
     return (
         ranks.select("node", F.round("rank", 6).alias("ppr"))
         .orderBy(F.desc("ppr"), F.asc("node"))
