@@ -393,6 +393,13 @@ GRAPH_FAMILY = [
     "supplier_pagerank_dist",
     "supplier_ppr",
     "supplier_ppr_dist",
+    # the copurchase rows share the raw pair-count frame
+    # (_copurchase_pairs; builder: copurchase_triangles).
+    # copurchase_lift is NOT in the family — its counts are over the
+    # distinct (order, part) basket, a different multiset.
+    "copurchase_triangles",
+    "copurchase_kcore",
+    "copurchase_adamic_adar",
 ]
 
 
@@ -521,6 +528,7 @@ def main() -> None:
             "quality_classifier_fit",
             "quality_classifier_logit",
             "supplier_pagerank",
+            "copurchase_triangles",
         }
         if memo_on
         else set()

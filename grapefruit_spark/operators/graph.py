@@ -1209,6 +1209,37 @@ ORACLE["supplier_ppr_dist"] = _ppr_oracle()
 
 
 # ------------------------------------------------------------------ A16
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw co-purchase pair counts (u < v, n_cooc) over the basket
+    self-join — the shared edge primitive of copurchase_triangles /
+    copurchase_kcore (which use the distinct pair SET, = this frame's
+    keys) and copurchase_adamic_adar (which filters on the raw
+    multiplicity n_cooc). Shared through the session memo (r14,
+    VERDICT_r13 #3 pattern; builder row: copurchase_triangles): a real
+    pipeline materializes the co-occurrence table once and derives
+    every graph report from it. copurchase_lift stays separate — its
+    counts are over the DISTINCT (order, part) basket, a different
+    multiset. repartition(u) first: hashpartitioning(u) satisfies the
+    (u, v) aggregate's distribution, one shuffle instead of two."""
+    from ._memo import memoized_frame
+    from ..catalog import table
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+        b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+        return (
+            a.join(b, "k")
+            .where(F.col("u") < F.col("v"))
+            .repartition("u")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("n_cooc"))
+            .transform(pin)
+        )
+
+    return memoized_frame(spark, sf_dir, "copurchase_pairs", build)
+
+
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the part co-purchase graph (parts appearing in
     the same order are connected) — the WebGraph demo app's edge analysis
@@ -1222,23 +1253,10 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     would square the hottest hub. One row out: nodes/edges/triangles +
     global clustering coefficient.
     """
-    from ..catalog import table
-
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    # pin the (expensive) basket self-join + distinct ONCE: edges feed
-    # degrees, orientation, adjacency and the edge count — without the
-    # checkpoint each consumer re-runs the self-join. repartition(u)
-    # first: hashpartitioning(u) satisfies the (u,v) distinct agg's
-    # distribution AND pre-locates the degree join on u, one shuffle
-    # instead of two (same fusion as pagerank's edge build; 2.0→1.4 s)
-    edges = (
-        a.join(b, "k").where(F.col("u") < F.col("v")).select("u", "v")
-        .repartition("u")
-        .distinct()
-        .transform(pin)
-    )
+    # the pinned shared pair frame's keys ARE the distinct edge set the
+    # old in-operator self-join + distinct + pin produced (r14: shared
+    # with kcore/adamic_adar through _copurchase_pairs' session memo)
+    edges = _copurchase_pairs(spark, sf_dir).select("u", "v")
     deg = (
         edges.select(F.col("u").alias("n"))
         .union(edges.select(F.col("v").alias("n")))
@@ -1567,19 +1585,11 @@ ORACLE["copurchase_kcore"] = _kcore_oracle()
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected part co-purchase edges (u < v, distinct). Shared by
-    copurchase_kcore and the cross-SF invariant tests."""
-    from ..catalog import table
-
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    return (
-        a.join(b, "k").where(F.col("u") < F.col("v")).select(
-            F.col("u").alias("src"), F.col("v").alias("dst")
-        )
-        # the (src,dst) dedup rides the src partitioning — one shuffle
-        .repartition("src")
-        .distinct()
+    copurchase_kcore and the cross-SF invariant tests. r14: the
+    distinct pair set is exactly the shared pair frame's keys (see
+    _copurchase_pairs) — kcore rides the family memo with the others."""
+    return _copurchase_pairs(spark, sf_dir).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
     )
 
 
@@ -1630,16 +1640,11 @@ def copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(·10⁶); deg ≥ 1 ⇒ every wedge center has deg ≥ 2, so ln never
     hits 0.
     """
-    from ..catalog import table
-
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # r14: the raw pair counts come from the shared family frame (see
+    # _copurchase_pairs) — the support prune is a cheap filter over the
+    # pinned counts, identical to the old in-operator HAVING
     edges = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        _copurchase_pairs(spark, sf_dir)
         .where(F.col("n_cooc") >= AA_EDGE_SUPPORT)
         .select("u", "v")
         .transform(pin)
