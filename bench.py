@@ -379,6 +379,13 @@ FIT_FAMILY = [
     "quality_classifier_score",
     "quality_classifier_logit",
     "quality_classifier_logit_score",
+    # r14 optimization round: the two Lloyd k-means fits are shared
+    # artifacts too — builders knn_ivf_trained (k=IVF_CELLS fit; probe
+    # curve + ivf recall eval consume) and kmeans_embeddings
+    # (k=KMEANS_K fit; semantic_dedup consumes)
+    "knn_ivf_trained",
+    "kmeans_embeddings",
+    "semantic_dedup",
 ]
 
 #: r14 (optimization round): the four supplier ranking rows share one
@@ -529,6 +536,11 @@ def main() -> None:
             "quality_classifier_logit",
             "supplier_pagerank",
             "copurchase_triangles",
+            # r14 optimization round: the two k-means fits (see
+            # FIT_FAMILY note) — these rows keep timing the full
+            # from-scratch Lloyd training
+            "knn_ivf_trained",
+            "kmeans_embeddings",
         }
         if memo_on
         else set()

@@ -376,6 +376,32 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_TRAIN_ITERS = 4
 
 
+def _ivf_trained_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The (k=IVF_CELLS, IVF_TRAIN_ITERS) Lloyd fit over the embeddings
+    table, shared by knn_ivf_trained / knn_ivf_recall_eval /
+    knn_probe_curve through the session memo (r14 optimization;
+    VERDICT_r13 #3 pattern — one trained index artifact, many
+    consumers). kmeans_fit's driver fold is deterministic, so a
+    recomputation is bit-identical; with the memo off (the driver's
+    correctness gate, and the bench builder row knn_ivf_trained's timed
+    runs) every call trains from scratch."""
+    from ._memo import memoized_rows
+    from .ml import kmeans_fit
+
+    rows = memoized_rows(
+        spark,
+        sf_dir,
+        "ivf_kmeans_fit",
+        lambda: kmeans_fit(
+            spark,
+            table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            k=IVF_CELLS,
+            iters=IVF_TRAIN_ITERS,
+        )[0].tolist(),
+    )
+    return [(int(i), [float(x) for x in c]) for i, c in enumerate(rows)]
+
+
 def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn_ivf with TRAINED centroids (operators.ml.kmeans_fit) instead of
     step-sampled rows: cells follow the data distribution, so probing the
@@ -387,13 +413,8 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline is driver-verifiable. A recall-vs-bruteforce pytest bounds
     quality.
     """
-    from .ml import kmeans_fit
-
     emb = table(spark, sf_dir, "embeddings")
-    cents, _ = kmeans_fit(
-        spark, emb.select("vec_id", "embedding"), k=IVF_CELLS, iters=IVF_TRAIN_ITERS
-    )
-    centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    centroids = _ivf_trained_centroids(spark, sf_dir)
     return _ivf_knn(emb, centroids)
 
 
@@ -1275,18 +1296,57 @@ def knn_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-monotone curve means the cell ranking and the probe slice
     disagree, the bug class this operator exists to catch.
     """
-    from .ml import kmeans_fit
+    from ..reliability import pin
 
     emb = table(spark, sf_dir, "embeddings")
-    cents, _ = kmeans_fit(
-        spark, emb.select("vec_id", "embedding"), k=IVF_CELLS, iters=IVF_TRAIN_ITERS
-    )
-    centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    centroids = _ivf_trained_centroids(spark, sf_dir)
     exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # ONE scoring pass for the whole sweep (r14 optimization, the
+    # minhash_band_curve nesting device): probed cell sets NEST
+    # (top-1 ⊂ top-2 ⊂ top-4 ⊂ top-8), so score every candidate of the
+    # WIDEST point once, annotated with its cell's probe rank, and each
+    # sweep point's top-k is a filter (probe_rank < p) + the identical
+    # (cos_sim desc, neighbor_id) window over the pinned candidate
+    # frame. cos_sim values and tie-breaks are the same expressions
+    # _ivf_knn evaluates per point, so every point's top-k — and the
+    # recall table — is value-identical to the four-search formulation;
+    # the ORACLE keeps the direct per-point searches, so the hash gate
+    # proves the rewrite. Candidate frame is O(|queries| × corpus/cells
+    # × max_probes) — the widest point's scoring cost, paid once.
+    max_p = max(PROBE_SWEEP)
+    ranking = _cell_ranking(F.col("embedding"), centroids)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        F.element_at(ranking, 1).alias("cell"),
+    )
+    probe_rows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.posexplode(F.slice(ranking, 1, max_p)).alias("probe_rank", "cell"),
+        )
+    )
+    scored = pin(
+        corpus.join(broadcast(probe_rows), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            F.round(cosine_similarity(F.col("qvec"), F.col("cvec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     curves = []
     for p in PROBE_SWEEP:
         approx = (
-            _ivf_knn(emb, centroids, probes=p)
+            scored.where(F.col("probe_rank") < p)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id")
             .withColumn("hit", F.lit(1))
         )

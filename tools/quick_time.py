@@ -64,9 +64,19 @@ def main() -> int:
             print(f"{name:34s} ERROR {type(e).__name__}: {e}")
         finally:
             spark.catalog.clearCache()
+            # spare the session-memo frames exactly like bench.py's
+            # per-query sweep: their lineage is localCheckpoint-truncated,
+            # so dropping their blocks kills later consumers instead of
+            # slowing them (surfaced by a multi-query memo-on probe run)
+            keep: set[int] = set()
+            if os.environ.get("GRAPEFRUIT_CLUSTER_MEMO") == "1":
+                from grapefruit_spark.operators.graph import cluster_memo_rdd_ids
+
+                keep = cluster_memo_rdd_ids(spark)
             jsc = spark.sparkContext._jsc
             for rid in list(jsc.getPersistentRDDs().keySet().toArray()):
-                jsc.sc().unpersistRDD(rid, False)
+                if rid not in keep:
+                    jsc.sc().unpersistRDD(rid, False)
     return 0
 
 
