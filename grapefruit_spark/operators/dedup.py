@@ -773,39 +773,68 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 4×14-bit band blocking, then exact hamming
-    ≤ 3 verify via bit_count(xor). rows-only gate + planted-dup tests."""
-    sigs = simhash_signatures(table(spark, sf_dir, "documents"))
+    ≤ 3 verify via bit_count(xor). rows-only gate + planted-dup tests.
+
+    r14 plan notes: the band key is a BIGINT (band_index << width |
+    band_value) instead of a "i:value" string — same blocking, narrower
+    shuffle, no per-row string building — and the old
+    dropDuplicates(doc_a, doc_b) shuffle is gone: a pair matching in k
+    bands surfaces k times in the join, so each copy is kept only when
+    its band is the pair's FIRST matching band (every lower band
+    differs, tested on xor bits the join row already holds). Exactly
+    one copy survives per matching pair — the same (doc_a, doc_b,
+    hamming) set, one shuffle fewer. The signature frame is pinned:
+    the self-join's two sides otherwise each re-run the whole
+    tokenize + md5 + 56-sum vote pipeline (the sf0.001 plan shows two
+    complete aggregate subtrees — broadcast joins sit outside
+    ReuseExchange), and the pinned frame is corpus-ROW-sized (16 bytes
+    per doc), not token-sized."""
+    from ..reliability import pin
+
+    sigs = pin(simhash_signatures(table(spark, sf_dir, "documents")))
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
     banded = sigs.select(
         "doc_id",
         "simhash",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(i)),
+                    (
                         F.shiftright("simhash", i * band_width)
                         .bitwiseAND(F.lit(mask))
-                        .cast("string"),
-                    )
+                        + F.lit(i << band_width)
+                    ).cast("bigint")
                     for i in range(SIMHASH_BANDS)
                 ]
             )
-        ).alias("bk"),
+        ).alias("band", "bk"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    band_ne = [
+        F.shiftright(xor, j * band_width).bitwiseAND(F.lit(mask)) != F.lit(0)
+        for j in range(SIMHASH_BANDS)
+    ]
+    # true iff every band BELOW the matched one differs — the matched
+    # band is then the pair's first matching band
+    first_match = F.when(F.col("a.band") == 0, F.lit(True))
+    for i in range(1, SIMHASH_BANDS):
+        cond = band_ne[0]
+        for j in range(1, i):
+            cond = cond & band_ne[j]
+        first_match = first_match.when(F.col("a.band") == i, cond)
     return (
-        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(first_match)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= SIMHASH_HAMMING)
     )
 
