@@ -500,3 +500,54 @@ def test_connected_components_fused_matches_distributed(spark):
     assert fused[300] == 300 and fused[102] == 100
     # the bridge merges the path component with 50/60/200
     assert fused[200] == 0 and fused[50] == 0
+
+
+def test_triangles_fused_matches_distributed(spark):
+    """r14 small-graph tier for the triangle census: the fused numpy
+    kernel and the compact-forward DataFrame pipeline emit the
+    IDENTICAL integer (n_nodes, n_edges, n_triangles, n_wedges) row —
+    tier choice can never flip a value. Graph mixes K4 (4 triangles),
+    a diagonal-split square sharing node 0 (2 triangles, degree-tie
+    orientation), a hub wedge fan (0 triangles, many wedges), and an
+    isolated edge; the expected census is verified against an
+    itertools brute force, not just cross-tier."""
+    from itertools import combinations
+
+    from grapefruit_spark.operators.graph import (
+        _triangles_distributed,
+        _triangles_fused,
+    )
+
+    pairs = sorted(
+        {(min(a, b), max(a, b)) for a, b in (
+            # K4 on 0..3
+            [(a, b) for a, b in combinations(range(4), 2)]
+            # square 0-10-11-12 with diagonal 10-12
+            + [(0, 10), (10, 11), (11, 12), (12, 0), (10, 12)]
+            # hub 20 fanning to 21..26 (wedges, no closures)
+            + [(20, k) for k in range(21, 27)]
+            + [(100, 101)]
+        )}
+    )
+    edges = spark.createDataFrame(pairs, ["u", "v"])
+    fused = _triangles_fused(edges).collect()[0].asDict()
+    dist = _triangles_distributed(edges).collect()[0].asDict()
+    assert fused == dist
+    # brute-force reference
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for x, y, z in combinations(sorted(adj), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    assert fused == {
+        "n_nodes": len(adj),
+        "n_edges": len(pairs),
+        "n_triangles": tri,
+        "n_wedges": wedges,
+    }
+    assert tri == 6
