@@ -527,23 +527,49 @@ def main() -> None:
     # (their timed runs bypass the memo, exactly like the CC builders);
     # consumer rows then measure marginal cost over the shared artifact
     # — the one-artifact-many-consumers shape a production pipeline runs.
+    # Builder row → the memo KINDS whose from-scratch build that row's
+    # timed runs must pay (GRAPEFRUIT_MEMO_SKIP, per-kind — r14 opt
+    # round; see operators/_memo.py:_skip_kinds). A builder still READS
+    # memo kinds it merely consumes (charged to THEIR builder rows), so
+    # each shared artifact's construction is timed by exactly one row.
     memo_builders = (
         {
-            "dedup_clusters",
-            "jaccard_clusters",
-            "knn_bruteforce",
-            "quality_classifier_fit",
-            "quality_classifier_logit",
-            "supplier_pagerank",
-            "copurchase_triangles",
+            "dedup_clusters": "minhash_cc",
+            "jaccard_clusters": "jaccard_cc",
+            "knn_bruteforce": "knn_exact",
+            "quality_classifier_fit": "qc_ridge_fit",
+            "quality_classifier_logit": "qc_logit_fit",
+            "supplier_pagerank": "supplier_links",
+            "copurchase_triangles": "copurchase_pairs",
             # r14 optimization round: the two k-means fits (see
             # FIT_FAMILY note) — these rows keep timing the full
             # from-scratch Lloyd training
-            "knn_ivf_trained",
-            "kmeans_embeddings",
+            "knn_ivf_trained": "ivf_kmeans_fit",
+            "kmeans_embeddings": "kmeans_k8_fit",
+            # r14 opt: the BPE merge-table fit was memoized in the r14
+            # build work with NO builder row (both bpe rows read it
+            # after their warmup populated it — nobody timed the fit);
+            # bpe_merge_sequence now pays it
+            "bpe_merge_sequence": "bpe_merges",
+            # r14 opt: pair graphs, minhash signatures, duplicate-run
+            # tables, backoff score table, covariance rows and PQ/OPQ
+            # codebooks are shared artifacts too — each with one
+            # builder row
+            "condorcet_pairs": "condorcet_pairs",
+            "dedup_minhash": "minhash_grams,minhash_sigs,minhash_pairs",
+            "ngram_jaccard_pairs": "ngram_pairs",
+            "dup_span_docs": "dup_fps",
+            "dup_run_stats": "dup_runs",
+            "doc_backoff_surprisal": "backoff_scores",
+            # emb_cov (the collected Gram rows) has no skip entry: the
+            # embedding_covariance row's own plan IS the scan, so it
+            # times the artifact's build without ever reading the memo
+            "knn_sq8": "sq8_stats",
+            "knn_ivf_pq": "pq_fit_raw",
+            "knn_ivf_opq": "pq_fit_opq",
         }
         if memo_on
-        else set()
+        else {}
     )
     spark = get_spark("grapefruit-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -577,7 +603,7 @@ def main() -> None:
             # tracking the full from-scratch CC build round-over-round.
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             if name in memo_builders:
-                os.environ.pop("GRAPEFRUIT_CLUSTER_MEMO", None)
+                os.environ["GRAPEFRUIT_MEMO_SKIP"] = memo_builders[name]
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -594,7 +620,7 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
         finally:
             if name in memo_builders:
-                os.environ["GRAPEFRUIT_CLUSTER_MEMO"] = "1"
+                os.environ.pop("GRAPEFRUIT_MEMO_SKIP", None)
             # drop persisted frames (dedup signature caches etc.) so queries
             # don't evict each other's storage memory as the session grows —
             # each query is measured cold-cache / warm-codegen

@@ -36,6 +36,26 @@ def memo_enabled() -> bool:
     return os.environ.get("GRAPEFRUIT_CLUSTER_MEMO") == "1"
 
 
+def _skip_kinds() -> set[str]:
+    """Memo kinds the current caller must build FROM SCRATCH even with
+    the memo on — ``GRAPEFRUIT_MEMO_SKIP`` (comma-separated kinds), set
+    by bench.py around each BUILDER row's timed runs (r14 optimization
+    round). The old all-or-nothing bypass (popping the memo var) made a
+    builder of one artifact also rebuild every UPSTREAM shared artifact
+    it merely consumes (e.g. jaccard_clusters, builder of the cluster
+    frame, re-paid the whole ngram pair-graph build its family already
+    charges to ngram_jaccard_pairs); per-kind skip keeps exactly one
+    bench row paying each artifact's from-scratch cost."""
+    raw = os.environ.get("GRAPEFRUIT_MEMO_SKIP", "")
+    return {k for k in raw.split(",") if k}
+
+
+def memo_active(kind: str) -> bool:
+    """True iff the session memo would serve/store this kind for the
+    current caller (enabled, and not skip-listed for this bench row)."""
+    return memo_enabled() and kind not in _skip_kinds()
+
+
 def _key(spark: SparkSession, sf_dir: str, kind: str) -> tuple[str, str, str]:
     return (spark.sparkContext.applicationId, os.path.abspath(sf_dir), kind)
 
@@ -62,7 +82,7 @@ def memoized_frame(spark: SparkSession, sf_dir: str, kind: str, build):
     independent of any intermediate pins a cleanup may drop."""
     from ..reliability import pin
 
-    if not memo_enabled():
+    if not memo_active(kind):
         return build()
     _evict_stale(spark)
     key = _key(spark, sf_dir, kind)
@@ -73,7 +93,7 @@ def memoized_frame(spark: SparkSession, sf_dir: str, kind: str, build):
 
 def memoized_rows(spark: SparkSession, sf_dir: str, kind: str, build):
     """build() → list of plain python values (collected, bounded)."""
-    if not memo_enabled():
+    if not memo_active(kind):
         return build()
     _evict_stale(spark)
     key = _key(spark, sf_dir, kind)

@@ -455,7 +455,23 @@ def doc_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization and the floor(avg·10⁶) emission — the
     doc_bigram_surprisal parity contract — are bit-unchanged; what
     changes is the shuffle bill: the corpus-sized tf frame crosses the
-    network twice (score join + doc rollup) instead of six times."""
+    network twice (score join + doc rollup) instead of six times.
+
+    The per-doc score table is a shared artifact (doc_perplexity_buckets
+    buckets it — CCNet's "write the scores table" step): it flows
+    through the session memo as "backoff_scores" when active
+    (bit-identical; the memo only skips recomputation)."""
+    from ._memo import memoized_frame
+
+    return memoized_frame(
+        spark,
+        sf_dir,
+        "backoff_scores",
+        lambda: _doc_backoff_surprisal_build(spark, sf_dir),
+    )
+
+
+def _doc_backoff_surprisal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe import _U32, _bucket
 
     docs = table(spark, sf_dir, "documents")
@@ -668,13 +684,18 @@ def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as its own broadcast job, outside ReuseExchange's reach) —
     # measured 4.0 s vs 2.4 s for one surprisal pass at sf0.1. At scale
     # this is CCNet's "write the scores table" step.
-    scored = pin(
-        doc_backoff_surprisal(spark, sf_dir).select(
-            "doc_id",
-            "n_trigrams",
-            F.expr(f"avg_surprisal_e6 div {PPLX_BIN_E6}").alias("bin"),
-        )
+    from ._memo import memo_active
+
+    scored = doc_backoff_surprisal(spark, sf_dir).select(
+        "doc_id",
+        "n_trigrams",
+        F.expr(f"avg_surprisal_e6 div {PPLX_BIN_E6}").alias("bin"),
     )
+    if not memo_active("backoff_scores"):
+        # r14: with the memo active the score table is already a pinned
+        # shared frame (builder: doc_backoff_surprisal) — this select is
+        # a trivial map over it; from scratch, pin as before
+        scored = pin(scored)
     from pyspark.sql.window import Window as _W
 
     bins = scored.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
@@ -969,12 +990,33 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", (md5_hash60(F.col("bg")) % DSIR_BUCKETS).alias("bucket")
     )
-    f = feats.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
-    dist = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_tgt"),
+    # r14 (guide §7.2 duplicated-subtree audit): both feature
+    # distributions AND the per-doc scoring agg consume the corpus
+    # explode, and the rate subtree executes as its own broadcast job
+    # OUTSIDE ReuseExchange — unpinned, the tokenize + ngram + md5
+    # explode ran TWICE. Pin the per-(doc, bucket) count frame (≤
+    # DSIR_BUCKETS narrow rows/doc: int bucket/tf, boolean target flag)
+    # and fold dist from it: n_raw = Σ_doc tf and n_tgt = Σ_{tgt} tf
+    # per bucket are the identical integers the raw-explode aggregate
+    # produced, so every downstream double is bit-unchanged. At sf0.1
+    # the pin ≈ the saved explode (wash); at corpus scale one tokenize
+    # pass + an O(docs·256) artifact beats two tokenize passes.
+    from ..reliability import pin
+
+    f = pin(
+        feats.select(
+            "doc_id",
+            (F.col("lang") == DSIR_TARGET_LANG).alias("is_tgt"),
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+        .groupBy("doc_id", "is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    dist = f.groupBy("bucket").agg(
+        F.sum("tf").alias("n_raw"),
+        F.sum(F.when(F.col("is_tgt"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "n_tgt"
+        ),
     )
     tot = dist.agg(
         F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")

@@ -5,9 +5,11 @@ seconds instead of re-running the full 197-row HEADLINE.
 
 Usage: python tools/quick_time.py [sf_dir] name [name ...]
 
-Env: GRAPEFRUIT_CLUSTER_MEMO is honored exactly as set (bench.py's
-builder rows bypass the memo; here you control it explicitly —
-export GRAPEFRUIT_CLUSTER_MEMO=0 to time a from-scratch build).
+Env: GRAPEFRUIT_CLUSTER_MEMO and GRAPEFRUIT_MEMO_SKIP are honored
+exactly as set (bench.py's builder rows skip only the kinds they
+build; here you control both explicitly — GRAPEFRUIT_CLUSTER_MEMO=0
+times a fully from-scratch build, GRAPEFRUIT_MEMO_SKIP=<kinds> mirrors
+a builder row's timed runs).
 Numbers here are NOT bench-record comparable run-to-run across hosts
 (no calibration), but before/after on the same quiet host is exactly
 the bench delta.
