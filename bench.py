@@ -557,7 +557,7 @@ def main() -> None:
             # builder row
             "condorcet_pairs": "condorcet_pairs",
             "dedup_minhash": "minhash_grams,minhash_sigs,minhash_pairs",
-            "ngram_jaccard_pairs": "ngram_pairs",
+            "ngram_jaccard_pairs": "ngram_pairs,gram_index",
             "dup_span_docs": "dup_fps",
             "dup_run_stats": "dup_runs",
             "doc_backoff_surprisal": "backoff_scores",

@@ -76,3 +76,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql queries."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a scan out to every core WITHOUT ever shuffling a corpus that
+    is already well-partitioned (r14 optimization; generalized from
+    dedup._spread, r9). The testdata tables are single-row-group parquet
+    files, so their scan — and every per-row map fused into it (decimal
+    aggregation partials, regex masking, tokenization, pipe mappers) —
+    runs in ONE task locally no matter what maxPartitionBytes says (a
+    row group is indivisible). At cluster scale the input arrives in
+    thousands of scan partitions and this is a no-op; an unconditional
+    repartition here would shuffle raw rows — the most expensive
+    possible shuffle at 100 TB. Only order-free queries may use it:
+    every consumer's emissions are exact-integer / DECIMAL folds or
+    per-row maps, so partitioning cannot change a value (most consumers
+    additionally carry the r10 NO_BCAST re-proof, which already
+    hash-proved them under a different physical layout)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

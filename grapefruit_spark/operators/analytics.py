@@ -181,6 +181,9 @@ def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw SQL surface: register the catalog as views and run ANSI SQL
     through spark.sql — proves a reference user can bring plain SQL."""
     register_views(spark, sf_dir)
+    # r14: catalog.spread on the lineitem view measured ~neutral here
+    # (the count(DISTINCT) expand re-shuffles regardless) — the raw-SQL
+    # surface stays exactly the registered catalog views
     return spark.sql(
         """
         SELECT n_name,

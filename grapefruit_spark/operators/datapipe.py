@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 
 ORACLE: dict[str, str] = {}
 
@@ -282,7 +282,9 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     plants every class — including a non-Luhn card shape that must
     flow through unmasked on BOTH engines.
     """
-    docs = table(spark, sf_dir, "documents")
+    # r14: catalog.spread — six regex classes per row otherwise run
+    # inside the one-task local scan; per-row map, partitioning-free
+    docs = spread(table(spark, sf_dir, "documents"))
     return redact_text(docs).select(
         "doc_id",
         "n_email",

@@ -44,16 +44,12 @@ _DUCK_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 def _spread(docs: DataFrame) -> DataFrame:
-    """Ensure the CPU-bound signature stage uses every core WITHOUT ever
-    shuffling a corpus that is already well-partitioned: locally a small
-    parquet file scans in one task, so fan it out; at cluster scale the
-    input arrives in thousands of scan partitions and this is a no-op
-    (an unconditional repartition here would shuffle raw text — the
-    most expensive possible shuffle at 100 TB)."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
+    """Conditional scan fan-out — generalized into catalog.spread in r14
+    (single-row-group local files scan in one task; cluster-scale no-op);
+    kept as the historical dedup-side name."""
+    from ..catalog import spread
+
+    return spread(docs)
 
 
 # ------------------------------------------------------------------ D1
@@ -171,7 +167,22 @@ def _gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df > SHINGLE_DF_CAP) are dropped from the intersection sets while
     full sizes still feed the denominators. Pinned (one materialization)
     because candidate generation and verification both read it.
+
+    r14: the pinned index rides the session memo as "gram_index" when
+    active — BOTH pair rows (Jaccard and containment) open with this
+    identical build; builder row ngram_jaccard_pairs times it from
+    scratch, and the driver's gate always recomputes it.
     """
+    from ._memo import memo_active, memoized_frame
+
+    if memo_active("gram_index"):
+        return memoized_frame(
+            spark, sf_dir, "gram_index", lambda: _gram_index_build(spark, sf_dir)
+        )
+    return _gram_index_build(spark, sf_dir)
+
+
+def _gram_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..reliability import pin
 
     # materialize hashed shingles ONCE: project-collapse otherwise

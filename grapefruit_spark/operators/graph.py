@@ -1473,6 +1473,9 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..catalog import table
 
+    # r14: catalog.spread measured HERE (lift is self-join-bound, not
+    # scan-bound): 1.46 -> 2.47 s — the fan-out shuffle costs more than
+    # the one-task distinct partials it parallelizes. Left unspread.
     basket = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

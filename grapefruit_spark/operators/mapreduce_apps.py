@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..maplejuice import juice, maple
 
 ORACLE: dict[str, str] = {}
@@ -27,7 +27,10 @@ def mj_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a wc maple exe emitting K,V lines. Juice: per-key sum. Runs on the
     pandas escape-hatch path on purpose: it proves the generic MR surface.
     """
-    docs = table(spark, sf_dir, "documents").select("text")
+    # r14: catalog.spread — the maple stage otherwise runs as ONE pandas
+    # batch over the single-row-group local scan (integer counts,
+    # partitioning-free; the reference CLI's num_maples knob, derived)
+    docs = spread(table(spark, sf_dir, "documents").select("text"))
 
     def wc_maple(pdf: pd.DataFrame) -> pd.DataFrame:
         # per-batch COMBINER (the reference's own WebGraph maple pre-sums
@@ -101,7 +104,9 @@ def mj_exe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    acc += int(v)\n"
             "flush()\n"
         )
-    docs = table(spark, sf_dir, "documents").select("text")
+    # r14: catalog.spread — otherwise ONE external pipe process maps the
+    # whole corpus (the reference always passes num_maples > 1)
+    docs = spread(table(spark, sf_dir, "documents").select("text"))
     kv = maple_pipe(docs, f"{sys.executable} {mapper}")
     out = juice_pipe(kv, f"{sys.executable} {reducer}", num_juices=8)
     return out.select(

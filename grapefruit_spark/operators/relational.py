@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions import dec_avg, dec_sum
 
 ORACLE: dict[str, str] = {}
@@ -45,7 +45,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a single scan + 6-group shuffle; Catalyst emits a partial
     HashAggregate before the exchange so the shuffle carries 6 rows/task.
     """
-    li = table(spark, sf_dir, "lineitem")
+    # r14: fan the single-row-group local scan out (catalog.spread) —
+    # the decimal aggregation partials otherwise run in ONE task; all
+    # emissions are DECIMAL/int folds, so partitioning can't move a value
+    li = spread(table(spark, sf_dir, "lineitem"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")

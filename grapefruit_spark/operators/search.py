@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import spread, table
 from ..functions import (
     materialize_ctes,
     md5_hash60,
@@ -352,7 +352,9 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout). Cross-engine ln parity: per-addend DECIMAL(28,12)
     quantization, floor(avg·10⁶) emission.
     """
-    docs = table(spark, sf_dir, "documents")
+    # r14: catalog.spread — tokenization otherwise runs inside the
+    # one-task local scan; the decimal surprisal fold is order-free
+    docs = spread(table(spark, sf_dir, "documents"))
     toks = ws_tokens(F.lower(F.col("text")))
     bgs = docs.select(
         "doc_id", F.explode(word_ngrams(toks, 2)).alias("bg")
@@ -474,6 +476,9 @@ def doc_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_backoff_surprisal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe import _U32, _bucket
 
+    # r14: catalog.spread measured HERE: 2.19 -> 2.73 s — the fan-out
+    # exchange feeds six model-table branches and its round trip costs
+    # more than the one-task tokenize it parallelizes. Left unspread.
     docs = table(spark, sf_dir, "documents")
     toks = ws_tokens(F.lower(F.col("text")))
     is_model = _bucket(F.col("doc_id")) < int(BACKOFF_MODEL_FRAC * _U32)
@@ -866,6 +871,9 @@ def term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     house DECIMAL(28,12) quantization of one IEEE-identical ratio.
     """
     docs = table(spark, sf_dir, "documents")
+    # r14: catalog.spread measured HERE (pmi is pair-join-bound): 1.21 ->
+    # 1.37 s — the fan-out shuffle exceeds the one-task tokenize it
+    # parallelizes. Left unspread.
     dt = (
         docs.select("doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term"))
         .distinct()
@@ -983,7 +991,9 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     toks = ws_tokens(F.lower(F.col("text")))
-    feats = docs.select(
+    # r14: catalog.spread — the bigram hash explode otherwise runs
+    # inside the one-task local scan (decimal fold, order-free)
+    feats = spread(docs).select(
         "doc_id",
         "lang",
         F.explode(word_ngrams(toks, 2)).alias("bg"),

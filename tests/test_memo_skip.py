@@ -133,6 +133,21 @@ def test_runs_family_memo_matches_scratch_after_sweep(spark):
         _memo.clear_memo()
 
 
+def test_gram_index_kind_matches_scratch(spark):
+    from grapefruit_spark.operators import _memo, dedup
+
+    _clean_env()
+    _memo.clear_memo()
+    scratch = _rows(dedup.ngram_containment_pairs(spark, SF_DIR))
+    os.environ["GRAPEFRUIT_CLUSTER_MEMO"] = "1"
+    try:
+        dedup.ngram_jaccard_pairs(spark, SF_DIR).count()  # populates gram_index
+        assert _rows(dedup.ngram_containment_pairs(spark, SF_DIR)) == scratch
+    finally:
+        _clean_env()
+        _memo.clear_memo()
+
+
 def test_pq_and_cov_fit_kinds_match_scratch(spark):
     from grapefruit_spark.operators import _memo, similarity
 
