@@ -769,26 +769,34 @@ def _pr_graph_setup(links: DataFrame):
     """Shared pagerank/PPR graph preparation for the DISTRIBUTED loop:
     takes the pinned links frame from :func:`_pr_links`, returns (nodes,
     n, dangling_nodes, no_dangling) with nodes pinned."""
-    nodes = (
-        links.select(F.col("src").alias("node"))
-        .union(links.select(F.col("dst").alias("node")))
-        .distinct()
+    # r15 (guide §1.2 — fewer passes): ONE pass over links builds the
+    # node set AND its has_out flag (max over {src→1, dst→0} markers),
+    # so the dangling set no longer needs a second anti-join pass over
+    # the 640k-row links frame, and node count + dangling count collapse
+    # into one aggregate over the pinned ~|V|-row frame. The node set
+    # (distinct src ∪ dst) and the dangling set (nodes never a src) are
+    # definitionally identical to the old distinct + left_anti pair.
+    flagged = (
+        links.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+        .union(links.select(F.col("dst").alias("node"), F.lit(0).alias("has_out")))
+        .groupBy("node")
+        .agg(F.max("has_out").alias("has_out"))
         .transform(pin)
     )
-    n = nodes.count()
-    # dangling node SET is iteration-invariant — pin it once; only its
-    # current mass (a scalar) is recomputed per round. When the graph has
-    # NO dangling nodes (co-occurrence graphs: every node that exists has
-    # an out-edge), dm ≡ 0.0 exactly in both engines, so the whole
+    cnt = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("has_out") == 0, 1).otherwise(0)).alias("nd"),
+    ).first()
+    n, n_dangling = int(cnt["n"]), int(cnt["nd"] or 0)
+    # dangling node SET is iteration-invariant; only its current mass (a
+    # scalar) is recomputed per round. When the graph has NO dangling
+    # nodes (co-occurrence graphs: every node that exists has an
+    # out-edge), dm ≡ 0.0 exactly in both engines, so the whole
     # per-iteration mass branch is skipped — one broadcast and one agg
     # per iteration instead of two of each.
-    dangling_nodes = nodes.join(links, nodes.node == links.src, "left_anti")
-    no_dangling = dangling_nodes.count() == 0
-    if not no_dangling:
-        # only worth materializing when the per-iteration mass branch
-        # will actually consume it
-        dangling_nodes = dangling_nodes.transform(pin)
-    return nodes, n, dangling_nodes, no_dangling
+    nodes = flagged.select("node")
+    dangling_nodes = flagged.where(F.col("has_out") == 0).select("node")
+    return nodes, n, dangling_nodes, n_dangling == 0
 
 
 def pagerank(
@@ -879,7 +887,7 @@ def pagerank(
         # partial-merge orders and derive dm and contribs from slightly
         # different (~1 ulp) rank snapshots — so that path pins every
         # generation, exactly like the pre-r7 loop.
-        cadence = 3 if no_dangling else 1
+        cadence = 2 if no_dangling else 1
         if i % cadence == cadence - 1 or i == iters - 1:
             ranks = ranks.transform(pin)
             # the eager pin above already consumed the previous rank
@@ -1110,7 +1118,7 @@ def personalized_pagerank(
             ranks = ranks.join(F.broadcast(dm))
         ranks = ranks.select("node", new_rank.alias("rank"))
         # same cadence rationale as pagerank(): see the comment there
-        cadence = 3 if no_dangling else 1
+        cadence = 2 if no_dangling else 1
         if i % cadence == cadence - 1 or i == iters - 1:
             ranks = ranks.transform(pin)
             if prev_pinned is not None:

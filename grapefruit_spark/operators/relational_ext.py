@@ -71,6 +71,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_partkey == F.col("p_partkey"),
         "left_semi",
     )
+    eur = (
+        table(spark, sf_dir, "supplier")
+        .join(broadcast(table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(table(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # r15 (guide §2.3/§3.2): cost rows for non-EUROPE suppliers are
+    # dropped by the cost_eur join below — semi-filtering lineitem on
+    # the surviving suppliers BEFORE the (l_partkey, l_suppkey)
+    # aggregation shrinks the agg's shuffle to the 1/5 of rows that can
+    # ever reach the output (min_cost is computed over cost_eur, so the
+    # restriction is semantics-preserving). Same decorrelation-aware
+    # pushdown as the part semi above, on the supplier axis.
+    li = li.join(
+        eur.select("s_suppkey"),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
     unit = (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(18,6)")
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
@@ -82,13 +101,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cost_e4"
             ),
         )
-    )
-    eur = (
-        table(spark, sf_dir, "supplier")
-        .join(broadcast(table(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(broadcast(table(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
-        .where(F.col("r_name") == "EUROPE")
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cost_eur = cost.join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
     min_cost = cost_eur.groupBy("l_partkey").agg(F.min("cost_e4").alias("min_cost"))
@@ -156,12 +168,25 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    # r15 (guide §3.2): the disjunctive pair predicate IMPLIES
+    # supp_nation ∈ {N1, N2} and cust_nation ∈ {N1, N2} — Catalyst does
+    # not extract those from the OR, so without them the FULL supplier
+    # and customer tables joined the fact rows. Applying the implied
+    # membership filters to the dims first keeps only ~2/25 of each dim
+    # (trivially broadcastable at any SF) and drops >90% of lineitem
+    # rows at the FIRST join, before the orders shuffle. The final
+    # ``pair`` filter is unchanged, so the result is identical.
+    nations = ("NATION_1", "NATION_2")
+    supp_f = supp.join(broadcast(n1), F.col("s_nationkey") == F.col("sn_key")).where(
+        F.col("supp_nation").isin(*nations)
+    )
+    cust_f = cust.join(broadcast(n2), F.col("c_nationkey") == F.col("cn_key")).where(
+        F.col("cust_nation").isin(*nations)
+    )
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        li.join(supp_f, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_f, F.col("o_custkey") == F.col("c_custkey"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(dec_sum(_rev()).alias("revenue"))

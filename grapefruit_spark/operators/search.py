@@ -115,18 +115,31 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     N/df/avgdl are one 1-row aggregate broadcast into the scoring map.
     Okapi BM25 (Robertson-Sparck Jones idf, ln(1 + (N-df+.5)/(df+.5))).
     """
+    from ..reliability import pin
+
     docs = table(spark, sf_dir, "documents")
     toks = ws_tokens(F.lower(F.col("text")))
 
     def _tf(term: str):
         # closure factory: a default-arg lambda would change the arity
         # pyspark introspects for higher-order functions
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+        return F.size(F.filter(F.col("tk"), lambda t: t == F.lit(term)))
 
-    base = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(BM25_QUERY)],
+    # r15 (guide §7.2 duplicated-subtree audit): tokenize ONCE — the
+    # regex split previously inlined into dl AND every per-term tf
+    # (CollapseProject re-inlines cheap-looking aliases; staging tk in
+    # its own projection keeps one evaluation since the alias is
+    # referenced 5×, which the collapse rule treats as non-cheap), and
+    # the whole scan ran TWICE (stats agg + scoring join). The pinned
+    # base is 6 ints/row — the inverted-stats artifact a real BM25
+    # deployment stores — so both consumers read one materialization.
+    staged = docs.select("doc_id", toks.alias("tk"))
+    base = pin(
+        staged.select(
+            "doc_id",
+            F.size("tk").alias("dl"),
+            *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(BM25_QUERY)],
+        )
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1488,6 +1501,18 @@ FROM scoredq s CROSS JOIN meanq m
 #: logistic GD steps (fewer than ridge's 32: each step is a distributed
 #: pass, and the σ nonlinearity converges the separable directions fast)
 LOGIT_ITERS = 16
+#: corpora up to this many documents run all LOGIT_ITERS GD steps in ONE
+#: numpy kernel over a single applyInPandas group (the CC/pagerank/
+#: triangles fused-tier device — r15, the 16 sequential collect jobs
+#: were pure scheduling floor at gate/bench scale). The cap is an int64
+#: SAFETY bound, not a tuning knob: the gradient partial sums satisfy
+#: Σ|code·d| ≤ 1024·10¹²·n_docs, which stays inside int64 (< 2^63 ≈
+#: 9.22e18) only for n_docs ≤ 8000 — above it the distributed loop's
+#: DECIMAL(38,0) fold is REQUIRED for exactness, so the tier hands over.
+#: Both tiers run the identical integer recurrence (exact int64 dot
+#: products, floor-quantized σ, truncating-integer update); equality on
+#: the driver corpus is pinned by pytest and the oracle is unchanged.
+LOGIT_FUSED_MAX_DOCS = 8_000
 #: fixed-point grid for the σ output (floor(σ·10¹²) — the per-addend
 #: DECIMAL(28,12)-class quantization of the surprisal rows, applied to
 #: exp instead of ln)
@@ -1560,6 +1585,11 @@ def quality_classifier_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT_r13 #3) like the ridge fit: under it the 16 distributed
     passes run once per corpus snapshot and the scoring row reuses the
     table. Values bit-identical either way.
+
+    r15: corpora ≤ LOGIT_FUSED_MAX_DOCS run all GD steps in one numpy
+    kernel (see the constant's int64-safety rationale and
+    _logit_fused_rows' exactness note); larger corpora keep the
+    distributed per-step loop. Tier equality is pinned by pytest.
     """
     return spark.createDataFrame(
         _logit_weight_rows(spark, sf_dir), schema="feat int, weight_e12 bigint"
@@ -1577,8 +1607,63 @@ def _logit_weight_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]
     )
 
 
+def _logit_fused_rows(base, n_docs: int) -> list[tuple[int, int]]:
+    """All LOGIT_ITERS GD steps in one numpy kernel over a single
+    applyInPandas group (small-corpus tier; n_docs ≤ LOGIT_FUSED_MAX_DOCS
+    — see the constant's int64-safety rationale).
+
+    Bit-exactness vs the distributed loop, step for step: z = X·w is an
+    exact int64 matmul (|z| ≤ 65·1024·8·10¹² ≈ 5.5e17 and every partial
+    sum is bounded by Σ|code·w| < 2^63); σ is the same double expression
+    floor(10¹²/(1+exp(−z/(1024·10¹²)))) the JVM path computes — the
+    floor quantization absorbs last-ulp exp() disagreement exactly as
+    the docstring's cross-engine argument already accepts for
+    JVM-vs-DuckDB (saturation is exact: exp overflow → p = 0, exp
+    underflow → p = 10¹²); the gradient X'·d is again exact int64 under
+    the tier cap (Σ|code·d| ≤ 1024·10¹²·n_docs < 2^63); and the update
+    uses truncate-toward-zero division on nonnegative magnitudes, the
+    shared div/// semantics. Integer sums are order-free, so the fused
+    fold equals the distributed DECIMAL(38,0) fold bit for bit.
+    """
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        nf = QC_BUCKETS + 1
+        x = np.array(pdf["codes"].tolist(), dtype=np.int64).reshape(-1, nf)
+        y = pdf["y"].to_numpy(dtype=np.int64)
+        yp = y * np.int64(LOGIT_P_SCALE)
+        w = np.zeros(nf, dtype=np.int64)
+        gden = np.int64(2 * QC_SCALE * n_docs)
+        with np.errstate(over="ignore"):
+            for _ in range(LOGIT_ITERS):
+                z = x @ w
+                p = np.floor(
+                    float(LOGIT_P_SCALE)
+                    / (1.0 + np.exp(-(z.astype(np.float64) / float(LOGIT_Z_DEN))))
+                ).astype(np.int64)
+                d = p - yp
+                g = x.T @ d
+                w = (
+                    w
+                    - np.sign(g) * (np.abs(g) // gden)
+                    - np.sign(w) * (np.abs(w) // np.int64(2000))
+                )
+        return pd.DataFrame({"feat": np.arange(nf, dtype="int32"), "w": w})
+
+    out = (
+        base.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(kernel, "feat int, w long")
+        .collect()
+    )
+    return [(int(r["feat"]), int(r["w"])) for r in out]
+
+
 def _logit_weight_rows_build(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    fused_max_docs: int = -1,
 ) -> list[tuple[int, int]]:
     from .text import quality_gopher_rules
 
@@ -1618,6 +1703,16 @@ def _logit_weight_rows_build(
         )
         for j in range(QC_BUCKETS)
     ] + [F.lit(QC_SCALE).cast("bigint")]
+    # small-corpus tier (r15): all GD steps in one numpy kernel — skips
+    # the checkpoint materialization AND the 16 per-step jobs; pass
+    # fused_max_docs=0 to force the distributed loop (tests, _dist rows)
+    if fused_max_docs < 0:
+        fused_max_docs = LOGIT_FUSED_MAX_DOCS
+    if 0 < n_docs <= fused_max_docs:
+        fbase = labels.join(per_doc, "doc_id", "left").select(
+            "y", F.array(*code_slots).alias("codes")
+        )
+        return _logit_fused_rows(fbase, n_docs)
     # Partition count sizes to the dense-row bound (the r13 loop's
     # sizing, kept scale-adaptive: ~200k code slots per task — a few
     # tasks at gate scale, cluster-wide at 10⁹ docs); the

@@ -1123,8 +1123,87 @@ def _bpe_merge_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, in
     )
 
 
+#: vocabularies up to this many DISTINCT alphabetic word types run the
+#: whole BPE_MERGES merge loop in ONE python kernel over a single
+#: applyInPandas group (r15; the CC/pagerank/logit fused-tier device):
+#: each distributed merge round is a full pair-count job + a
+#: TakeOrdered(1) argmax — pure scheduling floor when the distinct-word
+#: table fits a task (Heaps-law: ~40k types at sf0.1). The kernel runs
+#: the identical (count → argmax → non-overlapping replace) recurrence —
+#: python str.replace IS the left-to-right non-overlapping rewrite both
+#: engines' replace() implements, integer counts are order-free, and
+#: the (count DESC, pair ASC) tie-break is the same total order (ASCII
+#: space/letters compare identically) — so tier choice cannot flip a
+#: value; equality is pinned by pytest. Above the cutoff the
+#: distributed per-round loop runs (the 100 TB tier: millions of types
+#: stay on the executors).
+BPE_FUSED_MAX_WORDS = 200_000
+
+
+def _bpe_fused_rows(wf) -> list[tuple[int, str, int]]:
+    """All BPE_MERGES rounds in one kernel over the (enc, n_w)
+    distinct-word frequency table (small-vocab tier — see
+    BPE_FUSED_MAX_WORDS). Incremental pair maintenance: round 1 counts
+    every word's adjacent symbol pairs once; each merge then re-counts
+    ONLY the words whose encoding contains the merged pair (subtract
+    old pairs, rewrite, add new), so 8 rounds cost far less than 8 full
+    passes."""
+
+    def kernel(pdf):
+        import pandas as pd
+
+        def pairs_of(enc: str) -> list[str]:
+            syms = [s for s in enc.split("|") if s]
+            return [f"{syms[i]} {syms[i + 1]}" for i in range(len(syms) - 1)]
+
+        encs = pdf["enc"].tolist()
+        nws = pdf["n_w"].tolist()
+        counts: dict[str, int] = {}
+        for enc, nw in zip(encs, nws):
+            for p in pairs_of(enc):
+                counts[p] = counts.get(p, 0) + nw
+        merges = []
+        for t in range(BPE_MERGES):
+            if not counts:
+                break
+            # argmax by (n_pair DESC, pair ASC) — the distributed
+            # orderBy(desc(n_pair), asc(pair)).limit(1)
+            pair = min(counts, key=lambda p: (-counts[p], p))
+            n_pair = counts[pair]
+            if n_pair <= 0:
+                break
+            merges.append((t + 1, pair, n_pair))
+            s1, s2 = pair.split(" ")
+            old, new = f"{s1}|{s2}|", f"{s1}{s2}|"
+            for i, enc in enumerate(encs):
+                if old not in enc:
+                    continue
+                nw = nws[i]
+                for p in pairs_of(enc):
+                    counts[p] -= nw
+                enc = enc.replace(old, new)
+                encs[i] = enc
+                for p in pairs_of(enc):
+                    counts[p] = counts.get(p, 0) + nw
+            counts = {p: n for p, n in counts.items() if n > 0}
+        return pd.DataFrame(
+            {
+                "merge_idx": [m[0] for m in merges],
+                "pair": [m[1] for m in merges],
+                "n_pair": [m[2] for m in merges],
+            }
+        )
+
+    out = (
+        wf.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(kernel, "merge_idx int, pair string, n_pair bigint")
+        .collect()
+    )
+    return [(int(r["merge_idx"]), r["pair"], int(r["n_pair"])) for r in out]
+
+
 def _bpe_merge_rows_build(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, fused_max_words: int = -1
 ) -> list[tuple[int, str, int]]:
     docs = table(spark, sf_dir, "documents")
     words = docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("w"))
@@ -1138,6 +1217,16 @@ def _bpe_merge_rows_build(
     from pyspark.storagelevel import StorageLevel
 
     cur = wf.persist(StorageLevel.MEMORY_AND_DISK)
+    # small-vocab tier (r15): the tier-sizing count is ALSO what
+    # materializes the persisted distinct-word table, so the gate costs
+    # no extra pass; pass fused_max_words=0 to force the per-round
+    # distributed loop (tests)
+    if fused_max_words < 0:
+        fused_max_words = BPE_FUSED_MAX_WORDS
+    if 0 < fused_max_words and cur.count() <= fused_max_words:
+        rows = _bpe_fused_rows(cur)
+        cur.unpersist(blocking=False)
+        return rows
     prev = None
     merges: list[tuple[int, str, int]] = []
     for t in range(BPE_MERGES):
